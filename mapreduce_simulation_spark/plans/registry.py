@@ -1,0 +1,305 @@
+"""Driver-facing query registry: name → (spark_builder, duckdb_oracle_sql).
+
+Every operator claimed in SURVEY.md §2 appears here with BOTH a DataFrame
+plan and an equivalent ANSI-SQL oracle (DuckDB) — the correctness gate.
+Oracle-less entries (None) are genuinely non-SQL-expressible and get the
+driver's weaker rows-only check.
+
+Cross-engine determinism rules used throughout:
+  - aggregate/computed columns aliased identically on both sides;
+  - monetary sums via decimal accumulation cast back to double
+    (order-independent → stable value hash);
+  - top-k and ranks tie-broken on a unique key;
+  - timestamps compared at microsecond precision (unix_micros/epoch_us).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import reference, relational
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name → (builder, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    if name in _REGISTRY:
+        raise ValueError(f"duplicate query name {name!r}")
+    _REGISTRY[name] = (fn, oracle)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity workloads (SURVEY.md §2c)
+# ---------------------------------------------------------------------------
+
+register(
+    "word_count",
+    reference.word_count,
+    """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+
+register(
+    "grep",
+    reference.grep,
+    """
+    SELECT doc_id, text FROM documents
+    WHERE contains(lower(text), 'spark')
+    """,
+)
+
+register(
+    "distinct_words",
+    reference.distinct_words,
+    """
+    SELECT DISTINCT word
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    """,
+)
+
+register(
+    "global_sort",
+    reference.global_sort,
+    """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY word
+    """,
+)
+
+register(
+    "identity_projection",
+    reference.identity_projection,
+    "SELECT doc_id, n_chars FROM documents",
+)
+
+register(
+    "union_sources",
+    reference.union_sources,
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+
+register(
+    "constant_key_collapse",
+    reference.constant_key_collapse,
+    """
+    SELECT count(*) AS match_cnt,
+           CAST(sum(n_chars) AS BIGINT) AS match_chars
+    FROM documents
+    WHERE contains(lower(text), 'spark')
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Relational extensions (SURVEY.md §2e — ABSENT in reference, Spark built-in)
+# ---------------------------------------------------------------------------
+
+register(
+    "pricing_summary",
+    relational.pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+        AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6)))
+        AS DOUBLE) AS sum_charge,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+register(
+    "revenue_by_nation",
+    relational.revenue_by_nation,
+    """
+    SELECT r_name, n_name,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+        AS revenue,
+      count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+
+register(
+    "top_orders",
+    relational.top_orders,
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+
+register(
+    "semi_join_customers",
+    relational.semi_join_customers,
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+
+register(
+    "anti_join_customers",
+    relational.anti_join_customers,
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+
+register(
+    "left_outer_order_counts",
+    relational.left_outer_order_counts,
+    """
+    SELECT c_custkey, count(o_orderkey) AS order_cnt
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+
+register(
+    "window_top_customers",
+    relational.window_top_customers,
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rk
+      FROM customer)
+    WHERE rk <= 3
+    """,
+)
+
+register(
+    "running_order_totals",
+    relational.running_order_totals,
+    """
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate ASC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS orders_so_far
+    FROM orders
+    """,
+)
+
+register(
+    "set_ops_segments",
+    relational.set_ops_segments,
+    """
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+
+register(
+    "monthly_revenue",
+    relational.monthly_revenue,
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+
+register(
+    "rollup_revenue",
+    relational.rollup_revenue,
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (1, o_orderstatus)
+    """,
+)
+
+register(
+    "broadcast_dim_join",
+    relational.broadcast_dim_join,
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+
+register(
+    "events_daily",
+    relational.events_daily,
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+
+register(
+    "sessionize_events",
+    relational.sessionize_events,
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, session_id, count(*) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           max(n_events) AS max_session_events
+    FROM per_sess GROUP BY user_id
+    """,
+)

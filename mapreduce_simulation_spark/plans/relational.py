@@ -1,0 +1,274 @@
+"""Relational extensions over the star schema (SURVEY.md §2e / §7 step 4).
+
+The reference has NO engine-level joins, windows, set ops, top-k, or scalar
+function library (no join code anywhere in mapreduce/ — SURVEY.md §2e);
+its model could only express them as user map/reduce programs. Our engine
+declares them as first-class DataFrame plans and lets Catalyst pick physical
+strategies (broadcast-hash for dims, sort-merge for fact-fact, AQE skew
+splitting).
+
+Determinism discipline for the DuckDB-oracle gate: monetary/quantity SUMs go
+through decimal(18,2) accumulation (exact, order-independent) and are cast
+back to double at the end; AVGs are computed as decimal-sum / count. Plain
+double summation would make the hash comparison flaky (float addition is not
+associative across partitionings).
+
+Scale notes are attached per query; the shared rules:
+  - dim tables (region/nation/supplier/customer at TPC-H ratios) broadcast;
+  - fact-fact joins shuffle on the join key — keys here are uniform
+    (synthetic), and AQE skew-join covers real-world skew;
+  - every aggregation is partial-before-exchange (Catalyst default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..tables import load_table
+
+
+def _dec_sum(col, alias: str):
+    """Exact decimal accumulation → double. Order-independent, so the value
+    hash matches DuckDB regardless of partitioning/merge order."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate with a date predicate.
+
+    The shipdate filter is pushed to the parquet scan (PushedFilters), and
+    the 4-way grouped aggregate runs partial/final. At 100 TB this is scan
+    bandwidth-bound — exactly what you want.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price.cast("decimal(22,4)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(24,6)")).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact ⋈ fact ⋈ dims with grouped revenue.
+
+    lineitem⋈orders shuffles on orderkey (both large); customer, nation,
+    region are broadcast — explicitly hinted, though they're under the
+    autoBroadcastJoinThreshold anyway. Aggregation after the join is
+    partial-before-exchange on n_name (25 values → tiny shuffle).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue.cast("decimal(22,4)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (ABSENT in reference → orderBy().limit(k)).
+
+    Spark plans TakeOrderedAndProject: per-partition top-k then a k-sized
+    merge on the driver — O(k) memory, no global sort. Tie-broken on
+    o_orderkey for determinism.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers with at least one open ('O') order. Semi joins
+    shuffle only the key column of the probe side and short-circuit on first
+    match — cheaper than join+distinct."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + grouped count, keeping order-less customers with 0."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+def window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (ABSENT in reference): top-3 customers by account
+    balance per nation via dense_rank. One shuffle on the partition key;
+    rank tie-break on c_custkey keeps it deterministic."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rk")
+    )
+
+
+def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregate: running order count per customer over
+    time. Frame = unbounded-preceding..current on (custkey, date, key)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("orders_so_far"),
+    )
+
+
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT (ABSENT in reference): custkeys that placed a
+    high-priority order but are not in the BUILDING segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return urgent.exceptAll(building).distinct()
+
+
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date functions + agg: revenue trend by order month."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            _dec_sum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (ABSENT in reference): revenue by
+    (year, status) with year and grand totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(F.year("o_orderdate").alias("yr"), F.col("o_orderstatus"))
+        .agg(_dec_sum("o_totalprice", "revenue"))
+        .orderBy(F.col("yr").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first())
+    )
+
+
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: supplier enriched with nation name.
+    No shuffle at all — the 25-row dim ships to every task."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch windowed event aggregation: per-day, per-type counts and value
+    sums (the Structured Streaming twin lives in streaming/events.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum("value", "sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gap detection (30-min inactivity): lag + running
+    sum of session-start flags per user. Two stacked windows, one shuffle
+    on user_id."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond precision on both sides (oracle uses epoch_us) — casting
+    # to whole seconds would round differently across engines at boundaries.
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(by_user)
+    with_flag = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(by_user)
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )

@@ -1,0 +1,61 @@
+"""Star-schema table loaders for the TESTDATA.md parquet tables.
+
+The reference's data model is "a directory of text files" (reference
+manager/__main__.py:320-327); ours is schema-on-read parquet with the full
+Spark type system (SURVEY.md §1). Columnar scans give column pruning +
+predicate pushdown for free — verify with ``df.explain()``: look for
+``PushedFilters`` and a narrow ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table. Parquet scan → Catalyst prunes/pushes.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS) which Spark rejects by
+    default; we read it as nano-longs and truncate to microseconds —
+    identical to how DuckDB coerces ns→µs, keeping oracle comparisons exact.
+    Integer division (``div``), not float: ~1.7e18 ns overflows a double's
+    53-bit mantissa.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table as a dict; also registers each as a temp view so
+    queries can be expressed in SQL (``spark.sql``) as well as DataFrames."""
+    tables = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        tables[name] = df
+    return tables
