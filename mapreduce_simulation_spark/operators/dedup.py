@@ -1,0 +1,385 @@
+"""Deduplication operators over the documents table (SURVEY.md §7 step 5).
+
+Four families, all shuffle-disciplined for the 100 TB design point:
+
+  exact          fingerprint (cross-engine polynomial hash) → window over fp.
+                 One shuffle on a 64-bit key — never on raw text.
+  ngram-jaccard  3-word shingles → inverted-index self-join → exact jaccard.
+                 Complete for pairs sharing ≥1 shingle; the join fans out on
+                 the shingle key (bounded by shingle frequency, cap hot
+                 shingles upstream at real scale).
+  minhash-lsh    16 permutations → 8 bands × 2 rows → band-bucket join →
+                 exact-jaccard verification of candidates. Shuffle volume is
+                 |docs| × 8 band keys, independent of document length — the
+                 scale path for near-dup dedup.
+  simhash        30-bit sign-aggregated fingerprint; hamming ≤ 3 pairs found
+                 by 4-way band join (pigeonhole: ≤3 bit flips over 4 bands ⇒
+                 some band identical — the banded join is EXACTLY complete,
+                 not approximate).
+
+Every operator has a DuckDB oracle generated from the same constants
+(functions/hashing.py), so integer hash math matches bit-for-bit.
+
+Capability lineage: the reference engine can express dedup only as a user
+map/reduce program (key = content hash, reduce = pick first — reference
+model, SURVEY.md §2e); these operators are that idea made first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import hashing as H
+from ..tables import load_table
+from .text import tokens
+
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 30
+SIMHASH_BAND_BITS = 8  # 4 bands: 8+8+8+6 bits
+HAMMING_MAX = 3
+
+# Shared DuckDB CTE: per-document distinct 3-word shingles.
+_SHINGLES_SQL = r"""
+tok AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+            for i in generate_series(1, len(ts) - 2)])) AS shingle
+  FROM tok WHERE len(ts) >= 3
+)
+"""
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): distinct 3-word shingles per document."""
+    toks = tokens(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(toks) - 2)
+    shingle_arr = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return (
+        docs.where(F.size(toks) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document canonical assignment by exact content: every doc maps to
+    the smallest doc_id sharing its text fingerprint, with group size."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = H.char_hash(F.col("text")).alias("fp")
+    w = Window.partitionBy("fp")
+    return (
+        docs.select("doc_id", fp)
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("canonical_id"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH fps AS (
+  SELECT doc_id, {H.char_hash_sql('text')} AS fp FROM documents
+)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       count(*) OVER (PARTITION BY fp) AS group_size
+FROM fps
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive n-gram jaccard near-dup
+# ---------------------------------------------------------------------------
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None) -> DataFrame:
+    """Exact jaccard for doc pairs from a shingle table. If ``pairs`` is
+    None, all pairs sharing ≥1 shingle (inverted-index self-join)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-dup pairs with 3-gram jaccard ≥ 0.5, computed exactly via
+    inverted-index self-join (complete: j ≥ 0.5 ⇒ shingle sets intersect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _pair_jaccard(_shingles(docs), None).orderBy("doc_a", "doc_b")
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15): MinHash signature from shingle hashes."""
+    sh = _shingles(docs).select(
+        "doc_id", H.char_hash(F.col("shingle")).alias("h")
+    )
+    mins = [
+        F.min(H.perm_hash(F.col("h"), i)).alias(f"m{i}")
+        for i in range(len(H.MINHASH_PERMS))
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash banding: signature → 8 band keys per doc →
+    bucket self-join → exact-jaccard verification at ≥ 0.5.
+
+    The banded join shuffles |docs|×8 short keys — independent of document
+    size; verification touches only candidate pairs. This is the operator
+    that survives 100 TB (the exhaustive ngram join is the small-scale twin).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"m{b * H.ROWS_PER_BAND + r}")
+                        for r in range(H.ROWS_PER_BAND)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(H.N_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.explode(bands).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _pair_jaccard(_shingles(docs), candidates).orderBy("doc_a", "doc_b")
+
+
+def _minhash_oracle_sql() -> str:
+    n = len(H.MINHASH_PERMS)
+    min_exprs = ",\n    ".join(
+        f"min({H.perm_hash_sql('h', i)}) AS m{i}" for i in range(n)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, m{i0} || ':' || m{i1} AS key FROM sig".format(
+            b=b, i0=b * H.ROWS_PER_BAND, i1=b * H.ROWS_PER_BAND + 1
+        )
+        for b in range(H.N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+hashed AS (SELECT doc_id, {H.char_hash_sql('shingle')} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {min_exprs}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+  {band_selects}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM common c
+  JOIN candidates k ON k.doc_a = c.doc_a AND k.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_MINHASH_SQL = _minhash_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 30-bit frequency-weighted sign fingerprint."""
+    tok_cnt = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", H.char_hash(F.col("word")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
+    per_bit = (
+        tok_cnt.select("doc_id", "cnt", "h", bit)
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * (F.expr("(h >> bit) & 1") * 2 - 1)
+            ).alias("s")
+        )
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance ≤ 3, via 4-band join
+    (8+8+8+6 bits). Pigeonhole makes the banded join complete for ≤ 3 bit
+    flips, so this equals the exhaustive hamming scan the oracle runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"(simhash >> {b * SIMHASH_BAND_BITS}) & "
+                    f"{(1 << SIMHASH_BAND_BITS) - 1}"
+                ).alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = fp.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_SIMHASH_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+tok_cnt AS (
+  SELECT doc_id, word, count(*) AS cnt,
+         {H.char_hash_sql('word')} AS h
+  FROM (SELECT doc_id, unnest(ts) AS word FROM tok)
+  GROUP BY doc_id, word
+),
+per_bit AS (
+  SELECT doc_id, bit, sum(cnt * (((h >> bit) & 1) * 2 - 1)) AS s
+  FROM tok_cnt,
+       (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit) bits
+  GROUP BY doc_id, bit
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)::BIGINT
+           AS simhash
+  FROM per_bit GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""

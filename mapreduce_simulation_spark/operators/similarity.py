@@ -1,0 +1,229 @@
+"""Similarity search over the embeddings table (SURVEY.md §7 step 5).
+
+Embeddings are ``array<float>`` columns; all math is done in double after an
+exact float→double widening, with strict left-fold accumulation (F.aggregate)
+so the DuckDB oracle (list_reduce — also a left fold) reproduces every bit.
+Final scores are rounded to 6 decimals on both sides.
+
+Three operators:
+  brute_force_topk   exact k-NN for a query set — broadcast the queries,
+                     one scan over the corpus, per-partition top-k via
+                     window rank. The correctness baseline.
+  near_dup_pairs     all pairs with cosine ≥ τ. Exhaustive self-join —
+                     the small-scale twin of the LSH variant.
+  lsh_topk           random-hyperplane LSH bucketing (sign bits of fixed
+                     deterministic hyperplanes) → candidate join → exact
+                     re-score. The 100 TB path: shuffle is |corpus| × 1
+                     bucket key instead of |corpus| × |queries| pairs.
+                     Approximate (LSH misses) → no SQL oracle; rows-only.
+
+Scale notes: brute-force topk at 100 TB is a single broadcast-join scan —
+viable when |queries| is small (the common batch-inference shape). For
+corpus×corpus similarity, LSH bucketing (or IVF with a trained codebook)
+is mandatory; `lsh_topk` shows the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..tables import load_table
+
+N_QUERIES = 10  # query set = vec_id < 10
+TOP_K = 5
+COSINE_THRESHOLD = 0.4
+N_HYPERPLANES = 8
+EMBED_DIM = 64
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Strict left-fold dot product in double — matches DuckDB list_reduce."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def _corpus_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _as_double("embedding")
+    return emb.select("vec_id", v.alias("v"), _norm(v).alias("nrm"))
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 10).
+
+    Physical shape: broadcast(queries) ⋈ corpus — a map-side nested loop,
+    no shuffle except the final per-query top-k (rank window on 10 keys).
+    """
+    corpus = _corpus_with_norm(spark, sf_dir)
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    scored = (
+        corpus.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+BRUTE_FORCE_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_reduce(
+                 list_prepend(0.0, list_transform(
+                   list_zip(q.v, c.v)::STRUCT(a DOUBLE, b DOUBLE)[],
+                   p -> p.a * p.b)),
+                 (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS cosine
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored)
+WHERE rk <= {TOP_K}
+"""
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine ≥ 0.4 — exhaustive self-join
+    (the exact small-scale twin of lsh_topk's bucketed search)."""
+    corpus = _corpus_with_norm(spark, sf_dir)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+NEAR_DUP_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_reduce(
+               list_prepend(0.0, list_transform(
+                 list_zip(a.v, b.v)::STRUCT(a DOUBLE, b DOUBLE)[],
+                 p -> p.a * p.b)),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_reduce(
+        list_prepend(0.0, list_transform(
+          list_zip(a.v, b.v)::STRUCT(a DOUBLE, b DOUBLE)[],
+          p -> p.a * p.b)),
+        (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) >= {COSINE_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Fixed deterministic pseudo-random hyperplanes (no RNG: linear
+    congruential sequence on frozen constants, centered to [-0.5, 0.5))."""
+    planes = []
+    state = 1234567
+    for _ in range(N_HYPERPLANES):
+        row = []
+        for _ in range(EMBED_DIM):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            row.append(state / float(1 << 31) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature (8 sign bits) buckets
+    the corpus; queries probe only their own bucket, then re-score exactly.
+
+    Shuffle volume: |corpus| rows keyed by an 8-bit bucket — corpus×corpus
+    never materializes. Misses are possible (no oracle; rows-only check).
+    """
+    corpus = _corpus_with_norm(spark, sf_dir)
+    planes = _hyperplanes()
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        pl = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(_dot(F.col("v"), pl) > 0, F.lit(1 << j)).otherwise(0)
+    bucketed = corpus.withColumn("bucket", sig)
+    queries = bucketed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    scored = (
+        bucketed.join(
+            broadcast(queries),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

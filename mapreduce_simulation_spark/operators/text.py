@@ -1,0 +1,118 @@
+"""Text analysis operators for the documents table (SURVEY.md §7 step 5).
+
+All pure `pyspark.sql.functions` array/string expressions — JVM-side,
+whole-stage-codegen, no Python in the hot path. Each operator's arithmetic
+is integer or IEEE-deterministic double math so the DuckDB oracle reproduces
+values exactly.
+
+Scale notes: every operator here is a narrow map over the scan — no shuffle
+at all (per-document computation). At 100 TB these are bandwidth-bound
+single-stage jobs; perfect scaling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import char_hash
+from ..tables import load_table
+
+# Tiny multilingual stopword marker sets for the language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "und", "die", "nicht", "das"),
+    "fr": ("le", "la", "et", "les", "une"),
+    "es": ("el", "los", "que", "una", "para"),
+}
+
+# English stopwords for quality scoring (tiny, frozen set).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# GPT-2-flavoured pre-tokenizer, simplified to the ASCII classes present in
+# the corpus: word pieces, number pieces, punctuation runs (optionally
+# space-prefixed). Same regex runs on Java (Spark) and RE2 (DuckDB).
+BPE_ISH_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped — the engine's shared
+    tokenizer (same semantics as the wordcount plan)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics: token/char counts, average token length,
+    stopword ratio, unique-token ratio. The building blocks of corpus
+    quality filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_tokens = n_tokens.cast("long")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (sum_len.cast("double") / n_tokens).alias("avg_token_len"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_uniq.cast("double") / n_tokens).alias("uniq_ratio"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1]: length saturation + stopword
+    presence + lexical diversity. The canonical 'keep/drop' signal of a
+    training-data pipeline (cf. C4/Gopher-style heuristics)."""
+    stats = text_stats(spark, sf_dir)
+    length_term = F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+    score = (
+        length_term * 0.4
+        + F.col("stopword_ratio") * 0.2
+        + F.col("uniq_ratio") * 0.4
+    )
+    return stats.select("doc_id", score.alias("quality"))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK codepoint presence → zh, else marker
+    stopwords → de/fr/es, else en. Output keeps the labelled lang column so
+    accuracy is inspectable downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def has_marker(lang: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS[lang]))) > 0
+
+    pred = (
+        F.when(F.col("text").rlike(r"[\x{4E00}-\x{9FFF}]"), "zh")
+        .when(has_marker("de"), "de")
+        .when(has_marker("fr"), "fr")
+        .when(has_marker("es"), "es")
+        .otherwise("en")
+    )
+    return docs.select("doc_id", F.col("lang"), pred.alias("pred_lang"))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: cross-engine polynomial hash of the full text
+    (functions/hashing.py). The dedup-exact key; also a stable content
+    address for incremental pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", char_hash(F.col("text")).alias("fingerprint"))
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish pre-tokenizer regex — the 'how many
+    tokens is this corpus' question, per document and exact-counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+    )

@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators import dedup, similarity, text
 from . import reference, relational
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -303,3 +304,114 @@ register(
     FROM per_sess GROUP BY user_id
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-pipeline operators, SURVEY.md §7 step 5)
+# ---------------------------------------------------------------------------
+
+_TOK_CTE = r"""
+tok AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+  FROM documents
+)
+"""
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+register(
+    "text_stats",
+    text.text_stats,
+    f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id, n_chars, len(ts) AS n_tokens,
+      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(ts, x -> CAST(length(x) AS BIGINT))),
+             (a, b) -> a + b) AS DOUBLE) / len(ts) AS avg_token_len,
+      CAST(len(list_filter(ts, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
+        / len(ts) AS stopword_ratio,
+      CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS uniq_ratio
+    FROM tok
+    """,
+)
+
+register(
+    "quality_score",
+    text.quality_score,
+    f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id,
+      least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + (CAST(len(list_filter(ts, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
+         / len(ts)) * 0.2
+      + (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) * 0.4 AS quality
+    FROM tok
+    """,
+)
+
+_MARKER_CASES = "\n".join(
+    "WHEN len(list_filter(ts, x -> x IN ({words}))) > 0 THEN '{lang}'".format(
+        words=", ".join(f"'{w}'" for w in ws), lang=lang
+    )
+    for lang, ws in text.LANG_MARKERS.items()
+)
+
+register(
+    "lang_id",
+    text.lang_id,
+    rf"""
+    WITH {_TOK_CTE}
+    SELECT t.doc_id, d.lang,
+      CASE WHEN regexp_matches(d.text, '[\x{{4E00}}-\x{{9FFF}}]') THEN 'zh'
+           {_MARKER_CASES}
+           ELSE 'en' END AS pred_lang
+    FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+    """,
+)
+
+from ..functions.hashing import char_hash_sql as _chs  # noqa: E402
+
+register(
+    "doc_fingerprint",
+    text.doc_fingerprint,
+    f"SELECT doc_id, {_chs('text')} AS fingerprint FROM documents",
+)
+
+register(
+    "token_count_bpe",
+    text.token_count_bpe,
+    f"""
+    WITH {_TOK_CTE}
+    SELECT t.doc_id,
+      CAST(len(regexp_extract_all(lower(d.text),
+        ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+')) AS BIGINT) AS bpe_tokens,
+      len(ts) AS ws_tokens
+    FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Deduplication (LLM-pipeline operators)
+# ---------------------------------------------------------------------------
+
+register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
+register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
+register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
+register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
+
+# ---------------------------------------------------------------------------
+# Similarity search (LLM-pipeline operators)
+# ---------------------------------------------------------------------------
+
+register(
+    "similarity_topk",
+    similarity.brute_force_topk,
+    similarity.BRUTE_FORCE_TOPK_SQL,
+)
+register(
+    "embedding_near_dup",
+    similarity.near_dup_pairs,
+    similarity.NEAR_DUP_PAIRS_SQL,
+)
+# Approximate by construction (LSH may miss) → rows-only driver check.
+register("similarity_lsh_topk", similarity.lsh_topk, None)
