@@ -1,0 +1,114 @@
+"""Semantic unit tests for individual operators — properties the oracle
+comparison can't express (invariants, completeness guarantees, plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_simulation_spark.functions import hashing as H
+from mapreduce_simulation_spark.operators import dedup, similarity, text
+from mapreduce_simulation_spark.plans import reference, relational
+from mapreduce_simulation_spark.tables import load_table
+
+
+def test_char_hash_known_value(spark):
+    # frozen cross-engine test vector (same value asserted for DuckDB below)
+    df = spark.range(1).select(H.char_hash(F.lit("spark")).alias("h"))
+    assert df.collect()[0].h == 109638365
+
+
+def test_char_hash_duckdb_agrees(duck):
+    val = duck.execute(f"SELECT {H.char_hash_sql(repr('spark'))}").fetchone()[0]
+    assert val == 109638365
+
+
+def test_word_count_total_matches_token_count(spark, sf_dir):
+    wc = reference.word_count(spark, sf_dir)
+    total = wc.agg(F.sum("cnt")).collect()[0][0]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.size(text.tokens(F.col("text"))).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert total == toks
+
+
+def test_grep_rows_all_contain_query(spark, sf_dir):
+    rows = reference.grep(spark, sf_dir).collect()
+    assert rows, "grep should match at least one document"
+    assert all("spark" in r.text.lower() for r in rows)
+
+
+def test_dedup_exact_is_partition(spark, sf_dir):
+    rows = dedup.dedup_exact(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert all(r.canonical_id <= r.doc_id for r in rows)
+
+
+def test_minhash_candidates_subset_of_exhaustive(spark, sf_dir):
+    """LSH output ⊆ exhaustive jaccard output (banding can only miss)."""
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()}
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert lsh <= full
+
+
+def test_simhash_pairs_symmetric_bound(spark, sf_dir):
+    rows = dedup.dedup_simhash(spark, sf_dir).collect()
+    assert all(0 <= r.hamming <= dedup.HAMMING_MAX for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_similarity_topk_shape(spark, sf_dir):
+    rows = similarity.brute_force_topk(spark, sf_dir).collect()
+    per_query: dict[int, list] = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r)
+    assert set(per_query) == set(range(similarity.N_QUERIES))
+    for q, rs in per_query.items():
+        assert len(rs) == similarity.TOP_K
+        assert sorted(r.rk for r in rs) == list(range(1, similarity.TOP_K + 1))
+        cosines = [r.cosine for r in sorted(rs, key=lambda r: r.rk)]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_lsh_topk_subset_of_brute_force_scores(spark, sf_dir):
+    """LSH hits must carry the same exact re-scored cosine as brute force."""
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.brute_force_topk(spark, sf_dir).collect()
+    }
+    for r in similarity.lsh_topk(spark, sf_dir).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in bf:
+            assert abs(bf[key] - r.cosine) < 1e-9
+
+
+def test_quality_score_in_unit_interval(spark, sf_dir):
+    rows = text.quality_score(spark, sf_dir).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+
+
+def test_top_orders_is_global_top(spark, sf_dir):
+    top = relational.top_orders(spark, sf_dir).collect()
+    assert len(top) == 10
+    all_max = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.max("o_totalprice"))
+        .collect()[0][0]
+    )
+    assert top[0].o_totalprice == all_max
+
+
+def test_broadcast_join_plan_has_no_shuffle(spark, sf_dir):
+    plan = relational.broadcast_dim_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_filter_pushed_down(spark, sf_dir):
+    plan = relational.pricing_summary(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
