@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (the part that matters at 100 TB):
+  - media is an opaque ``binary`` column with a typed metadata struct
+    (media_type, n_bytes, checksum) riding alongside — never parsed by
+    Catalyst, so scans prune it unless a stage actually needs the bytes;
+  - all byte-touching work happens in Arrow-batched pandas iterators
+    (``mapInPandas``) — one Python worker per partition, zero per-row
+    overhead, bounded memory via spark.sql.execution.arrow.maxRecordsPerBatch;
+  - decode is a pluggable step. The real decoders (PIL/torchaudio/ffmpeg)
+    aren't in this container, so `decode_media` raises NotImplementedError
+    unless the deterministic fake decoder is requested; everything around
+    it — schema, batching, partitioning, UDF signatures — is real and
+    tested.
+
+The reference engine has no binary/multimodal support at all (strings-only
+data model, SURVEY.md §1); this is a north-star extension.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+FEATURE_DIM = 16
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media binary, media_type string, n_bytes bigint, "
+    "checksum bigint"
+)
+
+FEATURES_SCHEMA = f"doc_id bigint, media_type string, features array<double>"
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a media table from documents: UTF-8 bytes as the opaque payload
+    (a deterministic stand-in for image/audio bytes) + typed metadata.
+    crc32 works as the checksum because it's also computable JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        media.alias("media"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.octet_length(media).cast("long").alias("n_bytes"),
+        F.crc32(media).alias("checksum"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str, use_fake: bool = False):
+    """Decode a media payload. Real decoders (PIL, torchaudio, ffmpeg) are
+    not available in this environment — STUB: raises unless the
+    deterministic fake decoder is requested (use_fake=True), which returns
+    the raw bytes for feature extraction."""
+    if not use_fake:
+        raise NotImplementedError(
+            "real media decoding requires PIL/torchaudio/ffmpeg; "
+            "pass use_fake=True for the deterministic byte-level fake"
+        )
+    return payload
+
+
+def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary media via mapInPandas: Arrow batches
+    in, per-item fixed-width feature vectors out (here: a 16-bin byte
+    histogram, normalized — a deterministic stand-in for an image/audio
+    embedding model, same plumbing shape)."""
+    media = synthesize_media(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            feats = []
+            for payload, mtype in zip(pdf["media"], pdf["media_type"]):
+                raw = decode_media(bytes(payload), mtype, use_fake=True)
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(
+                    "float64"
+                )
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan: checksum/size stats per media type. The binary
+    column is pruned from the scan entirely (metadata rides in separate
+    columns) — the plan to check when validating 100 TB behavior."""
+    media = synthesize_media(spark, sf_dir)
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("media_type")
+    )

@@ -415,3 +415,67 @@ register(
 )
 # Approximate by construction (LSH may miss) → rows-only driver check.
 register("similarity_lsh_topk", similarity.lsh_topk, None)
+
+# ---------------------------------------------------------------------------
+# Streaming-executable contract (the reference's UDF surface, §7 step 3)
+# ---------------------------------------------------------------------------
+
+from ..operators.pipe import pipe_word_count as _pipe_wc  # noqa: E402
+
+# Same semantics as word_count, executed through external awk processes via
+# RDD.pipe — so the same oracle applies (binary-compatibility proof).
+register(
+    "pipe_word_count",
+    _pipe_wc,
+    """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Multimodal column plumbing (binary payloads + typed metadata)
+# ---------------------------------------------------------------------------
+
+from ..operators import multimodal as _mm  # noqa: E402
+
+register(
+    "media_metadata",
+    _mm.media_metadata,
+    """
+    SELECT media_type, count(*) AS n_items,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM (
+      SELECT text,
+        CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+             WHEN doc_id % 3 = 1 THEN 'audio/wav'
+             ELSE 'video/mp4' END AS media_type
+      FROM documents)
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+)
+
+# Arrow-batched pandas feature extraction — not SQL-expressible; rows-only.
+register("media_features", _mm.extract_features, None)
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (incremental twin of events_daily, drained to batch)
+# ---------------------------------------------------------------------------
+
+from ..streaming.events import streaming_events_hourly as _stream_hourly  # noqa: E402
+
+register(
+    "streaming_events_hourly",
+    _stream_hourly,
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)

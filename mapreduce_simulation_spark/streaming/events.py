@@ -1,0 +1,127 @@
+"""Structured Streaming over the events table.
+
+Each builder takes a *streaming* DataFrame with the events schema
+(ts timestamp, user_id long, event_type string, value double, ...) and
+returns the transformed streaming DataFrame; the caller attaches a sink.
+The logical plans intentionally match their batch twins in
+plans/relational.py — run the same transformation both ways and results
+converge as the watermark closes windows (verified in tests via
+Trigger.AvailableNow against the batch answer).
+
+Scale notes: windowed aggregation state is bounded by the watermark (10 min
+late-data allowance); keys = event_type × open windows, tiny. Session
+windows use F.session_window (gap-based), state pruned the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+WATERMARK = "10 minutes"
+
+
+def read_event_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File-source stream over parquet event files (one file per micro-batch
+    by default; in production this is Kafka/Kinesis — the plan is identical).
+
+    Note: file discovery order is not guaranteed to follow event time; with
+    stateful operators that enforce the watermark (session windows), files
+    arriving out of time order are dropped as late — exactly as a real
+    out-of-order source would be. Pass ``max_files_per_trigger=None`` to
+    drain everything in one batch when that's not the semantics under test.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(directory)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts and value sums per event type, with a
+    watermark bounding late data and state size — the streaming twin of
+    relational.events_daily."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user (streaming sessionization — the
+    incremental twin of relational.sessionize_events)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain a stream with Trigger.AvailableNow into an in-memory table and
+    return the batch result — the test/driver harness for streaming plans."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing end-to-end streaming query: stage the events table as a
+    time-ordered parquet file stream, run the tumbling-window aggregation
+    incrementally (micro-batch per file), drain with Trigger.AvailableNow,
+    and return the final batch result. Matches the batch/DuckDB answer
+    because tumbling-window aggregation in complete mode retains all
+    windows (the watermark bounds state in update/append deployments)."""
+    import tempfile
+
+    from ..tables import load_table
+
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = read_event_stream(spark, stage)
+    return run_to_memory(windowed_counts(stream, "1 hour"), "events_hourly_stream")

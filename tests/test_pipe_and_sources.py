@@ -1,0 +1,114 @@
+"""The streaming-executable contract and text sources/sinks — end-to-end,
+mirroring the reference's integration tests (real processes, golden
+comparison; reference tests/test_integration_00..02.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mapreduce_simulation_spark.operators import pipe
+from mapreduce_simulation_spark.plans import reference
+from mapreduce_simulation_spark.sources import sinks, text_dir
+
+
+def test_pipe_word_count_matches_native(spark, sf_dir):
+    """Executable-pipeline word count == DataFrame word count (the
+    reference's wordcount golden test, with the native plan as golden)."""
+    native = {
+        (r.word, r.cnt) for r in reference.word_count(spark, sf_dir).collect()
+    }
+    piped = {
+        (r.word, r.cnt) for r in pipe.pipe_word_count(spark, sf_dir).collect()
+    }
+    assert piped == native
+
+
+def test_pipe_map_identity(spark, sf_dir):
+    """`cat` as mapper — the reference's identity-map memory test
+    (tests/test_worker_11.py uses cat)."""
+    from mapreduce_simulation_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("lang")).alias("line")
+    )
+    out = pipe.pipe_map(docs, "cat")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r.key.isdigit() for r in rows)
+
+
+def test_pipe_reduce_groups_are_contiguous_per_partition(spark, sf_dir):
+    """Reducer executables see sorted lines → contiguous key groups. Verify
+    with an awk group-counter: each key appears in exactly one group in one
+    partition."""
+    kv = spark.createDataFrame(
+        [(f"k{i % 7}", str(i)) for i in range(100)], "key string, value string"
+    )
+    # reducer that emits `key\t<group line count>` per contiguous group
+    reducer = (
+        "awk -F'\\t' '{ if ($1 != prev) { if (NR > 1) print prev \"\\t\" cnt; "
+        "prev = $1; cnt = 0 } cnt += 1 } END { if (NR > 0) print prev \"\\t\" cnt }'"
+    )
+    out = pipe.pipe_reduce(kv, reducer, num_partitions=3).collect()
+    # every key exactly once (contiguous within its partition) with full count
+    assert sorted((r.key, int(r.value)) for r in out) == [
+        (f"k{i}", 15 if i < 2 else 14) for i in range(7)
+    ]
+
+
+def test_md5_mod_partitioning_matches_reference_contract():
+    """Frozen test vectors for the placement hash (md5(key) % n)."""
+    import hashlib
+
+    for key, n in [("apple", 4), ("", 4), ("1", 2), ("word", 8)]:
+        expect = int(hashlib.md5(key.encode()).hexdigest(), 16) % n
+        assert pipe._md5_mod(key, n) == expect
+
+
+def test_text_dir_roundtrip(spark, tmp_path):
+    """S1-S6 end-to-end: write part files, scan them back, same multiset."""
+    df = spark.createDataFrame(
+        [(f"key{i}", f"val{i}") for i in range(50)], "k string, v string"
+    )
+    out_dir = str(tmp_path / "out")
+    sinks.write_part_files(df, out_dir, num_partitions=3, fmt="text")
+    parts = [f for f in os.listdir(out_dir) if f.startswith("part-")]
+    assert len(parts) == 3
+
+    back = text_dir.read_text_dir(spark, out_dir)
+    kv = text_dir.as_kv(back)
+    assert {(r.key, r.value) for r in kv.collect()} == {
+        (f"key{i}", f"val{i}") for i in range(50)
+    }
+
+
+def test_key_partitioned_sink_colocates_keys(spark, tmp_path):
+    """All rows of one key land in one part file (reducer-output invariant)."""
+    df = spark.createDataFrame(
+        [(f"k{i % 5}", str(i)) for i in range(100)], "k string, v string"
+    )
+    out_dir = str(tmp_path / "keyed")
+    sinks.write_part_files(
+        df, out_dir, num_partitions=4, fmt="text", key_partitioned="k"
+    )
+    key_files: dict[str, set[str]] = {}
+    for fname in os.listdir(out_dir):
+        if not fname.startswith("part-"):
+            continue
+        with open(os.path.join(out_dir, fname)) as f:
+            for line in f:
+                key = line.split("\t", 1)[0]
+                key_files.setdefault(key, set()).add(fname)
+    assert key_files and all(len(files) == 1 for files in key_files.values())
+
+
+def test_min_partitions_floor(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        (src / f"file{i:02d}").write_text("\n".join(f"line{i}-{j}" for j in range(10)))
+    df = text_dir.read_text_dir(spark, str(src), min_partitions=6)
+    assert df.rdd.getNumPartitions() >= 6
+    assert df.count() == 30

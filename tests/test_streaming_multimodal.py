@@ -1,0 +1,97 @@
+"""Streaming twins converge to batch answers; multimodal plumbing carries
+binary batches through mapInPandas with the right schema and shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_simulation_spark.operators import multimodal
+from mapreduce_simulation_spark.streaming import events as sev
+from mapreduce_simulation_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, sf_dir, tmp_path_factory):
+    """Events re-written as µs-timestamp parquet split into several files —
+    the stream source directory (the raw table is ns-typed, which the
+    streaming schema reader rejects)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    # Range-partition by time so each micro-batch (one file) is a time
+    # slice — out-of-order files would be dropped as late by the watermark,
+    # which is correct streaming semantics but not what this test probes.
+    load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def test_windowed_counts_stream_equals_batch(spark, event_files):
+    stream = sev.read_event_stream(spark, event_files)
+    result = sev.run_to_memory(sev.windowed_counts(stream), "win_counts")
+
+    batch = (
+        spark.read.parquet(event_files)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+
+def test_session_windows_stream_counts(spark, event_files):
+    stream = sev.read_event_stream(spark, event_files, max_files_per_trigger=None)
+    result = sev.run_to_memory(sev.session_windows(stream), "sessions")
+    rows = result.collect()
+    assert rows
+    total_events = sum(r.n_events for r in rows)
+    assert total_events == spark.read.parquet(event_files).count()
+    assert all(r.session_start <= r.session_end for r in rows)
+
+
+def test_media_schema_and_checksums(spark, sf_dir):
+    media = multimodal.synthesize_media(spark, sf_dir)
+    assert dict(media.dtypes)["media"] == "binary"
+    rows = media.limit(5).collect()
+    import zlib
+
+    for r in rows:
+        assert r.n_bytes == len(bytes(r.media))
+        assert r.checksum == zlib.crc32(bytes(r.media))
+
+
+def test_extract_features_shapes(spark, sf_dir):
+    feats = multimodal.extract_features(spark, sf_dir)
+    rows = feats.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows[:10]:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert abs(sum(r.features) - 1.0) < 1e-9
+
+
+def test_decode_media_stub_contract():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"xx", "image/png")
+    assert multimodal.decode_media(b"xx", "image/png", use_fake=True) == b"xx"
+
+
+def test_media_metadata_prunes_binary_column(spark, sf_dir, tmp_path):
+    """Once the media table is materialized, a metadata-only aggregation
+    must not read the binary payload column (column pruning at the scan)."""
+    out = str(tmp_path / "media")
+    multimodal.synthesize_media(spark, sf_dir).write.mode("overwrite").parquet(out)
+    agg = (
+        spark.read.parquet(out)
+        .groupBy("media_type")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum("n_bytes").alias("total_bytes"))
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[-1]
+    assert "media_type" in read_schema
+    assert "media:binary" not in read_schema.replace(" ", "")
