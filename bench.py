@@ -32,6 +32,10 @@ HEADLINE = [
     "window_top_customers",
     "events_daily",
     "sessionize_events",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
 ]
 
 
@@ -44,8 +48,13 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
 
-    # Warm up: session, codegen, parquet footer reads.
+    # Warm up: session init, whole-stage codegen, shuffle machinery, and
+    # parquet footers for each table family — otherwise the first measured
+    # query absorbs multi-second one-time JVM costs.
     qs["top_orders"](spark, SF_DIR).count()
+    qs["word_count"](spark, "/root/testdata/sf0.001").count()
+    qs["revenue_by_nation"](spark, "/root/testdata/sf0.001").count()
+    qs["events_daily"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

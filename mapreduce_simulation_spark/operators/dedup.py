@@ -40,39 +40,63 @@ SIMHASH_BITS = 30
 SIMHASH_BAND_BITS = 8  # 4 bands: 8+8+8+6 bits
 HAMMING_MAX = 3
 
-# Shared DuckDB CTE: per-document distinct 3-word shingles.
-_SHINGLES_SQL = r"""
+# Shingle identity = hashed, not the string: each token is char-hashed once
+# (~5 chars of fold work), then a 3-token shingle hash is pure arithmetic
+# combine — ((h1*131 + h2) % P * 131 + h3) % P. ~4× less fold work than
+# hashing 20-char shingle strings, and downstream joins/shuffles move 8-byte
+# ints instead of strings. Hash collisions are deterministic and identical
+# in the oracle (same function), so comparisons stay exact.
+SHINGLE_COMBINE = 131
+
+# Shared DuckDB CTE: per-document distinct hashed 3-word shingles.
+_TOKEN_HASH_LAMBDA = (
+    "t -> coalesce(list_reduce("
+    "list_transform(list_filter(str_split(t, ''), x -> x <> ''), "
+    f"x -> CAST(ascii(x) AS BIGINT)), (a, b) -> (a * 31 + b) % {H.P}), 0)"
+)
+
+_SHINGLES_SQL = rf"""
 tok AS (
   SELECT doc_id,
-         list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+         list_transform(
+           list_filter(str_split_regex(lower(text), '\s+'), x -> x <> ''),
+           {_TOKEN_HASH_LAMBDA}) AS hs
   FROM documents
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
-           [ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-            for i in generate_series(1, len(ts) - 2)])) AS shingle
-  FROM tok WHERE len(ts) >= 3
+           [((hs[i] * {SHINGLE_COMBINE} + hs[i+1]) % {H.P}
+             * {SHINGLE_COMBINE} + hs[i+2]) % {H.P}
+            for i in generate_series(1, len(hs) - 2)])) AS shingle
+  FROM tok WHERE len(hs) >= 3
 )
 """
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle): distinct 3-word shingles per document."""
-    toks = tokens(F.col("text"))
-    idx = F.sequence(F.lit(1), F.size(toks) - 2)
-    shingle_arr = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
-    return (
-        docs.where(F.size(toks) >= 3)
-        .select("doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
-    )
+    """(doc_id, shingle): distinct hashed 3-word shingles per document.
+
+    Tokens are exploded to rows and hashed exactly once each, then shingle
+    hashes are assembled with window `lead` over token position. (An
+    array-expression formulation recomputes the token-hash array once per
+    element access — Catalyst's CollapseProject re-inlines it into every
+    lambda reference — so the row formulation is asymptotically cheaper
+    despite the extra shuffle: the shuffle payload is one 8-byte hash per
+    token.)
+    """
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
+    ).select("doc_id", "pos", H.char_hash(F.col("word")).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "doc_id",
+        (
+            (F.col("h") * SHINGLE_COMBINE + F.lead("h", 1).over(w)) % H.P
+            * SHINGLE_COMBINE
+            + F.lead("h", 2).over(w)
+        ).alias("raw"),
+    ).where(F.col("raw").isNotNull())
+    return sh.select("doc_id", (F.col("raw") % H.P).alias("shingle")).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -112,20 +136,31 @@ FROM fps
 
 def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None) -> DataFrame:
     """Exact jaccard for doc pairs from a shingle table. If ``pairs`` is
-    None, all pairs sharing ≥1 shingle (inverted-index self-join)."""
+    None, all pairs sharing ≥1 shingle (inverted-index self-join); else the
+    intersection count is computed ONLY for the candidate pairs — the join
+    is candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b), so verification cost
+    scales with |candidates| × doc-length, never with the full pair space."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if pairs is not None:
-        common = common.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        common = (
+            pairs.join(sa, "doc_a")
+            .join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -175,11 +210,9 @@ ORDER BY doc_a, doc_b
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, m0..m15): MinHash signature from shingle hashes."""
-    sh = _shingles(docs).select(
-        "doc_id", H.char_hash(F.col("shingle")).alias("h")
-    )
+    sh = _shingles(docs)  # shingle column is already the hash
     mins = [
-        F.min(H.perm_hash(F.col("h"), i)).alias(f"m{i}")
+        F.min(H.perm_hash(F.col("shingle"), i)).alias(f"m{i}")
         for i in range(len(H.MINHASH_PERMS))
     ]
     return sh.groupBy("doc_id").agg(*mins)
@@ -243,7 +276,7 @@ def _minhash_oracle_sql() -> str:
     )
     return f"""
 WITH {_SHINGLES_SQL},
-hashed AS (SELECT doc_id, {H.char_hash_sql('shingle')} AS h FROM sh),
+hashed AS (SELECT doc_id, shingle AS h FROM sh),
 sig AS (
   SELECT doc_id,
     {min_exprs}
