@@ -479,3 +479,99 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Extended coverage: JSON, set ops, grouping sets, moving windows, quantiles
+# ---------------------------------------------------------------------------
+
+from . import extended as _ext  # noqa: E402
+
+register(
+    "json_props_extract",
+    _ext.json_props_extract,
+    """
+    SELECT json_extract(props, '$.k')::BIGINT AS k, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+
+register(
+    "intersect_segments",
+    _ext.intersect_segments,
+    """
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+
+register(
+    "cube_revenue",
+    _ext.cube_revenue,
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (1, o_orderstatus)
+    """,
+)
+
+register(
+    "moving_avg_orders",
+    _ext.moving_avg_orders,
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER w AS DOUBLE)
+             / count(*) OVER w AS moving_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+
+register(
+    "quantiles_summary",
+    _ext.quantiles_summary,
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, [0.25, 0.5, 0.9, 0.99])
+             AS price_quantiles,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
+register(
+    "stats_correlation",
+    _ext.stats_correlation,
+    """
+    SELECT event_type,
+           round(corr(value, user_id), 6) AS corr_value_user,
+           round(stddev_samp(value), 6) AS stddev_value,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# applyInPandas grouped custom aggregation (native-speed reducer surface)
+# ---------------------------------------------------------------------------
+
+from ..operators.pandas_ops import group_rank_events as _group_rank  # noqa: E402
+
+register(
+    "pandas_group_rank",
+    _group_rank,
+    """
+    SELECT event_type, event_id, value, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rk
+      FROM events)
+    WHERE rk <= 10
+    """,
+)
