@@ -115,3 +115,85 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: each purchase event matched to the user's most recent
+    click at-or-before it. Spark has no asof-join operator; the idiomatic
+    composition is a single carry-forward window pass (last non-null over
+    an ordered frame) — one shuffle on user_id, O(1) state per row, vs the
+    naive inequality-join which is O(clicks × purchases) per user.
+
+    Equal timestamps count as 'before' (DuckDB ASOF `>=` semantics); the
+    sort ranks clicks ahead of purchases at the same ts to match.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cp = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("pri"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("pri").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    with_last = cp.withColumn(
+        "click_ts", F.last(click_ts, ignorenulls=True).over(w)
+    )
+    return (
+        with_last.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "click_ts",
+            (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_micros"),
+        )
+    )
+
+
+# Fixed promotional periods for the range join (absolute, frozen).
+PROMO_PERIODS = [
+    (1, "2024-01-02 00:00:00", "2024-01-05 00:00:00"),
+    (2, "2024-01-08 00:00:00", "2024-01-09 12:00:00"),
+    (3, "2024-01-12 06:00:00", "2024-01-15 00:00:00"),
+    (4, "2024-01-20 00:00:00", "2024-01-21 00:00:00"),
+    (5, "2024-01-25 00:00:00", "2024-01-29 00:00:00"),
+]
+
+
+def range_join_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: events bucketed into overlappable time periods via an
+    interval-containment predicate. The period table is tiny → Spark plans
+    a broadcast nested-loop join: every task filters its events against the
+    broadcast ranges, no shuffle of the fact side at all. (For two LARGE
+    interval sets you'd discretize time into buckets and equi-join on the
+    bucket — same pattern as the LSH band join.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    periods = spark.createDataFrame(
+        PROMO_PERIODS, "period_id int, start_ts string, end_ts string"
+    ).select(
+        "period_id",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    joined = ev.join(
+        _bc(periods),
+        (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")),
+    )
+    return (
+        joined.groupBy("period_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("period_id")
+    )

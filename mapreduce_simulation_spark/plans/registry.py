@@ -575,3 +575,40 @@ register(
     WHERE rk <= 10
     """,
 )
+
+# ---------------------------------------------------------------------------
+# As-of and range joins (operators Spark lacks natively — compositions)
+# ---------------------------------------------------------------------------
+
+register(
+    "asof_join_purchases",
+    _ext.asof_join_purchases,
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+           CASE WHEN c.ts IS NULL THEN NULL
+                ELSE epoch_us(p.ts) - epoch_us(c.ts) END AS gap_micros
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+
+_PROMO_VALUES = ", ".join(
+    f"({pid}, TIMESTAMP '{s}', TIMESTAMP '{e}')"
+    for pid, s, e in _ext.PROMO_PERIODS
+)
+
+register(
+    "range_join_promos",
+    _ext.range_join_promos,
+    f"""
+    WITH periods(period_id, start_ts, end_ts) AS (VALUES {_PROMO_VALUES})
+    SELECT CAST(period_id AS INTEGER) AS period_id, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN periods
+      ON ts >= start_ts AND ts < end_ts
+    GROUP BY period_id
+    ORDER BY period_id
+    """,
+)

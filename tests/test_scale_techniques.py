@@ -1,0 +1,75 @@
+"""Scale techniques the 100 TB deployment leans on, demonstrated and
+asserted on plans: bucketed co-located joins (no exchange), hive-style
+partitioned writes with partition pruning, and AQE behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_simulation_spark.tables import load_table
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_dir):
+    """Pre-bucketing both join sides on the key removes the per-query
+    shuffle: the sort-merge join reads co-located buckets directly. This is
+    the deployment lever for the recurring lineitem⋈orders join.
+    (Uses the session's default warehouse dir — the conf is static.)"""
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("li_bucketed")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("ord_bucketed")
+
+    # disable auto-broadcast so the join would otherwise need an exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # sanity: result matches the plain join
+        plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout (partitionBy event day) lets a
+    day-filtered query read only matching directories — PartitionFilters in
+    the scan, a fraction of the files touched."""
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    one_day = back.where(F.col("day") == "2024-01-03")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    want = ev.where(F.to_date("ts") == "2024-01-03").count()
+    assert one_day.count() == want
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """With AQE on, a 32-partition shuffle of tiny data coalesces at
+    runtime — small-file behavior stays sane without manual tuning."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").count()
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead coalesced" in plan or "coalesced" in plan
