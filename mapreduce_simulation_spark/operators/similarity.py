@@ -5,7 +5,7 @@ exact float→double widening, with strict left-fold accumulation (F.aggregate)
 so the DuckDB oracle (list_reduce — also a left fold) reproduces every bit.
 Final scores are rounded to 6 decimals on both sides.
 
-Three operators:
+Four operators:
   brute_force_topk   exact k-NN for a query set — broadcast the queries,
                      one scan over the corpus, per-partition top-k via
                      window rank. The correctness baseline.
@@ -16,11 +16,22 @@ Three operators:
                      re-score. The 100 TB path: shuffle is |corpus| × 1
                      bucket key instead of |corpus| × |queries| pairs.
                      Approximate (LSH misses) → no SQL oracle; rows-only.
+  ivf_topk           inverted-file index: a deterministic codebook of
+                     centroids partitions the corpus into cells; queries
+                     probe their nprobe nearest cells and re-score exactly.
+                     Fully deterministic procedure → exact DuckDB oracle
+                     (the oracle replicates the IVF algorithm, so the
+                     correctness check covers cell assignment, probing,
+                     AND re-scoring — not just "some rows came back").
 
 Scale notes: brute-force topk at 100 TB is a single broadcast-join scan —
 viable when |queries| is small (the common batch-inference shape). For
-corpus×corpus similarity, LSH bucketing (or IVF with a trained codebook)
-is mandatory; `lsh_topk` shows the plan shape.
+corpus×corpus similarity, LSH bucketing or IVF is mandatory; `lsh_topk`
+and `ivf_topk` show both plan shapes. In production the IVF codebook comes
+from a sampled k-means fit; here it is a fixed deterministic subset of the
+corpus so the oracle can reproduce it — the plan (broadcast codebook →
+map-side cell assignment with partial-agg argmax → cell-key equi-join) is
+identical either way.
 """
 
 from __future__ import annotations
@@ -37,6 +48,11 @@ TOP_K = 5
 COSINE_THRESHOLD = 0.4
 N_HYPERPLANES = 8
 EMBED_DIM = 64
+# IVF: codebook = the 16 vectors right after the query range (deterministic,
+# oracle-reproducible stand-in for a k-means fit); each query probes its 4
+# nearest cells.
+N_CENTROIDS = 16
+N_PROBE = 4
 
 
 def _as_double(col: str | Column) -> Column:
@@ -227,3 +243,144 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: assign every corpus vector to its nearest
+    codebook centroid (its *cell*), probe each query's N_PROBE nearest
+    cells, re-score candidates exactly, keep top-5.
+
+    Physical shape for 100 TB:
+      - codebook (16 rows) broadcasts; cell assignment is a map-side
+        nested loop + groupBy(vec_id) argmax whose partial aggregation
+        collapses the 16 candidate rows per vector *before* the exchange —
+        shuffle is one row per vector, keyed by an 8-byte id;
+      - candidate generation is an equi-join on the cell id (queries
+        broadcast), so corpus×queries never materializes;
+      - ties broken (cosine DESC, id ASC) identically in the oracle.
+    """
+    corpus = _corpus_with_norm(spark, sf_dir)
+    cents = corpus.where(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cell_cos = F.round(
+        _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+    )
+    # argmax via max(struct): highest cosine, then smallest cid (negated so
+    # max picks it) — partial-aggregable, unlike a rank window.
+    assign = (
+        corpus.join(broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(cell_cos.alias("c"), (-F.col("cid")).alias("nc"))
+            ).alias("best"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", (-F.col("best.nc")).alias("cell"), "v", "nrm")
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        corpus.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        .join(broadcast(cents))
+        .select(
+            "query_id", "qv", "qn", "cid",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("pcos"),
+        )
+        .withColumn("prk", F.row_number().over(qw))
+        .where(F.col("prk") <= N_PROBE)
+        .select("query_id", "qv", "qn", F.col("cid").alias("qcell"))
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    scored = assign.join(
+        broadcast(probes),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+_DOT_SQL = """list_reduce(
+        list_prepend(0.0, list_transform(
+          list_zip({a}, {b})::STRUCT(a DOUBLE, b DOUBLE)[],
+          p -> p.a * p.b)),
+        (acc, x) -> acc + x)"""
+
+IVF_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+),
+cents AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, cell, v, nrm FROM (
+    SELECT x.vec_id, c.cid AS cell, x.v, x.nrm,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY round({_DOT_SQL.format(a='x.v', b='c.cv')}
+                            / (x.nrm * c.cn), 6) DESC,
+                      c.cid ASC) AS arn
+    FROM n x CROSS JOIN cents c)
+  WHERE arn = 1
+),
+probes AS (
+  SELECT query_id, qv, qn, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({_DOT_SQL.format(a='q.v', b='c.cv')}
+                            / (q.nrm * c.cn), 6) DESC,
+                      c.cid ASC) AS prn
+    FROM n q CROSS JOIN cents c WHERE q.vec_id < {N_QUERIES})
+  WHERE prn <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({_DOT_SQL.format(a='p.qv', b='a.v')}
+               / (p.qn * a.nrm), 6) AS cosine
+  FROM assign a JOIN probes p
+    ON a.cell = p.cell AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored)
+WHERE rk <= {TOP_K}
+"""

@@ -415,6 +415,9 @@ register(
 )
 # Approximate by construction (LSH may miss) → rows-only driver check.
 register("similarity_lsh_topk", similarity.lsh_topk, None)
+# IVF is approximate vs brute force but its *procedure* is deterministic,
+# so the oracle replicates the full algorithm (assign → probe → re-score).
+register("similarity_ivf_topk", similarity.ivf_topk, similarity.IVF_TOPK_SQL)
 
 # ---------------------------------------------------------------------------
 # Streaming-executable contract (the reference's UDF surface, §7 step 3)
