@@ -471,6 +471,17 @@ register("media_features", _mm.extract_features, None)
 
 from ..streaming.events import streaming_events_hourly as _stream_hourly  # noqa: E402
 
+# Custom stateful operator (applyInPandasWithState): per-user running
+# rollup. Single-batch drain → cumulative state equals the batch GROUP BY,
+# so the exact oracle applies; incremental multi-batch behavior is covered
+# by tests.
+from ..streaming.stateful import (  # noqa: E402
+    STATEFUL_USER_ROLLUP_SQL as _stateful_sql,
+    stateful_user_rollup as _stateful_rollup,
+)
+
+register("stateful_user_rollup", _stateful_rollup, _stateful_sql)
+
 register(
     "streaming_events_hourly",
     _stream_hourly,

@@ -1,0 +1,129 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The built-in windowed/session aggregations (streaming/events.py) cover
+Spark's declarative stateful surface; this module is the *arbitrary* state
+path — a per-key accumulator the engine user fully controls, the streaming
+analogue of the reference's reducer contract (reference
+worker/__main__.py:241-249: a process holding running state over a grouped
+stream). Here the state is typed, fault-tolerant (checkpointed by the
+engine), and Arrow-batched instead of line-piped.
+
+Operator: per-user rollup — event count, first/last event time (µs).
+Outputs only exact integer values so the DuckDB oracle hash-matches
+bit-for-bit (no float accumulation-order hazards).
+
+Scale notes: state is one 24-byte tuple per user key, partitioned by the
+groupBy hash — state store size is O(|users|), independent of event volume;
+each micro-batch shuffles only its own rows once. In production the source
+is Kafka and the same plan runs unchanged; GroupStateTimeout can evict idle
+users to bound the store.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("first_event_us", LongType()),
+        StructField("last_event_us", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _ts_micros(ts: pd.Series) -> pd.Series:
+    """Timestamp column → int64 microseconds, robust to Arrow handing pandas
+    datetime64[ns] or datetime64[us]."""
+    return ts.astype("datetime64[ns]").astype("int64") // 1000
+
+
+def _rollup_fn(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, first_us, last_us = state.get
+    else:
+        n, first_us, last_us = 0, None, None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        us = _ts_micros(pdf["ts"])
+        n += len(pdf)
+        lo, hi = int(us.min()), int(us.max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "first_event_us": [first_us],
+            "last_event_us": [last_us],
+        }
+    )
+
+
+def user_rollup(stream: DataFrame) -> DataFrame:
+    """Attach the stateful per-user rollup to a streaming events DataFrame.
+    Emits the cumulative (count, first_ts, last_ts) per user each batch."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _rollup_fn,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: stage events as a single-file parquet stream
+    (one micro-batch → exactly one cumulative emission per user, so the
+    result equals the batch GROUP BY and the oracle hash-matches), run the
+    stateful rollup, drain with Trigger.AvailableNow. The multi-batch
+    incremental behavior is exercised in tests."""
+    import tempfile
+
+    from ..tables import load_table
+
+    from .events import read_event_stream
+
+    stage = tempfile.mkdtemp(prefix="events_stateful_")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=None)
+    q = (
+        user_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_user_rollup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stateful_user_rollup")
+
+
+STATEFUL_USER_ROLLUP_SQL = """
+SELECT user_id, count(*) AS n_events,
+       epoch_us(min(ts)) AS first_event_us,
+       epoch_us(max(ts)) AS last_event_us
+FROM events
+GROUP BY user_id
+"""

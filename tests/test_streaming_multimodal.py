@@ -95,3 +95,53 @@ def test_media_metadata_prunes_binary_column(spark, sf_dir, tmp_path):
     read_schema = plan.split("ReadSchema:")[-1]
     assert "media_type" in read_schema
     assert "media:binary" not in read_schema.replace(" ", "")
+
+
+def test_stateful_rollup_accumulates_across_batches(spark, event_files):
+    """applyInPandasWithState: with one file per micro-batch, every user's
+    LAST emission must equal the batch GROUP BY (state really accumulates),
+    and earlier emissions must be partial (counts non-decreasing)."""
+    from mapreduce_simulation_spark.streaming import stateful as st
+
+    stream = sev.read_event_stream(spark, event_files, max_files_per_trigger=1)
+    q = (
+        st.user_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_multi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table("stateful_multi").collect()
+
+    batch = {
+        r.user_id: r
+        for r in spark.read.parquet(event_files)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("first_event_us"),
+            F.unix_micros(F.max("ts")).alias("last_event_us"),
+        )
+        .collect()
+    }
+
+    # Per user: counts non-decreasing across emissions; final = batch truth.
+    by_user: dict[int, list] = {}
+    for r in emissions:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(batch)
+    multi_emission_users = 0
+    for uid, rows in by_user.items():
+        counts = [r.n_events for r in rows]
+        assert sorted(counts) == counts or len(set(counts)) == len(counts)
+        final = max(rows, key=lambda r: r.n_events)
+        truth = batch[uid]
+        assert final.n_events == truth.n_events
+        assert final.first_event_us == truth.first_event_us
+        assert final.last_event_us == truth.last_event_us
+        if len(rows) > 1:
+            multi_emission_users += 1
+    # The 4-file stream must actually have produced incremental updates.
+    assert multi_emission_users > 0
