@@ -197,3 +197,80 @@ def range_join_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period_id")
     )
+
+
+def pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: yearly revenue spread across order-status columns. Explicit
+    value list ('F','O','P') keeps the plan a single pass (no extra
+    distinct-values job) and pins the output schema — required at scale and
+    for the oracle's column names."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("price").cast("double"))
+    )
+    return piv.select(
+        "yr",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+        F.col("P").alias("rev_p"),
+    ).orderBy("yr")
+
+
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: per customer, microseconds since their previous order —
+    the repeat-purchase-interval primitive. One exchange on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    # o_orderdate is TIMESTAMP_NTZ; the session timezone is pinned UTC so
+    # the cast to TIMESTAMP is value-preserving (same instant the oracle's
+    # epoch_us sees).
+    ts = F.col("o_orderdate").cast("timestamp")
+    prev = F.lag(ts, 1).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.unix_micros(ts) - F.unix_micros(prev)).alias("gap_micros"),
+    )
+
+
+def priority_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q12 shape): per order status, how
+    many urgent/high-priority vs other orders — CASE WHEN inside SUM, one
+    scan, partial aggregation map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function aggregation over the embeddings table: per label,
+    vector count and mean L2 norm (rounded 6). The norm is a row-local
+    fold — the shuffle moves one (label, double) pair per vector."""
+    from ..operators.similarity import _as_double, _norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", _norm(_as_double("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

@@ -560,6 +560,60 @@ register(
 )
 
 register(
+    "pivot_revenue_by_status",
+    _ext.pivot_revenue_by_status,
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      CAST(sum(CASE WHEN o_orderstatus = 'F'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+      CAST(sum(CASE WHEN o_orderstatus = 'O'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+      CAST(sum(CASE WHEN o_orderstatus = 'P'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+
+register(
+    "order_gap_days",
+    _ext.order_gap_days,
+    """
+    SELECT o_custkey, o_orderkey,
+           epoch_us(o_orderdate) - epoch_us(lag(o_orderdate) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC)) AS gap_micros
+    FROM orders
+    """,
+)
+
+register(
+    "priority_conditional_agg",
+    _ext.priority_conditional_agg,
+    """
+    SELECT o_orderstatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
+register(
+    "embedding_label_stats",
+    _ext.embedding_label_stats,
+    """
+    SELECT label, count(*) AS n_vecs,
+           round(avg(sqrt(list_reduce(
+             list_prepend(0.0, list_transform(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               x -> x * x)),
+             (a, b) -> a + b))), 6) AS avg_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+
+register(
     "stats_correlation",
     _ext.stats_correlation,
     """
