@@ -12,6 +12,7 @@ Determinism notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -273,4 +274,77 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nrm"), 6).alias("avg_norm"),
         )
         .orderBy("label")
+    )
+
+
+def salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-robust revenue per supplier nation: lineitem ⋈ supplier through
+    an explicit salted join (operators/skew.py) instead of a plain shuffle
+    join. Salting only changes the *physical* key distribution — the result
+    is identical to the plain join, so the oracle is the plain SQL. At
+    100 TB this is the shape for a hot supplier key that AQE's skew split
+    can't fix (skew.py module docstring)."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).cast("decimal(22,4)").alias("rev"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, supp, "suppkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+def pandas_scalar_digit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udf (Arrow-batched): per-document digit and
+    uppercase character counts. Integer outputs → exact oracle. This is the
+    scalar face of the UDF surface (pipe = executables, applyInPandas =
+    grouped, mapInPandas = streaming batches, this = elementwise); the
+    pandas .str ops run C-speed over each Arrow batch, never row-at-a-time
+    Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def n_digits(s: pd.Series) -> pd.Series:
+        return s.str.count(r"[0-9]").astype("int64")
+
+    @pandas_udf("long")
+    def n_upper(s: pd.Series) -> pd.Series:
+        return s.str.count(r"[A-Z]").astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", n_digits("text").alias("n_digits"), n_upper("text").alias("n_upper")
+    )
+
+
+def events_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant of events_daily: approx_count_distinct (HLL++) for the
+    user count. The exact distinct needs a second expand-exchange over
+    (day, type, user); the sketch folds into the ordinary partial/final
+    aggregation — one exchange total, constant memory per group. ~2%
+    standard error → no SQL oracle (rows-only); the accuracy envelope vs
+    the exact count is asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .orderBy("day", "event_type")
     )

@@ -560,6 +560,34 @@ register(
 )
 
 register(
+    "salted_supplier_revenue",
+    _ext.salted_supplier_revenue,
+    """
+    SELECT s_nationkey,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+        AS DOUBLE) AS revenue,
+      count(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+
+register(
+    "pandas_scalar_digit_stats",
+    _ext.pandas_scalar_digit_stats,
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+           CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper
+    FROM documents
+    """,
+)
+
+# HLL++ sketch — approximate by design → rows-only driver check; the
+# accuracy envelope vs exact count_distinct is asserted in tests.
+register("events_daily_approx", _ext.events_daily_approx, None)
+
+register(
     "pivot_revenue_by_status",
     _ext.pivot_revenue_by_status,
     """

@@ -112,3 +112,27 @@ def test_broadcast_join_plan_has_no_shuffle(spark, sf_dir):
 def test_pricing_summary_filter_pushed_down(spark, sf_dir):
     plan = relational.pricing_summary(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_events_daily_approx_within_envelope(spark, sf_dir):
+    """approx_count_distinct must stay within 5% of the exact count per
+    group (HLL++ rsd default 0.05) — the contract the rows-only driver
+    check can't see."""
+    from mapreduce_simulation_spark.plans.extended import events_daily_approx
+    from mapreduce_simulation_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    approx = {
+        (r.day, r.event_type): r.n_users_approx
+        for r in events_daily_approx(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.day, r.event_type): r.n_users
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, exact_n in exact.items():
+        assert abs(approx[k] - exact_n) <= max(2, 0.1 * exact_n), (k, approx[k], exact_n)
