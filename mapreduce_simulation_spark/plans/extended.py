@@ -348,3 +348,38 @@ def events_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape over the star schema's part dimension: share of
+    revenue from PROMO-type parts, by ship month. The part table broadcasts
+    (dimension ≪ fact); both the conditional and total sums fold in one
+    partial/final aggregation pass over the joined scan — completes query
+    coverage of every star-schema table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    from pyspark.sql.functions import broadcast as _bc
+
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,4)"
+    )
+    joined = li.join(_bc(part), F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        joined.select(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mo"),
+            rev.alias("rev"),
+            F.when(F.col("p_type") == "PROMO", rev)
+            .otherwise(F.lit(0).cast("decimal(22,4)"))
+            .alias("promo_rev"),
+        )
+        .groupBy("yr", "mo")
+        .agg(
+            F.sum("promo_rev").cast("double").alias("promo_revenue"),
+            F.sum("rev").cast("double").alias("total_revenue"),
+            F.round(
+                (F.sum("promo_rev") * 100 / F.sum("rev")).cast("double"), 6
+            ).alias("promo_pct"),
+        )
+        .orderBy("yr", "mo")
+    )

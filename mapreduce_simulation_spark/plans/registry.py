@@ -560,6 +560,27 @@ register(
 )
 
 register(
+    "promo_revenue_ratio",
+    _ext.promo_revenue_ratio,
+    """
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+           CAST(month(l_shipdate) AS INTEGER) AS mo,
+      CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))
+               ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE) AS promo_revenue,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+        AS DOUBLE) AS total_revenue,
+      round(CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))
+               ELSE CAST(0 AS DECIMAL(22,4)) END) * 100
+             / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+             AS DOUBLE), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+
+register(
     "salted_supplier_revenue",
     _ext.salted_supplier_revenue,
     """
