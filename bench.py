@@ -36,6 +36,14 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk",
+    "similarity_ivf_topk",
+    "salted_supplier_revenue",
+    "promo_revenue_ratio",
+    # stateful_user_rollup intentionally NOT here: its wall time is fixed
+    # streaming-machinery cost (stage write, checkpoint dir, state-store
+    # init), not data throughput — it would dominate the total without
+    # measuring anything that scales. The driver's correctness gate still
+    # runs it with every registered query.
 ]
 
 
