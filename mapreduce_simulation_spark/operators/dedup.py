@@ -134,13 +134,19 @@ FROM fps
 # Exhaustive n-gram jaccard near-dup
 # ---------------------------------------------------------------------------
 
-def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None) -> DataFrame:
+def _pair_jaccard(
+    sh: DataFrame, pairs: DataFrame | None, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact jaccard for doc pairs from a shingle table. If ``pairs`` is
     None, all pairs sharing ≥1 shingle (inverted-index self-join); else the
     intersection count is computed ONLY for the candidate pairs — the join
     is candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b), so verification cost
-    scales with |candidates| × doc-length, never with the full pair space."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    scales with |candidates| × doc-length, never with the full pair space.
+
+    Pass a precomputed ``sizes`` (doc_id, n_sh) to avoid re-deriving the
+    whole shingle pipeline twice just to count per-doc set sizes."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if pairs is not None:
         sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -208,13 +214,19 @@ ORDER BY doc_a, doc_b
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, m0..m15): MinHash signature from shingle hashes."""
+def minhash_signatures(docs: DataFrame, with_sizes: bool = False) -> DataFrame:
+    """(doc_id, m0..m15[, n_sh]): MinHash signature from shingle hashes.
+    ``with_sizes`` piggybacks the per-doc shingle-set size onto the SAME
+    aggregation — free in the partial/final agg, and it spares the
+    verification stage two extra full shingle-pipeline branches that would
+    exist only to count sizes."""
     sh = _shingles(docs)  # shingle column is already the hash
     mins = [
         F.min(H.perm_hash(F.col("shingle"), i)).alias(f"m{i}")
         for i in range(len(H.MINHASH_PERMS))
     ]
+    if with_sizes:
+        mins.append(F.count(F.lit(1)).alias("n_sh"))
     return sh.groupBy("doc_id").agg(*mins)
 
 
@@ -227,7 +239,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     that survives 100 TB (the exhaustive ngram join is the small-scale twin).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    # Deliberately NOT persisted: the signature subtree is referenced four
+    # times (band self-join sides + size lookups) and each reference
+    # re-derives the shingle pipeline, but the redundant branches execute
+    # CONCURRENTLY inside one job — on an underutilized executor pool that
+    # is faster than persist()/localCheckpoint(), which insert a
+    # serializing materialization barrier (measured: 3.7 s recompute vs
+    # 4.8-5.5 s with either persist variant at sf0.1/local[32]). At
+    # saturated-cluster scale the trade flips; cache/checkpoint here is a
+    # deployment knob, not a plan-shape change.
+    sig = minhash_signatures(docs, with_sizes=True)
     bands = F.array(
         *[
             F.struct(
@@ -260,7 +281,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _pair_jaccard(_shingles(docs), candidates).orderBy("doc_a", "doc_b")
+    return _pair_jaccard(
+        _shingles(docs), candidates, sizes=sig.select("doc_id", "n_sh")
+    ).orderBy("doc_a", "doc_b")
 
 
 def _minhash_oracle_sql() -> str:
