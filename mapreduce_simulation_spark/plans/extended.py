@@ -383,3 +383,24 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: orders priced at
+    >2× their customer's average. Catalyst decorrelates the subquery into
+    an aggregate + join (no per-row re-execution) — the optimization the
+    reference's opaque-executable model can never see. Registered via
+    spark.sql to exercise the SQL entry point; every other query uses the
+    DataFrame API, both lower into the same plans."""
+    for t in ("orders",):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (
+          SELECT avg(i.o_totalprice) FROM orders i
+          WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+        """
+    )

@@ -560,6 +560,19 @@ register(
 )
 
 register(
+    "above_avg_orders",
+    _ext.above_avg_orders,
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (
+      SELECT avg(i.o_totalprice) FROM orders i
+      WHERE i.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """,
+)
+
+register(
     "promo_revenue_ratio",
     _ext.promo_revenue_ratio,
     """
