@@ -112,3 +112,94 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, resized_bytes bigint"
+)
+
+FRAMES_SCHEMA = "doc_id bigint, frame_id int, frame_bytes bigint"
+
+N_FRAMES = 4
+
+
+def resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' every media payload by stride-2 byte sampling (the
+    deterministic stand-in for an image downscale — same mapInPandas
+    plumbing: bytes in, smaller bytes out, metadata updated). The output
+    reports original and resized sizes; the size arithmetic
+    ((n+1)//2) is what the oracle checks — the pandas stage really slices
+    the payload, the oracle shortcuts to the arithmetic."""
+    media = synthesize_media(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [bytes(p)[::2] for p in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "resized_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+RESIZE_MEDIA_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       ELSE 'video/mp4' END AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS resized_bytes
+FROM documents
+"""
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video payloads: split each video into up to
+    N_FRAMES contiguous chunks (stride = ceil(n/4)), one output row per
+    frame — the 1→N row shape of a video decoder, via mapInPandas. Frame
+    boundaries are pure integer arithmetic so the oracle reproduces the
+    row multiplication and every frame size exactly; the pandas stage
+    actually materializes each chunk."""
+    media = synthesize_media(spark, sf_dir).where(
+        F.col("media_type") == "video/mp4"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_id": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(payload)
+                n = len(raw)
+                stride = -(-n // N_FRAMES) if n else 0
+                for k in range(N_FRAMES):
+                    start = k * stride
+                    if n == 0 or start >= n:
+                        break
+                    chunk = raw[start : start + stride]
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(k)
+                    out["frame_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH vids AS (
+  SELECT doc_id, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+strides AS (
+  SELECT doc_id, n, CAST(ceil(n / {N_FRAMES}.0) AS BIGINT) AS stride
+  FROM vids WHERE n > 0
+)
+SELECT doc_id, CAST(k AS INTEGER) AS frame_id,
+       least(stride, n - k * stride) AS frame_bytes
+FROM strides, (SELECT unnest(generate_series(0, {N_FRAMES - 1})) AS k) ks
+WHERE k * stride < n
+"""

@@ -465,6 +465,12 @@ register(
 # Arrow-batched pandas feature extraction — not SQL-expressible; rows-only.
 register("media_features", _mm.extract_features, None)
 
+# Resize / frame-sample: the pandas stages do the real byte slicing; the
+# structural outputs (sizes, frame multiplication) are integer arithmetic
+# the oracle reproduces exactly.
+register("media_resize", _mm.resize_media, _mm.RESIZE_MEDIA_SQL)
+register("media_frame_sample", _mm.frame_sample, _mm.FRAME_SAMPLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (incremental twin of events_daily, drained to batch)
 # ---------------------------------------------------------------------------
