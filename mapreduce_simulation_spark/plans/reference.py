@@ -120,3 +120,34 @@ def constant_key_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("match_cnt"),
         F.sum("n_chars").alias("match_chars"),
     )
+
+
+def text_dir_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count over the reference's NATIVE data model end-to-end: the
+    documents are staged as a directory of plain-text files (the
+    reference's input_directory contract, S1), scanned with the
+    text-directory source (S1-S3), tokenized and counted (Q1+Q2). Newlines
+    inside a document split it across lines, exactly as the reference's
+    line-oriented reader would see it — the whitespace tokenizer makes the
+    token multiset identical either way, so the parquet word_count oracle
+    applies unchanged."""
+    import tempfile
+
+    from ..sources.text_dir import read_text_dir
+
+    stage = tempfile.mkdtemp(prefix="docs_textdir_")
+    load_table(spark, sf_dir, "documents").select("text").write.mode(
+        "overwrite"
+    ).text(stage)
+    lines = read_text_dir(spark, stage, min_partitions=4)
+    return (
+        lines.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("value")), r"\s+"), lambda x: x != ""
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
