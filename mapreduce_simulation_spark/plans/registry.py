@@ -182,6 +182,25 @@ register(
 )
 
 register(
+    "shipping_priority",
+    relational.shipping_priority,
+    """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+        AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+
+register(
     "semi_join_customers",
     relational.semi_join_customers,
     """

@@ -272,3 +272,34 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_events").alias("max_session_events"),
         )
     )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 undelivered orders by revenue for one market
+    segment — filter → 3-way join → aggregate → top-k in a single plan.
+    Physical: customer filter broadcasts into orders, lineitem joins on the
+    shuffled order key, revenue partial-aggregates before the exchange, and
+    the top-10 is TakeOrderedAndProject (per-partition k, O(k) driver
+    merge) — no global sort."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp_ntz")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,4)"
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_bc(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
