@@ -522,6 +522,26 @@ from ..streaming.stateful import (  # noqa: E402
 
 register("stateful_user_rollup", _stateful_rollup, _stateful_sql)
 
+# Stream-stream watermarked join (attribution shape); single-batch staging
+# → emitted set equals the batch join, so the plain SQL join is the oracle.
+from ..streaming.events import (  # noqa: E402
+    streaming_click_attribution as _stream_attr,
+)
+
+register(
+    "streaming_click_attribution",
+    _stream_attr,
+    """
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+
 register(
     "streaming_events_hourly",
     _stream_hourly,

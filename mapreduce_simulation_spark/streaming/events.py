@@ -125,3 +125,71 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(stage)
     stream = read_event_stream(spark, stage)
     return run_to_memory(windowed_counts(stream, "1 hour"), "events_hourly_stream")
+
+
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with the same user's
+    clicks in the preceding 30 minutes. Both sides are watermarked so the
+    engine can bound the join state (clicks older than the watermark minus
+    the range can never match and are evicted) — the canonical
+    attribution-join shape. Equi-key on user_id keeps it a hash join per
+    micro-batch; the time-range predicate prunes state, it does not drive
+    the join."""
+    c = (
+        clicks.withWatermark("ts", WATERMARK)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", WATERMARK)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return p.join(
+        c,
+        [
+            p["user_id"] == c["user_id"],
+            c["click_ts"] <= p["purchase_ts"],
+            c["click_ts"] >= p["purchase_ts"] - F.expr("INTERVAL 30 MINUTES"),
+        ],
+    ).select(
+        "purchase_id",
+        p["user_id"].alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
+
+
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing stream-stream join query: stage events once, read two
+    filtered streams (clicks, purchases) from it, join with watermarked
+    state, drain with Trigger.AvailableNow. Single-batch staging makes the
+    emitted set equal the batch join, so the oracle is the plain SQL join."""
+    import tempfile
+
+    from ..tables import load_table
+
+    stage = tempfile.mkdtemp(prefix="events_ss_join_")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    ev = read_event_stream(spark, stage, max_files_per_trigger=None)
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    q = (
+        click_purchase_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("click_attribution")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("click_attribution")
