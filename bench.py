@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk",
+    "similarity_topk_pandas",
     "similarity_ivf_topk",
     "salted_supplier_revenue",
     "promo_revenue_ratio",

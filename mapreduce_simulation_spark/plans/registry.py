@@ -452,6 +452,12 @@ register("similarity_lsh_topk", similarity.lsh_topk, None)
 # IVF is approximate vs brute force but its *procedure* is deterministic,
 # so the oracle replicates the full algorithm (assign → probe → re-score).
 register("similarity_ivf_topk", similarity.ivf_topk, similarity.IVF_TOPK_SQL)
+# BLAS matmul reassociates float sums (differs from the strict fold in the
+# last ulp) → rows-only here; equivalence to the exact variant is asserted
+# in tests.
+register(
+    "similarity_topk_pandas", similarity.brute_force_topk_pandas, None
+)
 
 # ---------------------------------------------------------------------------
 # Streaming-executable contract (the reference's UDF surface, §7 step 3)

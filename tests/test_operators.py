@@ -136,3 +136,21 @@ def test_events_daily_approx_within_envelope(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, exact_n in exact.items():
         assert abs(approx[k] - exact_n) <= max(2, 0.1 * exact_n), (k, approx[k], exact_n)
+
+
+def test_pandas_topk_matches_fold_topk(spark, sf_dir):
+    """The BLAS-vectorized brute force must agree with the fold-based exact
+    variant: same neighbor sets per query, cosines within float noise."""
+    from mapreduce_simulation_spark.operators import similarity as sim
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim.brute_force_topk(spark, sf_dir).collect()
+    }
+    fast = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim.brute_force_topk_pandas(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(fast)
+    for k in exact:
+        assert abs(exact[k] - fast[k]) <= 1e-6, (k, exact[k], fast[k])
