@@ -404,3 +404,27 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON → map → explode: props parsed with from_json
+    into map<string,long> (generic over keys, unlike the single-path
+    get_json_object twin), exploded to key/value rows, aggregated per key
+    and value bucket. Completes the semi-structured family: path extract
+    (json_props_extract), typed parse, map functions, and generator
+    (explode) over map entries — all JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,bigint>")
+        ).alias("pkey", "pval")
+    )
+    return (
+        parsed.groupBy("pkey", (F.col("pval") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pval").alias("min_val"),
+            F.max("pval").alias("max_val"),
+        )
+        .orderBy("pkey", "bucket")
+    )

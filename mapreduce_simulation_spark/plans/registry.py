@@ -577,6 +577,22 @@ register(
 )
 
 register(
+    "props_map_explode",
+    _ext.props_map_explode,
+    """
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS pkey, props FROM events
+    )
+    SELECT pkey,
+           CAST(json_extract(props, '$.' || pkey) AS BIGINT) % 10 AS bucket,
+           count(*) AS n,
+           min(CAST(json_extract(props, '$.' || pkey) AS BIGINT)) AS min_val,
+           max(CAST(json_extract(props, '$.' || pkey) AS BIGINT)) AS max_val
+    FROM kv GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+
+register(
     "intersect_segments",
     _ext.intersect_segments,
     """
