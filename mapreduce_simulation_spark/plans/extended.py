@@ -428,3 +428,59 @@ def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pkey", "bucket")
     )
+
+
+def customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile (ntile) and percent_rank of
+    customer balance within each nation — the ranking family beyond
+    row_number (window_top_customers) and lag (order_gap_days). One
+    exchange on c_nationkey serves both functions."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def csv_source_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source path end-to-end: orders staged as headered CSV with
+    explicit timestamp formatting, read back with an explicit schema (no
+    inference job — mandatory at scale: inference is a full extra scan),
+    then aggregated. Proves the text-format source contract the same way
+    text_dir_word_count proves the line-oriented one; same oracle as
+    monthly_revenue because the roundtrip is lossless."""
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="orders_csv_")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").option(
+        "header", True
+    ).option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss").csv(stage)
+    orders = (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp_ntz, "
+            "o_orderpriority string"
+        )
+        .option("header", True)
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(stage)
+    )
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("yr", "mo")
+    )

@@ -630,6 +630,33 @@ register(
 )
 
 register(
+    "customer_balance_ntiles",
+    _ext.customer_balance_ntiles,
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+
+register(
+    "csv_source_revenue",
+    _ext.csv_source_revenue,
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+
+register(
     "quantiles_summary",
     _ext.quantiles_summary,
     """
