@@ -64,6 +64,9 @@ def main() -> None:
     qs["word_count"](spark, "/root/testdata/sf0.001").count()
     qs["revenue_by_nation"](spark, "/root/testdata/sf0.001").count()
     qs["events_daily"](spark, "/root/testdata/sf0.001").count()
+    # Spawn the Python worker pool so Arrow-path queries measure steady
+    # state, not daemon startup.
+    qs["similarity_topk_pandas"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
