@@ -439,3 +439,121 @@ FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+MAX_CC_ITERATIONS = 20
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment from pairwise near-dups: connected components of
+    the exhaustive 3-gram-jaccard graph by iterative min-label propagation
+    (each doc's component = smallest doc_id reachable through near-dup
+    edges; singletons keep their own id). This is the step that turns "A≈B,
+    B≈C" into one keep-or-drop group — the iterative-algorithm shape the
+    engine must support beyond single-pass SQL.
+
+    Execution notes:
+      - the edge list IS persisted — iterative reuse is the one case where
+        materialization beats recompute (every iteration would otherwise
+        re-run the whole jaccard join);
+      - each iteration is one join + one partial-aggregated groupBy on
+        doc_id; rounds needed = graph diameter (near-dup clusters are
+        shallow — a handful);
+      - convergence is checked with a count of changed labels (an O(1)
+        driver scalar, not a data collect). The fixpoint is unique
+        (min-label), so iteration order cannot change the result — which
+        is why a DuckDB recursive CTE can serve as the exact oracle.
+    """
+    docs_full = load_table(spark, sf_dir, "documents")
+    docs = docs_full.select("doc_id")
+    pairs = _pair_jaccard(_shingles(docs_full), None).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).persist()
+    labels.count()  # materialize the starting state
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .select(F.col("doc_a").alias("doc_id"), "comp")
+        )
+        new_labels = (
+            labels.select("doc_id", "comp")
+            .union(neighbor_min)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    result = (
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .join(labels, "comp")
+        .select(
+            "doc_id",
+            F.col("comp").alias("component_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+    # Hand back an unpersisted-on-GC plan; the loop's cached state is tiny
+    # (one row per doc) and evicted LRU — explicit cleanup would kill the
+    # lineage the returned DataFrame still needs.
+    edges.unpersist()
+    return result
+
+
+DEDUP_CC_SQL = f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comps AS (
+  SELECT doc_id, min(r) AS component_id FROM reach GROUP BY doc_id
+)
+SELECT c.doc_id, c.component_id, s.cluster_size
+FROM comps c
+JOIN (SELECT component_id, count(*) AS cluster_size
+      FROM comps GROUP BY component_id) s USING (component_id)
+ORDER BY c.doc_id
+"""

@@ -429,6 +429,13 @@ register(
 # ---------------------------------------------------------------------------
 
 register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
+# Iterative min-label propagation; unique fixpoint → a recursive CTE is the
+# exact oracle for the whole clustering, not just the pair list.
+register(
+    "dedup_connected_components",
+    dedup.dedup_connected_components,
+    dedup.DEDUP_CC_SQL,
+)
 register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
 register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
 register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
