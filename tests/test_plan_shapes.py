@@ -1,0 +1,86 @@
+"""Physical-plan regression guards: the plan *shape* claims in PLANS.md,
+asserted. A future change that silently adds an exchange, loses a filter
+pushdown, or flips a broadcast to a shuffle join fails here the same way a
+wrong result fails the oracle tests. Counts are upper bounds (AQE may
+remove exchanges at runtime, never add them)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mapreduce_simulation_spark.plans import registry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _count(plan: str, pattern: str) -> int:
+    return len(re.findall(pattern, plan))
+
+
+# (query, max shuffle exchanges, min broadcasts, substring that must appear)
+SHAPES = [
+    # scan → partial agg → ONE exchange → final agg
+    ("word_count", 1, 0, "HashAggregate"),
+    # pushed ship-date filter must reach the parquet scan
+    ("pricing_summary", 2, 0, "PushedFilters: [IsNotNull(l_shipdate)"),
+    # all four dims broadcast at this SF — no shuffle join anywhere
+    ("revenue_by_nation", 2, 4, "BroadcastHashJoin"),
+    # top-k must be TakeOrderedAndProject, not a global sort
+    ("top_orders", 0, 0, "TakeOrderedAndProject"),
+    # per-group top-k: one exchange, and WindowGroupLimit must prefilter
+    # each map partition to its local top-3 BEFORE the exchange
+    ("window_top_customers", 1, 0, "WindowGroupLimit"),
+    # asof composition: ONE exchange on user_id, filter pushed
+    ("asof_join_purchases", 1, 0, "PushedFilters: [In(event_type"),
+    # broadcast ranges; the fact side shuffles only for the aggregation
+    # (2 exchanges = exact count_distinct expand) + declared ORDER BY
+    ("range_join_promos", 3, 1, "BroadcastNestedLoopJoin"),
+    # part dim broadcasts; single agg pass + declared order by
+    ("promo_revenue_ratio", 2, 1, "BroadcastHashJoin"),
+    # lag window: one exchange on o_custkey
+    ("order_gap_days", 1, 0, "Window"),
+]
+
+
+@pytest.mark.parametrize("name,max_ex,min_bc,needle", SHAPES)
+def test_plan_shape(spark, sf_dir, name, max_ex, min_bc, needle):
+    plan = _plan(spark, sf_dir, name)
+    shuffles = _count(plan, r"Exchange (?:hash|range|Single)")
+    broadcasts = _count(plan, r"BroadcastExchange")
+    assert shuffles <= max_ex, (
+        f"{name}: {shuffles} shuffle exchanges (max {max_ex}) — a shuffle "
+        f"crept into the plan\n{plan[:2000]}"
+    )
+    assert broadcasts >= min_bc, (
+        f"{name}: {broadcasts} broadcasts (expected ≥ {min_bc}) — a "
+        f"broadcast join degraded to a shuffle join\n{plan[:2000]}"
+    )
+    assert needle in plan, f"{name}: expected {needle!r} in plan\n{plan[:2000]}"
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    """A two-column projection must read two columns, not the whole table —
+    ReadSchema is the 100 TB scan-cost contract."""
+    plan = _plan(spark, sf_dir, "identity_projection")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:1500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "n_chars"}, cols
+
+
+def test_metadata_scan_prunes_binary_column(spark, sf_dir):
+    """media_metadata aggregates metadata only — the binary payload column
+    must be pruned from its scan (it is derived from `text`, so `text`
+    must not be read either... it is: the payload IS encode(text). The
+    check is that only the columns the query needs are scanned."""
+    plan = _plan(spark, sf_dir, "media_metadata")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:1500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # doc_id routes media_type; text sizes the payload — nothing else.
+    assert cols == {"doc_id", "text"}, cols
