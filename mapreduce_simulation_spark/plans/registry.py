@@ -340,6 +340,17 @@ register(
 )
 
 # ---------------------------------------------------------------------------
+# North-star composite: the full curation pipeline as one plan
+# ---------------------------------------------------------------------------
+
+from .pipeline import (  # noqa: E402
+    TRAINING_PIPELINE_SQL as _pipeline_sql,
+    training_data_pipeline as _pipeline,
+)
+
+register("training_data_pipeline", _pipeline, _pipeline_sql)
+
+# ---------------------------------------------------------------------------
 # Text analysis (LLM-pipeline operators, SURVEY.md §7 step 5)
 # ---------------------------------------------------------------------------
 
@@ -553,6 +564,14 @@ register(
      AND c.ts <= p.ts
      AND c.ts >= p.ts - INTERVAL 30 MINUTE
     """,
+)
+
+from ..streaming.events import streaming_dedup_keys as _stream_dedup  # noqa: E402
+
+register(
+    "streaming_dedup_keys",
+    _stream_dedup,
+    "SELECT DISTINCT user_id, event_type FROM events",
 )
 
 register(

@@ -193,3 +193,33 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("click_attribution")
+
+
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first-seen (user_id, event_type) pairs via
+    dropDuplicates over the stream — state is one entry per distinct key,
+    evictable with dropDuplicatesWithinWatermark when keys have bounded
+    lifetime. Output restricted to the key columns so the emitted set is
+    order-independent (which row of a dup group arrives first varies; the
+    key itself does not) → exact DISTINCT oracle."""
+    import tempfile
+
+    from ..tables import load_table
+
+    stage = tempfile.mkdtemp(prefix="events_dedup_")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    ev = read_event_stream(spark, stage, max_files_per_trigger=None)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup_keys")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_dedup_keys")
