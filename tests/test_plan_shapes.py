@@ -44,6 +44,9 @@ SHAPES = [
     ("promo_revenue_ratio", 2, 1, "BroadcastHashJoin"),
     # lag window: one exchange on o_custkey
     ("order_gap_days", 1, 0, "Window"),
+    # agg below the join: the orders side partial-aggregates BEFORE the
+    # join, so no exchange of raw order rows survives
+    ("left_outer_order_counts", 1, 0, "HashAggregate"),
 ]
 
 
