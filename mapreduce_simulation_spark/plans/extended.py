@@ -484,3 +484,40 @@ def csv_source_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling by content hash: keep documents whose
+    fingerprint falls in a fixed residue class (~5%). Unlike
+    df.sample(seed) — whose output depends on partitioning and row order —
+    a hash-mod predicate selects the same rows on any cluster layout, any
+    engine, any day: the property a training-data sample must have to be
+    auditable. Pushdown-friendly (a scan-side filter) and the oracle is the
+    same arithmetic."""
+    from ..functions.hashing import char_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        (char_hash(F.col("text")) % 20) == 0
+    ).select("doc_id", "source", "n_chars")
+
+
+def nation_top_customer_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per nation, the sorted list of its top-5 customer
+    keys by balance. collect_list alone is order-nondeterministic across
+    partitionings — sort_array (plus a deterministic top-k input) pins it,
+    the rule for any list-valued aggregate that feeds a hash-checked or
+    cached artifact."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    top = cust.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+    return (
+        top.groupBy("c_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("c_custkey")).alias("top_custkeys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )

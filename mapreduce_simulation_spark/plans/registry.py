@@ -810,6 +810,34 @@ register(
     """,
 )
 
+from ..functions.hashing import char_hash_sql as _chs_ext  # noqa: E402
+
+register(
+    "deterministic_sample",
+    _ext.deterministic_sample,
+    f"""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE ({_chs_ext('text')}) % 20 = 0
+    """,
+)
+
+register(
+    "nation_top_customer_lists",
+    _ext.nation_top_customer_lists,
+    """
+    SELECT c_nationkey,
+           list_sort(list(c_custkey)) AS top_custkeys,
+           count(*) AS n
+    FROM (
+      SELECT c_nationkey, c_custkey,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+      FROM customer)
+    WHERE rk <= 5
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+
 register(
     "stats_correlation",
     _ext.stats_correlation,
