@@ -231,9 +231,11 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
     )
-    # o_orderdate is TIMESTAMP_NTZ; the session timezone is pinned UTC so
-    # the cast to TIMESTAMP is value-preserving (same instant the oracle's
-    # epoch_us sees).
+    # o_orderdate is TIMESTAMP_NTZ; the NTZ→TIMESTAMP cast interprets wall
+    # time in the session timezone, so pin UTC here rather than trusting
+    # the caller's session (the driver harness builds its own) — keeps the
+    # result equal to the oracle's epoch_us on any host.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ts = F.col("o_orderdate").cast("timestamp")
     prev = F.lag(ts, 1).over(w)
     return orders.select(
