@@ -151,3 +151,36 @@ def text_dir_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def udtf_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through a Python UDTF — the reference's mapper contract
+    (one input record → 0..n output rows; reference worker/__main__.py:
+    173-186 pipes a file through an executable) as a first-class Spark
+    table function, joined laterally. Third face of the same contract:
+    `pipe_word_count` runs actual executables (bit-compatible),
+    applyInPandas covers grouped reducers, and this covers row-generating
+    mappers in pure Python with engine-managed distribution. Same oracle
+    as word_count — the tokenizer semantics are identical."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: ANN001 — Spark introspects hints
+            import re
+
+            for w in re.split(r"\s+", (text or "").lower()):
+                if w:
+                    yield (w,)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_udtf_src"
+    )
+    return spark.sql(
+        """
+        SELECT word, count(*) AS cnt
+        FROM documents_udtf_src, LATERAL tokenize_udtf(text)
+        GROUP BY word
+        """
+    )

@@ -58,6 +58,20 @@ register(
     """,
 )
 
+# The mapper contract as a Python UDTF (lateral join) — same tokenizer,
+# same oracle as word_count.
+register(
+    "udtf_word_count",
+    reference.udtf_word_count,
+    """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+
 # Same counts as word_count, but through the reference's native input
 # model: documents staged to a plain-text directory, scanned by the
 # text-dir source (S1-S3) — so the same oracle applies.
