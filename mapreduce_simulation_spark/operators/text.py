@@ -116,3 +116,21 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bpe_tokens"),
         F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
     )
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the cleanup pass ahead of tokenize/dedup in a
+    curation pipeline: lowercase, strip non-alphanumeric-non-space chars,
+    collapse whitespace runs, trim. Pure JVM regex (codegen), one scan, no
+    shuffle; emits the cleaned text so the oracle compares actual strings,
+    not a proxy hash. Character classes are ASCII-explicit so Java and RE2
+    agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select("doc_id", cleaned.alias("norm_text"))

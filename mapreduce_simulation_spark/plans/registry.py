@@ -431,6 +431,18 @@ register(
 from ..functions.hashing import char_hash_sql as _chs  # noqa: E402
 
 register(
+    "text_normalize",
+    text.text_normalize,
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+             '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+
+register(
     "doc_fingerprint",
     text.doc_fingerprint,
     f"SELECT doc_id, {_chs('text')} AS fingerprint FROM documents",

@@ -145,3 +145,36 @@ def test_stateful_rollup_accumulates_across_batches(spark, event_files):
             multi_emission_users += 1
     # The 4-file stream must actually have produced incremental updates.
     assert multi_emission_users > 0
+
+
+def test_streaming_parquet_file_sink(spark, event_files, tmp_path):
+    """Production sink shape: watermarked windowed aggregation → parquet
+    file sink in append mode (only closed windows are written). Drain with
+    availableNow, then read the files back and check every written window
+    matches the batch answer for that window."""
+    out = str(tmp_path / "win_sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = sev.read_event_stream(spark, event_files)
+    q = (
+        sev.windowed_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(out)
+    batch = (
+        spark.read.parquet(event_files)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    got = {(r.window_start, r.event_type): r.n_events for r in written.collect()}
+    want = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
+    # append mode emits only watermark-closed windows — subset, exact values
+    assert 0 < len(got) <= len(want)
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want[k])
