@@ -523,3 +523,47 @@ def nation_top_customer_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+def trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-count-based): each order's
+    trailing 30-day revenue for the same customer. rangeBetween needs a
+    numeric ordering key → epoch seconds; the frame covers [t-30d, t]
+    regardless of how many orders fall inside — the semantics ROWS frames
+    cannot express."""
+    orders = load_table(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    epoch = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_revenue"),
+    )
+
+
+def exists_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL surface: orders with at least one
+    returned line item. Catalyst rewrites EXISTS to a left-semi join —
+    same engine path as semi_join_customers, different source syntax
+    (completing the subquery family: scalar-correlated, IN, NOT IN,
+    EXISTS)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_x")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_x")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders_x o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem_x l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        ORDER BY o_orderkey
+        """
+    )

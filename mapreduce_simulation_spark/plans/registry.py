@@ -682,6 +682,32 @@ register(
 )
 
 register(
+    "trailing_window_revenue",
+    _ext.trailing_window_revenue,
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS trailing_30d_revenue
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+
+register(
+    "exists_returned_orders",
+    _ext.exists_returned_orders,
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    ORDER BY o_orderkey
+    """,
+)
+
+register(
     "customer_balance_ntiles",
     _ext.customer_balance_ntiles,
     """
