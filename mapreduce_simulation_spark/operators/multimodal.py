@@ -34,7 +34,11 @@ MEDIA_SCHEMA = (
     "checksum bigint"
 )
 
-FEATURES_SCHEMA = f"doc_id bigint, media_type string, features array<double>"
+FEATURES_SCHEMA = "doc_id bigint, media_type string, features array<double>"
+
+COUNTS_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, counts array<bigint>"
+)
 
 
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,35 +72,115 @@ def decode_media(payload: bytes, media_type: str, use_fake: bool = False):
     return payload
 
 
-def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary media via mapInPandas: Arrow batches
-    in, per-item fixed-width feature vectors out (here: a 16-bin byte
-    histogram, normalized — a deterministic stand-in for an image/audio
-    embedding model, same plumbing shape)."""
+def extract_feature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas stage of feature extraction: Arrow batches of binary
+    payloads in, one row per item out with an integer 16-bin high-nibble
+    byte histogram (``counts``). Integer counts are the canonical output —
+    exactly reproducible by a SQL oracle and safe to hash — and every
+    float view (normalized features) derives from them JVM-side."""
     media = synthesize_media(spark, sf_dir)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in it:
-            feats = []
+            counts = []
             for payload, mtype in zip(pdf["media"], pdf["media_type"]):
                 raw = decode_media(bytes(payload), mtype, use_fake=True)
                 arr = np.frombuffer(raw, dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(
-                    "float64"
+                counts.append(
+                    np.bincount(arr >> 4, minlength=FEATURE_DIM).tolist()
                 )
-                total = hist.sum()
-                feats.append((hist / total if total else hist).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "features": feats,
+                    "n_bytes": pdf["n_bytes"],
+                    "counts": counts,
                 }
             )
 
-    return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
+    return media.mapInPandas(batches, schema=COUNTS_SCHEMA)
+
+
+def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width normalized feature vectors (the embedding-model output
+    shape): derives `features array<double>` from the integer histogram
+    JVM-side (`F.transform`), keeping the only Python stage the Arrow
+    histogram pass in :func:`extract_feature_counts`."""
+    counts = extract_feature_counts(spark, sf_dir)
+    return counts.select(
+        "doc_id",
+        "media_type",
+        F.transform(
+            "counts",
+            lambda c: F.when(
+                F.col("n_bytes") > 0, c / F.col("n_bytes")
+            ).otherwise(F.lit(0.0)),
+        ).alias("features"),
+    )
+
+
+def media_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing exploded view of the feature histogram: one row per
+    (doc, bin) with the integer count and normalized weight. Scalar
+    columns only — hash-friendly for the correctness gate — and the
+    explode happens JVM-side (posexplode) so each item crosses the Arrow
+    boundary once, not 16 times."""
+    counts = extract_feature_counts(spark, sf_dir)
+    return counts.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.posexplode("counts").alias("bin", "bin_count"),
+    ).select(
+        "doc_id",
+        "media_type",
+        "bin",
+        "bin_count",
+        F.when(F.col("n_bytes") > 0, F.col("bin_count") / F.col("n_bytes"))
+        .otherwise(F.lit(0.0))
+        .alias("weight"),
+    )
+
+
+# Exact oracle: the high nibble of byte k is hex digit 2k of hex(payload),
+# so the histogram is a GROUP BY over the odd-position characters of the
+# hex encoding — pure integer arithmetic, reproduced bit-for-bit.
+MEDIA_FEATURE_BINS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         upper(hex(encode(text))) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+ks AS (
+  SELECT unnest(generate_series(0, (SELECT COALESCE(max(n), 1) - 1 FROM base))) AS k
+),
+nib AS (
+  SELECT doc_id,
+         strpos('0123456789ABCDEF', substring(h, 2 * k + 1, 1)) - 1 AS bin
+  FROM base, ks
+  WHERE k < n
+),
+cnt AS (
+  SELECT doc_id, bin, count(*) AS bin_count FROM nib GROUP BY doc_id, bin
+),
+bins AS (SELECT unnest(generate_series(0, {FEATURE_DIM - 1})) AS bin)
+SELECT b.doc_id,
+       b.media_type,
+       CAST(bins.bin AS INTEGER) AS bin,
+       CAST(COALESCE(c.bin_count, 0) AS BIGINT) AS bin_count,
+       CASE WHEN b.n = 0 THEN 0.0
+            ELSE COALESCE(c.bin_count, 0) / CAST(b.n AS DOUBLE)
+       END AS weight
+FROM base b
+CROSS JOIN bins
+LEFT JOIN cnt c ON c.doc_id = b.doc_id AND c.bin = bins.bin
+"""
 
 
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -546,8 +546,10 @@ register(
     """,
 )
 
-# Arrow-batched pandas feature extraction — not SQL-expressible; rows-only.
-register("media_features", _mm.extract_features, None)
+# Arrow-batched pandas feature extraction, exposed as the exploded
+# (doc, bin) histogram — scalar columns hash cleanly and the integer
+# arithmetic admits an exact oracle (hex-nibble GROUP BY).
+register("media_features", _mm.media_feature_bins, _mm.MEDIA_FEATURE_BINS_SQL)
 
 # Resize / frame-sample: the pandas stages do the real byte slicing; the
 # structural outputs (sizes, frame multiplication) are integer arithmetic

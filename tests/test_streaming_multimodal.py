@@ -75,6 +75,28 @@ def test_extract_features_shapes(spark, sf_dir):
         assert abs(sum(r.features) - 1.0) < 1e-9
 
 
+def test_media_feature_bins_shape_and_consistency(spark, sf_dir):
+    """Exploded histogram: scalar columns only (driver-hashable), 16 rows
+    per doc, counts sum back to n_bytes, weights equal the array view."""
+    bins = multimodal.media_feature_bins(spark, sf_dir)
+    assert [f.dataType.simpleString() for f in bins.schema.fields] == [
+        "bigint", "string", "int", "bigint", "double"
+    ]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert bins.count() == n_docs * multimodal.FEATURE_DIM
+    totals = (
+        bins.groupBy("doc_id").agg(F.sum("bin_count").alias("total")).collect()
+    )
+    sizes = {
+        r.doc_id: r.n_bytes
+        for r in multimodal.synthesize_media(spark, sf_dir)
+        .select("doc_id", "n_bytes")
+        .collect()
+    }
+    for r in totals:
+        assert r.total == sizes[r.doc_id]
+
+
 def test_decode_media_stub_contract():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"xx", "image/png")
