@@ -482,6 +482,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("comp")).persist()
     labels.count()  # materialize the starting state
+    changed = -1
     for _ in range(MAX_CC_ITERATIONS):
         neighbor_min = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
@@ -504,6 +505,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Returning partial labels would silently diverge from the
+        # recursive-CTE oracle (which always reaches the fixpoint) — fail
+        # loudly instead. A graph deep enough to hit this wants
+        # pointer-doubling (O(log diameter) rounds), not a bigger cap.
+        raise RuntimeError(
+            f"connected components did not converge within "
+            f"{MAX_CC_ITERATIONS} iterations ({changed} labels still "
+            f"changing); the near-dup graph diameter exceeds the cap"
+        )
     result = (
         labels.groupBy("comp")
         .agg(F.count(F.lit(1)).alias("cluster_size"))

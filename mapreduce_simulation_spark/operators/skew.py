@@ -36,7 +36,17 @@ def salted_join(
     Use when one side is small enough to replicate but too big (or growing
     too fast) to broadcast outright, and AQE's split of the big side isn't
     enough. Cost: small side shuffles salt_factor× its size.
+
+    Only inner/left/left_semi are supported: with right/full outer joins
+    the replicated small side would emit one row per salt value for every
+    unmatched key (salt_factor× duplicates).
     """
+    if how not in {"inner", "left", "left_outer", "left_semi", "semi"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "outer variants would duplicate unmatched small-side rows "
+            "once per salt value"
+        )
     salt_col: Column = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt_factor))
     big_salted = big.withColumn("__salt", salt_col)
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))).alias("__salt")

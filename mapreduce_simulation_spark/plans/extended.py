@@ -231,17 +231,16 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
     )
-    # o_orderdate is TIMESTAMP_NTZ; the NTZ→TIMESTAMP cast interprets wall
-    # time in the session timezone, so pin UTC here rather than trusting
-    # the caller's session (the driver harness builds its own) — keeps the
-    # result equal to the oracle's epoch_us on any host.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ts = F.col("o_orderdate").cast("timestamp")
-    prev = F.lag(ts, 1).over(w)
+    # o_orderdate is TIMESTAMP_NTZ; timestamp_diff is pure wall-clock
+    # arithmetic on NTZ — session-timezone independent, so no session conf
+    # needs touching (the driver harness runs its own session).
+    prev = F.lag(F.col("o_orderdate"), 1).over(w)
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        (F.unix_micros(ts) - F.unix_micros(prev)).alias("gap_micros"),
+        F.timestamp_diff(
+            "MICROSECOND", prev, F.col("o_orderdate")
+        ).alias("gap_micros"),
     )
 
 
@@ -393,15 +392,18 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     an aggregate + join (no per-row re-execution) — the optimization the
     reference's opaque-executable model can never see. Registered via
     spark.sql to exercise the SQL entry point; every other query uses the
-    DataFrame API, both lower into the same plans."""
-    for t in ("orders",):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    DataFrame API, both lower into the same plans. The view name is
+    query-unique so no caller's registration of plain `orders` (e.g.
+    tables.load_all) is clobbered as a side effect."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_above_avg"
+    )
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, o_totalprice
-        FROM orders o
+        FROM orders_above_avg o
         WHERE o_totalprice > 2 * (
-          SELECT avg(i.o_totalprice) FROM orders i
+          SELECT avg(i.o_totalprice) FROM orders_above_avg i
           WHERE i.o_custkey = o.o_custkey)
         ORDER BY o_orderkey
         """
@@ -532,8 +534,14 @@ def trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of how many orders fall inside — the semantics ROWS frames
     cannot express."""
     orders = load_table(spark, sf_dir, "orders")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    epoch = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    # Wall-clock seconds since the NTZ epoch (timestamp_diff on NTZ is
+    # session-timezone independent) — same ordering values as the oracle's
+    # epoch(o_orderdate) without mutating session conf.
+    epoch = F.timestamp_diff(
+        "SECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("o_orderdate"),
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(epoch)

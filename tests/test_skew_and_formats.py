@@ -52,6 +52,15 @@ def test_salted_join_left_outer(spark, skewed_data):
     assert salted == plain
 
 
+def test_salted_join_rejects_outer_variants(spark, skewed_data):
+    # right/full would replicate unmatched small-side rows once per salt —
+    # the operator must refuse rather than silently duplicate.
+    big, small = skewed_data
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how)
+
+
 def test_salted_join_spreads_hot_key(spark, skewed_data):
     big, small = skewed_data
     joined = salted_join(big, small, "k", salt_factor=8)
