@@ -55,6 +55,15 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
+# DuckDB-side strict left-fold dot product (bit-identical to `_dot` below);
+# format with the two list-typed SQL expressions to multiply.
+_DOT_SQL_TMPL = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "list_zip({a}, {b})::STRUCT(a DOUBLE, b DOUBLE)[], "
+    "pr -> pr.a * pr.b)), (acc, x) -> acc + x)"
+)
+
+
 def _as_double(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -190,18 +199,165 @@ ORDER BY vec_a, vec_b
 """
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(n: int = N_HYPERPLANES) -> list[list[float]]:
     """Fixed deterministic pseudo-random hyperplanes (no RNG: linear
-    congruential sequence on frozen constants, centered to [-0.5, 0.5))."""
+    congruential sequence on frozen constants, centered to [-0.5, 0.5)).
+    Every value is a dyadic rational (state / 2^31 - 0.5) so an oracle
+    regenerating the sequence in SQL reproduces each double exactly."""
     planes = []
     state = 1234567
-    for _ in range(N_HYPERPLANES):
+    for _ in range(n):
         row = []
         for _ in range(EMBED_DIM):
             state = (state * 1103515245 + 12345) % (1 << 31)
             row.append(state / float(1 << 31) - 0.5)
         planes.append(row)
     return planes
+
+
+# Banded hyperplane LSH for the pair operator: b bands of r sign bits each.
+# A pair becomes a candidate if ANY band's r-bit signature matches — the
+# same band/row amplification as MinHash-LSH on the text side. At this
+# corpus size r=4 keeps buckets populated; at 100 TB r grows with
+# log2(corpus / target_bucket_size) so per-band buckets stay bounded, and
+# the shuffle is |corpus| × b band keys (ids only — vectors are fetched by
+# equi-join for the candidate set), never corpus².
+PAIR_BANDS = 16
+PAIR_BAND_BITS = 4
+PAIR_PLANES = PAIR_BANDS * PAIR_BAND_BITS
+
+
+def _band_signatures(corpus: DataFrame) -> DataFrame:
+    """(vec_id, band, sig): one r-bit signature per band per vector —
+    sign bits of the fixed hyperplanes, packed little-endian within the
+    band. Pure JVM expressions (fold dot products), zero shuffle."""
+    planes = _hyperplanes(PAIR_PLANES)
+    bits = [
+        F.when(
+            _dot(F.col("v"), F.array(*[F.lit(x) for x in plane])) > 0,
+            F.lit(1 << (j % PAIR_BAND_BITS)),
+        ).otherwise(0)
+        for j, plane in enumerate(planes)
+    ]
+    band_sigs = [
+        sum(bits[b * PAIR_BAND_BITS + r] for r in range(PAIR_BAND_BITS))
+        for b in range(PAIR_BANDS)
+    ]
+    return corpus.select(
+        "vec_id", F.posexplode(F.array(*band_sigs)).alias("band", "sig")
+    )
+
+
+def near_dup_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine ≥ 0.4 via banded hyperplane LSH —
+    the 100 TB sibling of the exhaustive `near_dup_pairs` twin.
+
+    Plan shape:
+      1. signature stage: 64 sign bits per vector, packed into 16 4-bit
+         band signatures, exploded to (vec_id, band, sig) rows — ids only;
+      2. candidate stage: self-equi-join on (band, sig), vec_a < vec_b,
+         DISTINCT — each pair survives once however many bands agree;
+      3. verify stage: fetch the two vectors by equi-join on vec_id and
+         re-score with the exact fold — precision is exact (every output
+         pair passes the true threshold); recall < 1 (pairs agreeing on no
+         band are missed), the standard LSH trade.
+
+    Unlike the exhaustive twin the corpus² pair set never materializes:
+    shuffle is |corpus|×16 id-sized rows plus candidate-sized joins.
+    Deterministic procedure → the oracle replicates it (LCG plane
+    regeneration by recursive CTE, banding, and re-score) bit-for-bit.
+    """
+    corpus = _corpus_with_norm(spark, sf_dir)
+    sigs = _band_signatures(corpus)
+    cand = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ca = corpus.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    cb = corpus.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        cand.join(ca, "vec_a")
+        .join(cb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# Exact oracle for the bucketed pair operator: regenerates the LCG
+# hyperplane sequence with a recursive CTE (every value is state/2^31-0.5,
+# a dyadic rational — bit-identical to the Python generator), replays the
+# banding and candidate join, and re-scores with the same strict left fold.
+NEAR_DUP_PAIRS_BUCKETED_SQL = f"""
+WITH RECURSIVE lcg(i, state) AS (
+  SELECT 1, (CAST(1234567 AS BIGINT) * 1103515245 + 12345) % 2147483648
+  UNION ALL
+  SELECT i + 1, (state * 1103515245 + 12345) % 2147483648
+  FROM lcg WHERE i < {PAIR_PLANES * EMBED_DIM}
+),
+planes AS (
+  SELECT (i - 1) // {EMBED_DIM} AS p,
+         list(state / 2147483648.0 - 0.5 ORDER BY i) AS plane
+  FROM lcg GROUP BY 1
+),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+),
+bits AS (
+  SELECT n.vec_id, pl.p // {PAIR_BAND_BITS} AS band,
+         CASE WHEN {_DOT_SQL_TMPL.format(a='n.v', b='pl.plane')} > 0
+              THEN 1 << (pl.p % {PAIR_BAND_BITS}) ELSE 0 END AS bit
+  FROM n CROSS JOIN planes pl
+),
+sigs AS (
+  SELECT vec_id, band, sum(bit) AS sig FROM bits GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         round({_DOT_SQL_TMPL.format(a='na.v', b='nb.v')}
+               / (na.nrm * nb.nrm), 6) AS cosine
+  FROM cand c
+  JOIN n na ON na.vec_id = c.vec_a
+  JOIN n nb ON nb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored
+WHERE cosine >= {COSINE_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
 
 
 def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

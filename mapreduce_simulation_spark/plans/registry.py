@@ -491,6 +491,15 @@ register(
     similarity.near_dup_pairs,
     similarity.NEAR_DUP_PAIRS_SQL,
 )
+# The 100 TB sibling: banded hyperplane LSH buckets the corpus so the
+# corpus² pair set never materializes. The banding procedure is
+# deterministic (LCG hyperplanes, dyadic-rational doubles) → exact oracle
+# replicating plane generation, banding, candidate join, and re-score.
+register(
+    "embedding_near_dup_bucketed",
+    similarity.near_dup_pairs_bucketed,
+    similarity.NEAR_DUP_PAIRS_BUCKETED_SQL,
+)
 # Approximate by construction (LSH may miss) → rows-only driver check.
 register("similarity_lsh_topk", similarity.lsh_topk, None)
 # IVF is approximate vs brute force but its *procedure* is deterministic,
