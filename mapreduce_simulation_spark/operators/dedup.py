@@ -4,10 +4,12 @@ Four families, all shuffle-disciplined for the 100 TB design point:
 
   exact          fingerprint (cross-engine polynomial hash) → window over fp.
                  One shuffle on a 64-bit key — never on raw text.
-  ngram-jaccard  3-word shingles → inverted-index self-join → exact jaccard.
-                 Complete for pairs sharing ≥1 shingle; the join fans out on
-                 the shingle key (bounded by shingle frequency, cap hot
-                 shingles upstream at real scale).
+  ngram-jaccard  3-word shingles → DF-capped inverted-index candidate join
+                 → exact-jaccard verification over the full shingle table.
+                 The document-frequency cap bounds per-shingle join fanout
+                 at cap² (one viral shingle can't build a quadratic
+                 partition); scores stay exact because verification uses
+                 the uncapped sets.
   minhash-lsh    16 permutations → 8 bands × 2 rows → band-bucket join →
                  exact-jaccard verification of candidates. Shuffle volume is
                  |docs| × 8 band keys, independent of document length — the
@@ -184,11 +186,45 @@ def _pair_jaccard(
     )
 
 
+SHINGLE_DF_CAP = 32
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All near-dup pairs with 3-gram jaccard ≥ 0.5, computed exactly via
-    inverted-index self-join (complete: j ≥ 0.5 ⇒ shingle sets intersect)."""
+    """All near-dup pairs with 3-gram jaccard ≥ 0.5 via inverted-index
+    candidate join with a hot-shingle cap, then exact verification.
+
+    Candidate generation self-joins ONLY shingles with document frequency
+    ≤ SHINGLE_DF_CAP (the pre-join aggregate caps each shingle's join
+    fanout at cap² rows — one viral shingle can no longer produce a
+    quadratic partition). Verification then computes the TRUE jaccard over
+    the full, uncapped shingle table for just those candidates, so scores
+    are exact. A pair is lost only if every shared shingle is hotter than
+    the cap; at jaccard ≥ 0.5 a pair shares at least half its shingles, so
+    any cap above the corpus' common-shingle support leaves results
+    identical to the exhaustive join (measured max common-shingle min-DF at
+    sf0.01 is 3; test_operators asserts equality with the uncapped join)."""
     docs = load_table(spark, sf_dir, "documents")
-    return _pair_jaccard(_shingles(docs), None).orderBy("doc_a", "doc_b")
+    sh = _shingles(docs)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    capped = sh.join(rare, "shingle")
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _pair_jaccard(sh, pairs).orderBy("doc_a", "doc_b")
 
 
 DEDUP_NGRAM_SQL = f"""

@@ -55,6 +55,26 @@ def test_minhash_candidates_subset_of_exhaustive(spark, sf_dir):
     assert lsh <= full
 
 
+def test_jaccard_df_cap_preserves_results(spark, sf_dir):
+    """The hot-shingle DF cap must not change results at this scale: the
+    capped candidate join + exact verification equals the fully exhaustive
+    inverted-index join, pair-for-pair and score-for-score. Also pins the
+    plan shape: the pre-join DF aggregate must exist (that aggregate IS the
+    fanout bound)."""
+    from mapreduce_simulation_spark.tables import load_table as lt
+
+    capped_df = dedup.dedup_ngram_jaccard(spark, sf_dir)
+    capped = {(r.doc_a, r.doc_b): r.jaccard for r in capped_df.collect()}
+    docs = lt(spark, sf_dir, "documents")
+    exhaustive = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup._pair_jaccard(dedup._shingles(docs), None).collect()
+    }
+    assert capped == exhaustive
+    plan = capped_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "count(1)" in plan and str(dedup.SHINGLE_DF_CAP) in plan
+
+
 def test_simhash_pairs_symmetric_bound(spark, sf_dir):
     rows = dedup.dedup_simhash(spark, sf_dir).collect()
     assert all(0 <= r.hamming <= dedup.HAMMING_MAX for r in rows)
@@ -85,6 +105,27 @@ def test_lsh_topk_subset_of_brute_force_scores(spark, sf_dir):
         key = (r.query_id, r.neighbor_id)
         if key in bf:
             assert abs(bf[key] - r.cosine) < 1e-9
+
+
+def test_bucketed_near_dup_precision_exact_recall_bounded(spark, sf_dir):
+    """The banded-LSH pair operator must be a subset of the exhaustive twin
+    with identical exact cosines (precision = 1 by construction: candidates
+    are re-scored with the true fold), and recall on this corpus must stay
+    high — the LSH trade is bounded, not open-ended."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.near_dup_pairs(spark, sf_dir).collect()
+    }
+    bucketed = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.near_dup_pairs_bucketed(spark, sf_dir).collect()
+    }
+    assert set(bucketed) <= set(exact)  # precision 1.0
+    for k, cos in bucketed.items():
+        assert cos == exact[k]  # same exact re-score, bit-for-bit
+    assert exact, "exhaustive twin found no pairs — test corpus broken"
+    recall = len(bucketed) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} below floor ({len(bucketed)}/{len(exact)})"
 
 
 def test_quality_score_in_unit_interval(spark, sf_dir):
