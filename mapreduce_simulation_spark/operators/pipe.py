@@ -123,6 +123,37 @@ def pipe_word_count(
     )
 
 
+def pipe_grep(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = "spark",
+    num_partitions: int = 1,
+) -> DataFrame:
+    """Grep executed through external executables, honoring the reference's
+    argv contract: the search term reaches the mapper as a command-line
+    argument (reference grep_map.py:14-17 reads `sys.argv[1]`), not baked
+    into the program text.
+
+    Job shape is the reference's grep exactly: mapper emits `1\\tline` for
+    case-insensitive matches (grep_map.py:27), the constant key collapses
+    everything onto one reducer, and the reducer passes values through
+    (grep_reduce.py:27 prints the value) — here the pass-through is `cat`
+    plus the post-pipe value projection.
+    """
+    import shlex
+
+    from ..tables import load_table
+
+    mapper = (
+        "awk -v q=%s '{ line = tolower($0); "
+        'if (index(line, q) > 0) print "1\\t" $0 }\'' % shlex.quote(query.lower())
+    )
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    mapped = pipe_map(docs, mapper)
+    reduced = pipe_reduce(mapped, "cat", num_partitions)
+    return reduced.select(F.col("value").alias("text"))
+
+
 def _split_kv(line: str) -> tuple[str, str]:
     key, _, value = line.partition("\t")
     return key, value

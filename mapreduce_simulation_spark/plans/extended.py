@@ -459,9 +459,9 @@ def csv_source_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     then aggregated. Proves the text-format source contract the same way
     text_dir_word_count proves the line-oriented one; same oracle as
     monthly_revenue because the roundtrip is lossless."""
-    import tempfile
+    from ..staging import staging_dir
 
-    stage = tempfile.mkdtemp(prefix="orders_csv_")
+    stage = staging_dir("orders_csv_")
     load_table(spark, sf_dir, "orders").write.mode("overwrite").option(
         "header", True
     ).option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss").csv(stage)

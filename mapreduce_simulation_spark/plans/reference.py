@@ -54,15 +54,20 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grep(
+    spark: SparkSession, sf_dir: str, query: str = GREP_QUERY
+) -> DataFrame:
     """Case-insensitive substring filter + projection (reference Q3+Q4).
 
-    The filter is a deterministic predicate on a scanned column, so it is
-    evaluated inside the scan stage (and `contains` on a literal can reach
-    the parquet reader as a row-group filter for dictionary-encoded cols).
+    The search term is a parameter with a default, mirroring the
+    reference's argv contract (grep_map.py:14-17: `sys.argv[1]`, default
+    query otherwise). The filter is a deterministic predicate on a scanned
+    column, so it is evaluated inside the scan stage (and `contains` on a
+    literal can reach the parquet reader as a row-group filter for
+    dictionary-encoded cols).
     """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.where(F.lower(F.col("text")).contains(GREP_QUERY.lower())).select(
+    return docs.where(F.lower(F.col("text")).contains(query.lower())).select(
         "doc_id", "text"
     )
 
@@ -131,11 +136,10 @@ def text_dir_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     line-oriented reader would see it — the whitespace tokenizer makes the
     token multiset identical either way, so the parquet word_count oracle
     applies unchanged."""
-    import tempfile
-
     from ..sources.text_dir import read_text_dir
+    from ..staging import staging_dir
 
-    stage = tempfile.mkdtemp(prefix="docs_textdir_")
+    stage = staging_dir("docs_textdir_")
     load_table(spark, sf_dir, "documents").select("text").write.mode(
         "overwrite"
     ).text(stage)

@@ -532,6 +532,17 @@ register(
     """,
 )
 
+# Reference grep job through executables: query term threaded as an awk
+# argv assignment (grep_map.py argv contract), constant-key collapse onto
+# one reducer, pass-through reduce. Same filter oracle as native grep.
+from ..operators.pipe import pipe_grep as _pipe_grep  # noqa: E402
+
+register(
+    "pipe_grep",
+    _pipe_grep,
+    "SELECT text FROM documents WHERE contains(lower(text), 'spark')",
+)
+
 # ---------------------------------------------------------------------------
 # Multimodal column plumbing (binary payloads + typed metadata)
 # ---------------------------------------------------------------------------

@@ -115,11 +115,10 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     and return the final batch result. Matches the batch/DuckDB answer
     because tumbling-window aggregation in complete mode retains all
     windows (the watermark bounds state in update/append deployments)."""
-    import tempfile
-
+    from ..staging import staging_dir
     from ..tables import load_table
 
-    stage = tempfile.mkdtemp(prefix="events_stream_")
+    stage = staging_dir("events_stream_")
     load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
         "overwrite"
     ).parquet(stage)
@@ -172,11 +171,10 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered streams (clicks, purchases) from it, join with watermarked
     state, drain with Trigger.AvailableNow. Single-batch staging makes the
     emitted set equal the batch join, so the oracle is the plain SQL join."""
-    import tempfile
-
+    from ..staging import staging_dir
     from ..tables import load_table
 
-    stage = tempfile.mkdtemp(prefix="events_ss_join_")
+    stage = staging_dir("events_ss_join_")
     load_table(spark, sf_dir, "events").coalesce(1).write.mode(
         "overwrite"
     ).parquet(stage)
@@ -202,11 +200,10 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifetime. Output restricted to the key columns so the emitted set is
     order-independent (which row of a dup group arrives first varies; the
     key itself does not) → exact DISTINCT oracle."""
-    import tempfile
-
+    from ..staging import staging_dir
     from ..tables import load_table
 
-    stage = tempfile.mkdtemp(prefix="events_dedup_")
+    stage = staging_dir("events_dedup_")
     load_table(spark, sf_dir, "events").coalesce(1).write.mode(
         "overwrite"
     ).parquet(stage)

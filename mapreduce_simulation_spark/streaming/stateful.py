@@ -97,13 +97,12 @@ def stateful_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     result equals the batch GROUP BY and the oracle hash-matches), run the
     stateful rollup, drain with Trigger.AvailableNow. The multi-batch
     incremental behavior is exercised in tests."""
-    import tempfile
-
+    from ..staging import staging_dir
     from ..tables import load_table
 
     from .events import read_event_stream
 
-    stage = tempfile.mkdtemp(prefix="events_stateful_")
+    stage = staging_dir("events_stateful_")
     load_table(spark, sf_dir, "events").coalesce(1).write.mode(
         "overwrite"
     ).parquet(stage)

@@ -25,6 +25,26 @@ def test_pipe_word_count_matches_native(spark, sf_dir):
     assert piped == native
 
 
+def test_grep_non_default_term(spark, sf_dir):
+    """The parameterized grep must honor an arbitrary term (reference
+    grep_map.py argv contract), both native and through the executable
+    pipe path, agreeing with a direct DataFrame filter."""
+    from mapreduce_simulation_spark.tables import load_table
+
+    term = "data"
+    expected = {
+        r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.lower(F.col("text")).contains(term))
+        .collect()
+    }
+    assert expected, "term absent from corpus — test is vacuous"
+    native = {r.text for r in reference.grep(spark, sf_dir, query=term).collect()}
+    piped = {r.text for r in pipe.pipe_grep(spark, sf_dir, query=term).collect()}
+    assert native == expected
+    assert piped == expected
+
+
 def test_pipe_map_identity(spark, sf_dir):
     """`cat` as mapper — the reference's identity-map memory test
     (tests/test_worker_11.py uses cat)."""
@@ -112,3 +132,16 @@ def test_min_partitions_floor(spark, tmp_path):
     df = text_dir.read_text_dir(spark, str(src), min_partitions=6)
     assert df.rdd.getNumPartitions() >= 6
     assert df.count() == 30
+
+
+def test_staging_dirs_removed_at_cleanup(tmp_path):
+    """staging_dir registers directories for atexit removal; _cleanup
+    removes every registered dir and empties the registry."""
+    from mapreduce_simulation_spark import staging
+
+    d1 = staging.staging_dir("staging_test_")
+    d2 = staging.staging_dir("staging_test_")
+    assert os.path.isdir(d1) and os.path.isdir(d2)
+    staging._cleanup()
+    assert not os.path.exists(d1) and not os.path.exists(d2)
+    assert not staging._DIRS
