@@ -27,11 +27,12 @@ Four operators:
 Scale notes: brute-force topk at 100 TB is a single broadcast-join scan —
 viable when |queries| is small (the common batch-inference shape). For
 corpus×corpus similarity, LSH bucketing or IVF is mandatory; `lsh_topk`
-and `ivf_topk` show both plan shapes. In production the IVF codebook comes
-from a sampled k-means fit; here it is a fixed deterministic subset of the
-corpus so the oracle can reproduce it — the plan (broadcast codebook →
-map-side cell assignment with partial-agg argmax → cell-key equi-join) is
-identical either way.
+and `ivf_topk` show both plan shapes. `ivf_topk` uses a fixed
+deterministic corpus subset as its codebook so the oracle can reproduce
+it; `ivf_trained_topk` is the production shape (sampled seeded k-means
+fit via Spark ML, rows-only check, recall floor asserted in tests) — the
+search plan (broadcast codebook → map-side cell assignment with
+partial-agg argmax → cell-key equi-join) is identical for both.
 """
 
 from __future__ import annotations
@@ -424,6 +425,51 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
     )
+    return _ivf_search(corpus, cents)
+
+
+def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED codebook — the production shape acknowledged in
+    `ivf_topk`'s docstring: centroids come from a seeded k-means fit
+    (Spark ML) over a sampled slice of the corpus, instead of a fixed
+    corpus subset. Search machinery is byte-identical to `ivf_topk`
+    (broadcast codebook → partial-agg argmax assignment → cell equi-join →
+    exact re-score), so the two differ only in codebook quality.
+
+    Scale notes: the fit itself is the standard sampled pattern — k-means
+    never sees the full corpus (sample fraction caps the training set) and
+    the resulting k×dim codebook is driver-held and broadcast, exactly as
+    a faiss/ScaNN-style offline-trained codebook would be shipped to
+    executors. K-means is iterative and seeded, not SQL-expressible →
+    rows-only driver check; the recall floor vs brute force is asserted in
+    tests (the stronger property for an ANN operator).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = _corpus_with_norm(spark, sf_dir)
+    sample = corpus.where(F.col("vec_id") >= N_QUERIES).sample(
+        fraction=0.5, seed=42
+    )
+    model = KMeans(
+        k=N_CENTROIDS, seed=42, maxIter=10, featuresCol="fv"
+    ).fit(sample.select(array_to_vector(F.col("v")).alias("fv")))
+    cents = (
+        corpus.sparkSession.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "cid bigint, cv array<double>",
+        ).select("cid", "cv", _norm(F.col("cv")).alias("cn"))
+    )
+    return _ivf_search(corpus, cents)
+
+
+def _ivf_search(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """Shared IVF machinery: cell assignment (broadcast codebook,
+    partial-agg argmax), query probing (N_PROBE nearest cells), candidate
+    equi-join on the cell id, exact re-score, per-query top-k."""
     cell_cos = F.round(
         _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
     )

@@ -500,6 +500,10 @@ register(
     similarity.near_dup_pairs_bucketed,
     similarity.NEAR_DUP_PAIRS_BUCKETED_SQL,
 )
+# Trained-codebook IVF: seeded sampled k-means (Spark ML) is iterative and
+# not SQL-expressible → rows-only; recall floor vs brute force is asserted
+# in tests (the stronger property for an ANN operator).
+register("similarity_ivf_trained_topk", similarity.ivf_trained_topk, None)
 # Approximate by construction (LSH may miss) → rows-only driver check.
 register("similarity_lsh_topk", similarity.lsh_topk, None)
 # IVF is approximate vs brute force but its *procedure* is deterministic,
