@@ -490,6 +490,59 @@ def csv_source_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_source_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source path end-to-end: customers staged as newline-
+    delimited JSON, read back with an explicit schema (inference would be
+    an extra full scan — never at scale), then aggregated per market
+    segment. The third text-format source next to the text-dir and CSV
+    roundtrips; same decimal-accumulation discipline so the oracle hash is
+    partition-independent."""
+    from ..staging import staging_dir
+
+    stage = staging_dir("customer_json_")
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").json(stage)
+    customers = spark.read.schema(
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ).json(stage)
+    return (
+        customers.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def orc_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source path: parts staged as ORC (Spark's second columnar
+    format — same vectorized reader, predicate pushdown, and column
+    pruning contracts as parquet), read back and aggregated per brand.
+    DuckDB cannot read ORC, so the oracle runs the same aggregation on the
+    registered parquet view — valid because the roundtrip is lossless and
+    the staged rows ARE the table's rows; what's under test is the
+    Spark-side ORC write/read path."""
+    from ..staging import staging_dir
+
+    stage = staging_dir("part_orc_")
+    load_table(spark, sf_dir, "part").write.mode("overwrite").orc(stage)
+    parts = spark.read.orc(stage)
+    return (
+        parts.where(F.col("p_size") >= 10)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible sampling by content hash: keep documents whose
     fingerprint falls in a fixed residue class (~5%). Unlike

@@ -761,6 +761,38 @@ register(
 )
 
 register(
+    "json_source_segments",
+    _ext.json_source_segments,
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_acctbal
+    FROM customer
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+
+# ORC is not readable by DuckDB; the oracle aggregates the registered
+# parquet view instead — lossless roundtrip makes the comparison exact,
+# and the Spark-side ORC write/read path is the subject under test.
+register(
+    "orc_source_parts",
+    _ext.orc_source_parts,
+    """
+    SELECT p_brand,
+           count(*) AS n_parts,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM part
+    WHERE p_size >= 10
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+
+register(
     "quantiles_summary",
     _ext.quantiles_summary,
     """
