@@ -67,6 +67,11 @@ def main() -> None:
     # Spawn the Python worker pool so Arrow-path queries measure steady
     # state, not daemon startup.
     qs["similarity_topk_pandas"](spark, "/root/testdata/sf0.001").count()
+    # The two most stage-heavy plans: compile their codegen (identical
+    # generated code at any SF) so the measured run is throughput, not
+    # Janino compile time.
+    qs["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").count()
+    qs["similarity_ivf_topk"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
