@@ -572,6 +572,116 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+CC_STAR_MAX_ROUNDS = 12
+
+
+def _cc_star_labels(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log² n)-round sibling of min-label propagation, for graphs whose
+    diameter makes O(diameter) rounds intractable (long near-dup chains).
+
+    Each round is two grouped-min joins:
+      large-star: every node u attaches its LARGER neighbors to
+        m = min(neighbors(u) ∪ {u});
+      small-star: u attaches its smaller neighbors, and itself, to the min
+        of its SMALLER neighborhood ∪ {u}.
+    Both preserve connectivity and only ever link nodes to smaller labels
+    in their own component; at the fixpoint the graph is a union of stars
+    centered at component minima, so each node's label is
+    min(neighbor ∪ self) — identical to the propagation fixpoint, which is
+    why the same recursive-CTE oracle applies.
+
+    ``nodes``: (doc_id); ``pairs``: (doc_a, doc_b) undirected edges.
+    Returns (doc_id, comp); singletons keep their own id.
+    """
+
+    def symmetric(e: DataFrame) -> DataFrame:
+        return (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    # Each round's plan references the prior round's output several times
+    # (symmetric() alone reads its input twice), so lineage grows
+    # exponentially with rounds; localCheckpoint truncates the plan to the
+    # materialized partitions each round — the standard shape for iterative
+    # DataFrame algorithms (on a cluster, executor loss costs a recompute
+    # from the checkpoint, acceptable for a log-round loop).
+    edges = symmetric(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).localCheckpoint()
+    for _ in range(CC_STAR_MAX_ROUNDS):
+        # large-star: m over the full neighborhood, larger neighbors move
+        mins = edges.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        large = (
+            edges.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+        )
+        mid = symmetric(large).localCheckpoint()
+        # small-star: m over the SMALL neighborhood ∪ self; smaller
+        # neighbors and u itself move
+        smins = (
+            mid.where(F.col("v") < F.col("u"))
+            .groupBy("u")
+            .agg(F.min("v").alias("mn"))
+        )
+        sm = F.least(F.col("u"), F.col("mn"))
+        joined = mid.join(smins, "u")
+        small = (
+            joined.where(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("u"), sm.alias("v"))
+            .union(joined.select("u", sm.alias("v")))
+        )
+        new_edges = symmetric(small).localCheckpoint()
+        done = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).count() == 0
+        )
+        edges = new_edges
+        if done:
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge within "
+            f"{CC_STAR_MAX_ROUNDS} rounds"
+        )
+    comp = edges.groupBy("u").agg(F.min("v").alias("mn")).select(
+        F.col("u").alias("doc_id"),
+        F.least(F.col("u"), F.col("mn")).alias("comp"),
+    )
+    return (
+        nodes.join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp")
+        )
+    )
+
+
+def dedup_connected_components_stars(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The adversarial-scale twin of `dedup_connected_components`: same
+    near-dup graph, same output contract and oracle, but clustering by
+    star contraction (O(log² n) rounds) instead of min-label propagation
+    (O(diameter) rounds) — the variant that survives a pathological chain
+    of pairwise near-dups at 100 TB."""
+    docs_full = load_table(spark, sf_dir, "documents")
+    docs = docs_full.select("doc_id")
+    pairs = _pair_jaccard(_shingles(docs_full), None).select("doc_a", "doc_b")
+    labels = _cc_star_labels(docs, pairs)
+    return (
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .join(labels, "comp")
+        .select("doc_id", F.col("comp").alias("component_id"), "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
 DEDUP_CC_SQL = f"""
 WITH RECURSIVE {_SHINGLES_SQL},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -473,6 +473,14 @@ register(
     dedup.dedup_connected_components,
     dedup.DEDUP_CC_SQL,
 )
+# Star contraction reaches the same unique fixpoint in O(log² n) rounds —
+# same oracle; the round-count difference is the point (see the chain-graph
+# test for the case where propagation's O(diameter) is intractable).
+register(
+    "dedup_connected_components_stars",
+    dedup.dedup_connected_components_stars,
+    dedup.DEDUP_CC_SQL,
+)
 register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
 register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
 register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)

@@ -55,6 +55,53 @@ def test_minhash_candidates_subset_of_exhaustive(spark, sf_dir):
     assert lsh <= full
 
 
+def test_cc_star_contraction_handles_long_chain(spark):
+    """A 200-node path graph has diameter 199: min-label propagation needs
+    ~199 rounds (far beyond its cap and any sane budget), while star
+    contraction must collapse it to one component within its
+    O(log² n)-round cap — the property that makes it the adversarial-scale
+    variant. Also checks a multi-component graph labels exactly."""
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r.doc_id: r.comp
+        for r in dedup._cc_star_labels(nodes, chain).collect()
+    }
+    assert set(labels.values()) == {0} and len(labels) == n
+
+    # two components + a singleton
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 11)], "doc_a long, doc_b long"
+    )
+    nodes2 = spark.createDataFrame(
+        [(i,) for i in (3, 5, 9, 11, 20, 42)], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.comp
+        for r in dedup._cc_star_labels(nodes2, edges).collect()
+    }
+    assert got == {3: 3, 5: 3, 9: 3, 11: 11, 20: 11, 42: 42}
+
+
+def test_cc_stars_equals_propagation(spark, sf_dir):
+    """Both CC variants must produce the identical clustering on the real
+    near-dup graph (they share the oracle; this pins them to each other
+    directly as well)."""
+    a = sorted(
+        map(tuple, dedup.dedup_connected_components(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.dedup_connected_components_stars(spark, sf_dir).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_jaccard_df_cap_preserves_results(spark, sf_dir):
     """The hot-shingle DF cap must not change results at this scale: the
     capped candidate join + exact verification equals the fully exhaustive
