@@ -1,0 +1,358 @@
+"""Corpus-curation operators for the documents table — the training-data
+pipeline steps beyond dedup/quality already covered by operators/text.py
+and operators/dedup.py:
+
+  decontaminate      benchmark-overlap detection (n-gram collision against a
+                     held-out set) — the step every pretraining pipeline runs
+                     before training so eval data doesn't leak into the mix.
+  stratified_sample  per-language deterministic quota sampling by content
+                     hash — reproducible on any cluster layout.
+  corpus_mix         weighted mixture construction: upsample each source by
+                     an integer repeat factor (broadcast dim join + row
+                     generator), the way training mixtures are assembled.
+  repetition_stats   Gopher-style repetition signals (top-token share,
+                     duplicate-bigram share) — integer counts so the oracle
+                     matches bit-for-bit.
+  span_dedup         C4-style span-level exact dedup: global keep-first over
+                     8-token chunks, documents reassembled from surviving
+                     chunks.
+
+Capability lineage: the reference engine expresses curation only as user
+map/reduce executables over text lines (reference worker/__main__.py:167-186
+runs arbitrary mappers; tests/testdata/exec/wc_map.py tokenizes); these
+operators make the standard curation suite first-class and declarative.
+
+Scale notes are per-operator; the common discipline is the one used across
+this package — shuffle on 8-byte hashes or small keys, never on raw text,
+and keep the small side of every join broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import hashing as H
+from ..tables import load_table
+from .dedup import _SHINGLES_SQL, _shingles
+from .text import tokens
+
+# Held-out "benchmark" slice: a fixed residue class stands in for the eval
+# set a real pipeline would load as its own table.
+BENCHMARK_MOD = 97
+CONTAM_MIN_SHINGLES = 2
+
+SAMPLE_PER_LANG = 20
+
+MIX_WEIGHT_BUCKETS = 3  # source weight in 1..3, derived from the source name
+
+CHUNK_TOKENS = 8
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus documents that collide with the held-out benchmark set on at
+    least CONTAM_MIN_SHINGLES distinct 3-word shingles, with the collision
+    count — the docs a curation run would drop (or audit) before training.
+
+    Scale: the benchmark shingle set is tiny relative to the corpus (eval
+    suites are MBs, corpora are TBs), so it broadcasts; the corpus-side
+    shingle table then joins map-side with no shuffle of corpus data beyond
+    the per-doc aggregation on doc_id. Shingle identity is the shared 8-byte
+    polynomial hash — raw text never moves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    bench = (
+        sh.where(F.col("doc_id") % BENCHMARK_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") % BENCHMARK_MOD != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= CONTAM_MIN_SHINGLES)
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH {_SHINGLES_SQL},
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCHMARK_MOD} = 0
+)
+SELECT s.doc_id, count(*) AS n_shared
+FROM sh s JOIN bench USING (shingle)
+WHERE s.doc_id % {BENCHMARK_MOD} <> 0
+GROUP BY s.doc_id
+HAVING count(*) >= {CONTAM_MIN_SHINGLES}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota sample per language: the SAMPLE_PER_LANG documents with
+    the smallest content-hash in each lang stratum. Ordering by content hash
+    (doc_id tie-break) makes the sample reproducible on any cluster layout
+    and any engine — same property as `deterministic_sample`, but with
+    per-stratum quotas, which is how balanced eval/validation splits are cut
+    from a skewed corpus.
+
+    Scale: one shuffle on lang; the rank filter is a group-limit, which
+    Spark pushes below the exchange as a partial top-k per input partition
+    (WindowGroupLimit), so the shuffle carries ~quota rows per partition per
+    stratum, not the whole corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        H.char_hash(F.col("text")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .where(F.col("sample_rank") <= SAMPLE_PER_LANG)
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {H.char_hash_sql('text')} ASC, doc_id ASC
+         ) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, sample_rank FROM ranked
+WHERE sample_rank <= {SAMPLE_PER_LANG}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted mixture construction (upsampling)
+# ---------------------------------------------------------------------------
+
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture assembly: each source gets an integer repeat factor
+    (1..MIX_WEIGHT_BUCKETS, derived deterministically from the source name —
+    standing in for the curated weights table a real run would supply) and
+    every document is emitted `weight` times with a copy index, so the
+    downstream shuffle-and-train sees the upsampled mixture.
+
+    Scale: the weights dim is one row per source — broadcast; the explode is
+    a narrow generator (no shuffle), so the whole operator is scan-bound.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    weights = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (H.char_hash(F.col("source")) % MIX_WEIGHT_BUCKETS + 1).alias("weight"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("copy_idx"),
+        )
+    )
+
+
+CORPUS_MIX_SQL = f"""
+WITH w AS (
+  SELECT source,
+         {H.char_hash_sql('source')} % {MIX_WEIGHT_BUCKETS} + 1 AS weight
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.doc_id, d.source, w.weight,
+       unnest(generate_series(1, w.weight)) AS copy_idx
+FROM documents d JOIN w USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: total tokens, occurrences of the
+    most frequent token, bigram occurrences and how many of those are
+    repeats of an already-seen bigram — the integer numerators/denominators
+    of the Gopher repetition rules ("most common word > 20% of doc",
+    "duplicate 2-grams > 20%"), kept as exact counts so the oracle hash
+    matches; the keep flag applies both rules in integer arithmetic.
+
+    Scale: explode-then-aggregate with map-side partial aggregation; both
+    aggregates key on (doc_id[, token]) hashes, so the shuffle is counts,
+    not text. Single-pass over the scan, two partial-agg exchanges that AQE
+    coalesces at small SF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
+    )
+    wc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("top_token_n")
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("word"), F.lead("word", 1).over(wseq)).alias(
+                "bigram"
+            ),
+            F.lead("word", 1).over(wseq).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bigram").alias("n_uniq_bigrams"),
+        )
+    )
+    return (
+        per_doc.join(big, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_token_n",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            (
+                F.coalesce(F.col("n_bigrams") - F.col("n_uniq_bigrams"), F.lit(0))
+            ).alias("n_dup_bigrams"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_token_n") * 5 <= F.col("n_tokens"))
+            & (F.col("n_dup_bigrams") * 5 <= F.col("n_bigrams")),
+        )
+    )
+
+
+REPETITION_STATS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS word,
+         generate_subscripts(list_filter(str_split_regex(lower(text), '\s+'),
+                                         x -> x <> ''), 1) AS pos
+  FROM documents
+),
+wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_token_n
+  FROM wc GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id,
+         count(nxt) AS n_bigrams,
+         count(DISTINCT CASE WHEN nxt IS NOT NULL
+                             THEN word || ' ' || nxt END) AS n_uniq_bigrams
+  FROM (
+    SELECT doc_id, word,
+           lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM tok
+  ) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_tokens, p.top_token_n,
+       coalesce(b.n_bigrams, 0) AS n_bigrams,
+       coalesce(b.n_bigrams - b.n_uniq_bigrams, 0) AS n_dup_bigrams,
+       (p.top_token_n * 5 <= p.n_tokens
+        AND coalesce(b.n_bigrams - b.n_uniq_bigrams, 0) * 5
+            <= coalesce(b.n_bigrams, 0)) AS keep
+FROM per_doc p LEFT JOIN big b USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global keep-first dedup of CHUNK_TOKENS-token spans: every document
+    is cut into consecutive 8-token chunks, each chunk survives only at its
+    first occurrence corpus-wide (ordered by doc_id, then position), and
+    documents are reassembled from their surviving chunks — the C4 recipe
+    for removing boilerplate repeated across pages, at span rather than
+    document granularity.
+
+    Scale: the only shuffle keys on the chunk string's first occurrence
+    (window over chunk); at 100 TB the chunk column would be its 8-byte
+    hash with the text carried only on the surviving row — here chunks are
+    short enough that the direct form keeps the oracle exact without a
+    second join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.floor(((n - 1) / CHUNK_TOKENS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.array_join(
+            F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+        ),
+    )
+    ch = docs.where(n > 0).select(
+        "doc_id", F.posexplode(chunks).alias("chunk_pos", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_pos")
+    flagged = ch.select(
+        "doc_id", "chunk_pos", "chunk", F.row_number().over(w).alias("rn")
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(F.col("rn") == 1, F.struct("chunk_pos", "chunk"))
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(kept_structs, lambda s: s.getField("chunk")), " "
+        ).alias("dedup_text"),
+    )
+
+
+SPAN_DEDUP_SQL = rf"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+ch0 AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0, (len(tk) - 1) // {CHUNK_TOKENS})) AS chunk_pos
+  FROM tokd WHERE len(tk) > 0
+),
+ch AS (
+  SELECT doc_id, chunk_pos,
+         array_to_string(
+           tk[chunk_pos * {CHUNK_TOKENS} + 1 : chunk_pos * {CHUNK_TOKENS}
+              + {CHUNK_TOKENS}], ' ') AS chunk
+  FROM ch0
+),
+flagged AS (
+  SELECT doc_id, chunk_pos, chunk,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_pos) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                           ORDER BY chunk_pos), '') AS dedup_text
+FROM flagged
+GROUP BY doc_id
+"""

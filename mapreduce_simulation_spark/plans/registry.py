@@ -486,6 +486,26 @@ register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
 register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
 
 # ---------------------------------------------------------------------------
+# Corpus curation (LLM-pipeline operators beyond dedup/quality)
+# ---------------------------------------------------------------------------
+
+from ..operators import curation  # noqa: E402
+
+register("decontaminate", curation.decontaminate, curation.DECONTAMINATE_SQL)
+register(
+    "stratified_sample",
+    curation.stratified_sample,
+    curation.STRATIFIED_SAMPLE_SQL,
+)
+register("corpus_mix", curation.corpus_mix, curation.CORPUS_MIX_SQL)
+register(
+    "repetition_stats",
+    curation.repetition_stats,
+    curation.REPETITION_STATS_SQL,
+)
+register("span_dedup", curation.span_dedup, curation.SPAN_DEDUP_SQL)
+
+# ---------------------------------------------------------------------------
 # Similarity search (LLM-pipeline operators)
 # ---------------------------------------------------------------------------
 

@@ -261,3 +261,134 @@ def test_pandas_topk_matches_fold_topk(spark, sf_dir):
     assert set(exact) == set(fast)
     for k in exact:
         assert abs(exact[k] - fast[k]) <= 1e-6, (k, exact[k], fast[k])
+
+
+def test_decontaminate_excludes_benchmark_docs(spark, sf_dir):
+    """Flagged docs must all be corpus-side (never in the held-out residue
+    class) and each must genuinely share >= CONTAM_MIN_SHINGLES distinct
+    shingles with the benchmark set."""
+    from mapreduce_simulation_spark.operators import curation, dedup
+    from mapreduce_simulation_spark.tables import load_table
+
+    rows = curation.decontaminate(spark, sf_dir).collect()
+    assert rows, "sf corpus contains exact dups, so collisions must exist"
+    assert all(r.doc_id % curation.BENCHMARK_MOD != 0 for r in rows)
+
+    sh = dedup._shingles(load_table(spark, sf_dir, "documents")).collect()
+    bench = {s.shingle for s in sh if s.doc_id % curation.BENCHMARK_MOD == 0}
+    by_doc: dict[int, set] = {}
+    for s in sh:
+        if s.doc_id % curation.BENCHMARK_MOD != 0:
+            by_doc.setdefault(s.doc_id, set()).add(s.shingle)
+    expect = {
+        d: len(shs & bench)
+        for d, shs in by_doc.items()
+        if len(shs & bench) >= curation.CONTAM_MIN_SHINGLES
+    }
+    assert {r.doc_id: r.n_shared for r in rows} == expect
+
+
+def test_stratified_sample_layout_independent(spark, sf_dir):
+    """Quota respected per stratum, and the selected set is identical under
+    a different input partitioning — the reproducibility property that
+    motivates hash-ordered sampling over df.sample."""
+    from collections import Counter
+
+    from mapreduce_simulation_spark.operators import curation
+
+    rows = curation.stratified_sample(spark, sf_dir).collect()
+    per_lang = Counter(r.lang for r in rows)
+    assert all(n <= curation.SAMPLE_PER_LANG for n in per_lang.values())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(7)
+    docs.createOrReplaceTempView("_strat_reparted")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduce_simulation_spark.functions.hashing import char_hash
+
+    w = Window.partitionBy("lang").orderBy(
+        char_hash(F.col("text")).asc(), F.col("doc_id").asc()
+    )
+    again = (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .where(F.col("sample_rank") <= curation.SAMPLE_PER_LANG)
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_corpus_mix_repeats_each_doc_weight_times(spark, sf_dir):
+    """Every document appears exactly `weight` times with copy indexes
+    1..weight, and weights stay within the declared bucket range."""
+    from collections import defaultdict
+
+    from mapreduce_simulation_spark.operators import curation
+
+    rows = curation.corpus_mix(spark, sf_dir).collect()
+    copies = defaultdict(list)
+    for r in rows:
+        assert 1 <= r.weight <= curation.MIX_WEIGHT_BUCKETS
+        copies[(r.doc_id, r.weight)].append(r.copy_idx)
+    for (_, weight), idxs in copies.items():
+        assert sorted(idxs) == list(range(1, weight + 1))
+
+
+def test_span_dedup_keeps_each_chunk_exactly_once(spark, sf_dir):
+    """Corpus-wide, the number of kept chunks must equal the number of
+    distinct chunk strings, and per-doc counters must be consistent."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.operators import curation
+    from mapreduce_simulation_spark.operators.text import tokens
+    from mapreduce_simulation_spark.tables import load_table
+
+    out = curation.span_dedup(spark, sf_dir)
+    rows = out.collect()
+    assert all(0 <= r.n_kept <= r.n_chunks for r in rows)
+    total_kept = sum(r.n_kept for r in rows)
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor(((n - 1) / curation.CHUNK_TOKENS)).cast("int")),
+        lambda i: F.array_join(
+            F.slice(toks, i * curation.CHUNK_TOKENS + 1, curation.CHUNK_TOKENS), " "
+        ),
+    )
+    n_distinct = (
+        docs.where(n > 0)
+        .select(F.explode(chunks).alias("chunk"))
+        .select("chunk")
+        .distinct()
+        .count()
+    )
+    assert total_kept == n_distinct
+
+
+def test_repetition_stats_consistent_with_token_counts(spark, sf_dir):
+    """n_tokens must match the shared tokenizer's count; the keep flag must
+    equal the integer rules applied to the emitted counters."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.operators import curation
+    from mapreduce_simulation_spark.operators.text import tokens
+    from mapreduce_simulation_spark.tables import load_table
+
+    rows = {r.doc_id: r for r in curation.repetition_stats(spark, sf_dir).collect()}
+    counts = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    assert set(rows) == {d for d, n in counts.items() if n > 0}
+    for d, r in rows.items():
+        assert r.n_tokens == counts[d]
+        assert r.top_token_n >= 1
+        assert 0 <= r.n_dup_bigrams <= r.n_bigrams
+        assert r.keep == (
+            r.top_token_n * 5 <= r.n_tokens
+            and r.n_dup_bigrams * 5 <= r.n_bigrams
+        )

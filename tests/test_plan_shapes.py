@@ -47,6 +47,18 @@ SHAPES = [
     # agg below the join: the orders side partial-aggregates BEFORE the
     # join, so no exchange of raw order rows survives
     ("left_outer_order_counts", 1, 0, "HashAggregate"),
+    # per-stratum quota: group-limit prefilters each map partition to its
+    # local top-20 BEFORE the single lang exchange
+    ("stratified_sample", 1, 0, "WindowGroupLimit"),
+    # benchmark shingle set broadcasts — corpus shingles never shuffle for
+    # the join itself (3 exchanges: token window, shingle distinct, final agg)
+    ("decontaminate", 3, 1, "BroadcastHashJoin"),
+    # weights dim broadcasts; the upsampling explode is a narrow generator,
+    # so the only exchange is the weights-side distinct
+    ("corpus_mix", 1, 1, "BroadcastHashJoin"),
+    # keep-first over chunks + per-doc reassembly: two keyed exchanges,
+    # no extra sort/shuffle beyond them
+    ("span_dedup", 2, 0, "Window"),
 ]
 
 
