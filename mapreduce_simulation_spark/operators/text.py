@@ -134,3 +134,70 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return docs.select("doc_id", cleaned.alias("norm_text"))
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 most characteristic terms by tf-idf with a linear
+    idf (score = tf · N / df): ln-free so the score is a ratio of small
+    integers — bit-identical IEEE division on both engines — where
+    ln(N/df)'s last-ulp behavior is libm-dependent and would make rank ties
+    engine-specific. Rank ties break on the term string.
+
+    The shape is the classic two-pass: token counts per (doc, term), doc
+    frequency per term, broadcast the (small) df table back, rank per doc.
+    Scale: tf and df are both map-side partial aggregates on hashed keys;
+    df is |vocabulary| rows (≪ corpus, broadcastable — natural-language
+    vocabularies grow sublinearly); the rank is a WindowGroupLimit-pushed
+    top-k per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.lit(float(n_docs)) / F.col("df")).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (SELECT CAST(n_docs AS DOUBLE) FROM n) / df.df AS tfidf
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= {TFIDF_TOP_K}
+"""

@@ -628,3 +628,78 @@ def exists_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+def partitioned_source_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout as a first-class source path: documents
+    staged partitioned by lang, read back with a lang predicate that prunes
+    to two of five partition directories (PartitionFilters in the scan — the
+    files for other langs are never opened). At 100 TB, partitioning on the
+    dominant filter column is the difference between scanning 2/5 of the
+    corpus and all of it; the plan-shape test asserts the pruning. Oracle
+    runs on the original table — valid because the partitioned roundtrip is
+    lossless."""
+    from ..staging import staging_dir
+
+    stage = staging_dir("docs_by_lang_")
+    load_table(spark, sf_dir, "documents").write.partitionBy("lang").mode(
+        "overwrite"
+    ).parquet(stage)
+    docs = spark.read.parquet(stage)
+    return (
+        docs.where(F.col("lang").isin("de", "es"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join as a first-class query: lineitem and orders
+    staged bucketed+sorted on the order key (8 buckets), then sort-merge
+    joined bucket-to-bucket with NO exchange on either side — the
+    deployment lever for a recurring fact-fact join at 100 TB (pay the
+    shuffle once at layout time, never per query). The merge hint forces
+    SMJ without mutating session conf; the plan-shape test asserts
+    exchange-free. Oracle is the same join+agg on the original tables —
+    the bucketed layout holds identical rows."""
+    from ..staging import staging_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    # External tables at fresh staging paths: the default warehouse dir
+    # outlives the (in-memory) catalog across sessions, so a managed table
+    # would collide with its own leftover location on the next run.
+    spark.sql("DROP TABLE IF EXISTS q_li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS q_ord_bucketed")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", staging_dir("li_bucketed_") + "/t"
+    ).mode("overwrite").saveAsTable("q_li_bucketed")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", staging_dir("ord_bucketed_") + "/t"
+    ).mode("overwrite").saveAsTable("q_ord_bucketed")
+    joined = spark.table("q_li_bucketed").join(
+        spark.table("q_ord_bucketed").hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(22,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderstatus")
+    )

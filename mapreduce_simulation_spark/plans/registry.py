@@ -504,6 +504,37 @@ register(
     curation.REPETITION_STATS_SQL,
 )
 register("span_dedup", curation.span_dedup, curation.SPAN_DEDUP_SQL)
+register("tfidf_top_terms", text.tfidf_top_terms, text.TFIDF_TOP_TERMS_SQL)
+
+from .extended import bucketed_join_revenue as _bjr  # noqa: E402
+from .extended import partitioned_source_pruned as _psp  # noqa: E402
+
+register(
+    "partitioned_source_pruned",
+    _psp,
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('de', 'es')
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+
+register(
+    "bucketed_join_revenue",
+    _bjr,
+    """
+    SELECT o_orderstatus,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+        AS DOUBLE) AS revenue,
+      count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
 
 # ---------------------------------------------------------------------------
 # Similarity search (LLM-pipeline operators)

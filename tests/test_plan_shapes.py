@@ -59,6 +59,13 @@ SHAPES = [
     # keep-first over chunks + per-doc reassembly: two keyed exchanges,
     # no extra sort/shuffle beyond them
     ("span_dedup", 2, 0, "Window"),
+    # df table broadcasts back; per-doc top-k prefiltered below the exchange
+    ("tfidf_top_terms", 4, 1, "WindowGroupLimit"),
+    # lang predicate must prune partition directories at the scan
+    ("partitioned_source_pruned", 2, 0, "IN (de,es)]"),
+    # bucketed layout: the SMJ reads co-located buckets, zero join exchange
+    # (the 2 allowed are the final agg + declared order)
+    ("bucketed_join_revenue", 2, 0, "SelectedBucketsCount: 8 out of 8"),
 ]
 
 
