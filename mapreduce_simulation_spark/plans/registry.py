@@ -685,6 +685,35 @@ register(
     "SELECT DISTINCT user_id, event_type FROM events",
 )
 
+# Sliding windows: each event expands to window/slide overlapping windows;
+# the oracle replays Spark's epoch-aligned window assignment in integer
+# microsecond arithmetic (window [k*S, k*S+W) covers e iff
+# (e-W)//S < k <= e//S), so overlap semantics are hash-checked exactly.
+from ..streaming.events import (  # noqa: E402
+    streaming_events_sliding as _stream_sliding,
+)
+
+register(
+    "streaming_events_sliding",
+    _stream_sliding,
+    """
+    WITH ev AS (
+      SELECT event_type, value, epoch_us(ts) AS e FROM events
+    ),
+    expanded AS (
+      SELECT event_type, value,
+             unnest(generate_series((e - 3600000000) // 1800000000 + 1,
+                                    e // 1800000000)) AS k
+      FROM ev
+    )
+    SELECT make_timestamp(k * 1800000000) AS window_start,
+           make_timestamp(k * 1800000000 + 3600000000) AS window_end,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY 1, 2, 3
+    """,
+)
+
 register(
     "streaming_events_hourly",
     _stream_hourly,

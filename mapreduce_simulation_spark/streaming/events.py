@@ -220,3 +220,48 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("stream_dedup_keys")
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window counts and value sums per event type: each event lands
+    in window/slide overlapping windows (2 here). State is bounded exactly
+    as tumbling — watermark closes every window whose end passes it; the
+    multiplicity only multiplies open-window count, not per-window state."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing sliding-window streaming query (window 1 h, slide
+    30 min) — same staging/drain harness as streaming_events_hourly. The
+    oracle expands each event to its two covering windows with epoch-aligned
+    integer arithmetic (Spark windows align to the epoch), so the overlap
+    semantics are checked exactly, not just row counts."""
+    from ..staging import staging_dir
+    from ..tables import load_table
+
+    stage = staging_dir("events_sliding_")
+    load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = read_event_stream(spark, stage)
+    return run_to_memory(
+        sliding_counts(stream, "1 hour", "30 minutes"), "events_sliding_stream"
+    )

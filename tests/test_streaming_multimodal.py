@@ -44,6 +44,39 @@ def test_windowed_counts_stream_equals_batch(spark, event_files):
     assert got == want
 
 
+def test_sliding_counts_stream_equals_batch(spark, event_files):
+    """Incremental multi-batch (one file per trigger) sliding-window agg
+    must equal the batch plan — and each event must land in exactly 2
+    overlapping windows (1 h window, 30 min slide)."""
+    stream = sev.read_event_stream(spark, event_files)
+    result = sev.run_to_memory(
+        sev.sliding_counts(stream, "1 hour", "30 minutes"), "slide_counts"
+    )
+    batch = (
+        spark.read.parquet(event_files)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    n_events_total = sum(r[3] for r in got)
+    assert n_events_total == 2 * spark.read.parquet(event_files).count()
+
+
 def test_session_windows_stream_counts(spark, event_files):
     stream = sev.read_event_stream(spark, event_files, max_files_per_trigger=None)
     result = sev.run_to_memory(sev.session_windows(stream), "sessions")
