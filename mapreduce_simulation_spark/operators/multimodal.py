@@ -287,3 +287,49 @@ SELECT doc_id, CAST(k AS INTEGER) AS frame_id,
 FROM strides, (SELECT unnest(generate_series(0, {N_FRAMES - 1})) AS k) ks
 WHERE k * stride < n
 """
+
+
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY payload: canonical assignment by md5 of
+    the media bytes — the multimodal twin of dedup_exact (which fingerprints
+    text). md5 over bytes is the right key for opaque media: identical
+    payloads collide regardless of metadata, and the 16-byte key is what
+    shuffles, never the blob (the scan prunes `media` down to the hash
+    immediately; the window moves doc_id + fp only). Echoes the reference's
+    own md5-keyed routing (reference worker/__main__.py:62-65), applied to
+    content identity instead of shuffle placement.
+
+    Oracle: DuckDB md5(text) hashes the same UTF-8 bytes the synthesized
+    payload holds, so the hex keys agree exactly.
+    """
+    from pyspark.sql.window import Window
+
+    media = synthesize_media(spark, sf_dir)
+    w = Window.partitionBy("fp")
+    return (
+        media.select(
+            "doc_id", "media_type", F.md5(F.col("media")).alias("fp")
+        )
+        .select(
+            "doc_id",
+            "media_type",
+            F.min("doc_id").over(w).alias("canonical_id"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+    )
+
+
+MEDIA_DEDUP_SQL = """
+WITH fps AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         md5(text) AS fp
+  FROM documents
+)
+SELECT doc_id, media_type,
+       min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       count(*) OVER (PARTITION BY fp) AS group_size
+FROM fps
+"""

@@ -637,6 +637,7 @@ register("media_features", _mm.media_feature_bins, _mm.MEDIA_FEATURE_BINS_SQL)
 # Resize / frame-sample: the pandas stages do the real byte slicing; the
 # structural outputs (sizes, frame multiplication) are integer arithmetic
 # the oracle reproduces exactly.
+register("media_dedup", _mm.media_dedup, _mm.MEDIA_DEDUP_SQL)
 register("media_resize", _mm.resize_media, _mm.RESIZE_MEDIA_SQL)
 register("media_frame_sample", _mm.frame_sample, _mm.FRAME_SAMPLE_SQL)
 
