@@ -39,3 +39,56 @@ def group_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         rank_group, schema="event_type string, event_id bigint, value double, rk int"
     )
+
+
+def embedding_argmax_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector integer descriptors computed through ``mapInArrow`` — the
+    zero-copy tier of the UDF surface (below applyInPandas/mapInPandas):
+    the function sees raw ``pyarrow.RecordBatch``es, so there is no
+    pandas materialization at all; numpy reads the Arrow buffers directly.
+    Right tier for tight numeric kernels over wide array columns at 100 TB —
+    narrow map, no shuffle, batch-at-a-time memory.
+
+    Outputs are integers (dimension count, count of strictly-positive
+    components, 1-based first-argmax index), so the DuckDB list-function
+    oracle matches exactly despite float32 inputs."""
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def describe(batches):
+        import numpy as np
+
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            embs = batch.column("embedding")
+            n_dims, n_pos, argmax = [], [], []
+            for i in range(batch.num_rows):
+                v = np.asarray(embs[i].values, dtype=np.float32)
+                n_dims.append(len(v))
+                n_pos.append(int((v > 0).sum()))
+                argmax.append(int(v.argmax()) + 1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_ids,
+                    pa.array(n_dims, pa.int64()),
+                    pa.array(n_pos, pa.int64()),
+                    pa.array(argmax, pa.int64()),
+                ],
+                ["vec_id", "n_dims", "n_positive", "argmax_idx"],
+            )
+
+    return emb.mapInArrow(
+        describe,
+        "vec_id bigint, n_dims bigint, n_positive bigint, argmax_idx bigint",
+    )
+
+
+EMBEDDING_ARGMAX_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+       CAST(list_indexof(embedding, list_max(embedding)) AS BIGINT)
+         AS argmax_idx
+FROM embeddings
+"""

@@ -703,3 +703,29 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube): revenue
+    by (year, status), by year alone, and by status alone — but NOT the
+    grand total, which neither rollup nor cube can express alone;
+    grouping_id disambiguates the NULL-as-aggregate rows from genuine
+    NULLs. One Expand + one aggregation exchange, same engine path as
+    rollup_revenue/cube_revenue."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_gsets_x"
+    )
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS yr, o_orderstatus,
+               CAST(grouping_id(year(o_orderdate), o_orderstatus) AS BIGINT)
+                 AS gid,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_orders
+        FROM orders_gsets_x
+        GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+                                (year(o_orderdate)), (o_orderstatus))
+        ORDER BY gid, yr NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )

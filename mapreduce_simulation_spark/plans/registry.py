@@ -506,6 +506,25 @@ register(
 register("span_dedup", curation.span_dedup, curation.SPAN_DEDUP_SQL)
 register("tfidf_top_terms", text.tfidf_top_terms, text.TFIDF_TOP_TERMS_SQL)
 
+from .extended import grouping_sets_revenue as _gsr  # noqa: E402
+
+register(
+    "grouping_sets_revenue",
+    _gsr,
+    """
+    SELECT year(o_orderdate) AS yr, o_orderstatus,
+           CAST(grouping_id(year(o_orderdate), o_orderstatus) AS BIGINT)
+             AS gid,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+                            (year(o_orderdate)), (o_orderstatus))
+    ORDER BY gid, yr NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+
 from .extended import bucketed_join_revenue as _bjr  # noqa: E402
 from .extended import partitioned_source_pruned as _psp  # noqa: E402
 
@@ -1104,3 +1123,12 @@ register(
     ORDER BY period_id
     """,
 )
+
+# mapInArrow: the zero-copy tier of the UDF surface — raw RecordBatches,
+# no pandas materialization; integer outputs keep the oracle exact.
+from ..operators.pandas_ops import (  # noqa: E402
+    EMBEDDING_ARGMAX_SQL as _argmax_sql,
+    embedding_argmax_arrow as _argmax_arrow,
+)
+
+register("embedding_argmax_arrow", _argmax_arrow, _argmax_sql)
