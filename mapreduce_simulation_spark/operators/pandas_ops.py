@@ -92,3 +92,56 @@ SELECT vec_id,
          AS argmax_idx
 FROM embeddings
 """
+
+
+MG_CAPACITY = 64
+HEAVY_HITTERS_TOP = 20
+
+
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent tokens via a per-partition Misra-Gries sketch
+    (MG_CAPACITY counters) merged by key — the bounded-memory answer when
+    the key space itself doesn't fit (exact word_count shuffles every
+    distinct key; the sketch shuffles ≤ MG_CAPACITY rows per partition no
+    matter how large the vocabulary grows).
+
+    Guarantee (classic MG): each partition undercounts any token by at most
+    n_p / MG_CAPACITY, so the merged count is a lower bound within
+    N / MG_CAPACITY of truth, and every token with true frequency above
+    that error bound survives the sketch. The per-batch merge (add the
+    batch's counts, then subtract the (capacity+1)-th largest and drop
+    non-positives) preserves the bound.
+
+    Output: top HEAVY_HITTERS_TOP tokens by merged sketched count
+    (lower bounds). Rows-only: sketch contents legitimately depend on the
+    partitioning; the accuracy contract is asserted in tests against exact
+    counts instead of a SQL oracle.
+    """
+    from pyspark.sql import functions as F
+
+    from .text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for word, cnt in pdf["word"].value_counts().items():
+                counters[word] = counters.get(word, 0) + int(cnt)
+            if len(counters) > MG_CAPACITY:
+                cut = sorted(counters.values(), reverse=True)[MG_CAPACITY]
+                counters = {
+                    w: c - cut for w, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame(
+            {"word": list(counters), "mg_count": list(counters.values())}
+        )
+
+    sketch = tok.mapInPandas(mg_partition, "word string, mg_count bigint")
+    return (
+        sketch.groupBy("word")
+        .agg(F.sum("mg_count").alias("sketch_count"))
+        .orderBy(F.col("sketch_count").desc(), F.col("word").asc())
+        .limit(HEAVY_HITTERS_TOP)
+    )

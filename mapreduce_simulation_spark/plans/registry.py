@@ -1132,3 +1132,10 @@ from ..operators.pandas_ops import (  # noqa: E402
 )
 
 register("embedding_argmax_arrow", _argmax_arrow, _argmax_sql)
+
+# Misra-Gries heavy hitters: rows-only by design — sketch contents depend
+# on the partitioning; the N/capacity accuracy contract is asserted in
+# tests against exact counts.
+from ..operators.pandas_ops import heavy_hitters_sketch as _mg_hh  # noqa: E402
+
+register("heavy_hitters_sketch", _mg_hh, None)

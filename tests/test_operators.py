@@ -392,3 +392,36 @@ def test_repetition_stats_consistent_with_token_counts(spark, sf_dir):
             r.top_token_n * 5 <= r.n_tokens
             and r.n_dup_bigrams * 5 <= r.n_bigrams
         )
+
+
+def test_heavy_hitters_sketch_contract(spark, sf_dir):
+    """The merged Misra-Gries counts must be lower bounds within
+    N/capacity of the exact counts, and every token whose exact count
+    clears the error bound must be in the sketch's top list."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.operators import pandas_ops as po
+    from mapreduce_simulation_spark.operators.text import tokens
+    from mapreduce_simulation_spark.tables import load_table
+
+    got = {r.word: r.sketch_count for r in po.heavy_hitters_sketch(spark, sf_dir).collect()}
+    assert len(got) == po.HEAVY_HITTERS_TOP
+
+    exact_df = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .count()
+    )
+    exact = {r.word: r["count"] for r in exact_df.collect()}
+    n_total = sum(exact.values())
+    err = n_total / po.MG_CAPACITY
+
+    for w, c in got.items():
+        assert c <= exact[w], (w, c, exact[w])
+        assert c >= exact[w] - err, (w, c, exact[w], err)
+
+    floor = sorted(got.values())[0]
+    for w, c in exact.items():
+        if c - err > floor:
+            assert w in got, (w, c, floor, err)
