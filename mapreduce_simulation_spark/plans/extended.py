@@ -729,3 +729,51 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, yr NULLS FIRST, o_orderstatus NULLS FIRST
         """
     )
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on plain parquet tables (no Delta/Iceberg in
+    this environment): an updates feed — price corrections for every 50th
+    order plus brand-new orders — applied to the base table as
+    WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT. Expressed as a
+    full-outer join on the key with coalesce(updated, base) per column —
+    exactly the reconciliation plan a MERGE executes underneath.
+
+    Scale: one shuffle on the merge key for each side (or zero with
+    bucketed layouts — see bucketed_join_revenue); the updates side is
+    usually small → broadcastable, making MERGE a map-side operation. The
+    `is_updated` flag carries provenance for auditability.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = (
+        orders.where(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+        .union(
+            orders.where(F.col("o_orderkey") % 77 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+    )
+    b = orders.alias("b")
+    u = updates.alias("u")
+    merged = b.join(
+        u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer"
+    )
+    pick = lambda c: F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+    return merged.select(
+        pick("o_orderkey"),
+        pick("o_custkey"),
+        pick("o_totalprice"),
+        pick("o_orderstatus"),
+        F.col("u.o_orderkey").isNotNull().alias("is_updated"),
+    )

@@ -1139,3 +1139,31 @@ register("embedding_argmax_arrow", _argmax_arrow, _argmax_sql)
 from ..operators.pandas_ops import heavy_hitters_sketch as _mg_hh  # noqa: E402
 
 register("heavy_hitters_sketch", _mg_hh, None)
+
+# MERGE/upsert as full-outer reconciliation; the oracle replays the same
+# updates feed with SQL set logic.
+from .extended import merge_upsert_orders as _merge_upsert  # noqa: E402
+
+register(
+    "merge_upsert_orders",
+    _merge_upsert,
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM base WHERE o_orderkey % 50 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, o_totalprice, 'N'
+      FROM base WHERE o_orderkey % 77 = 0
+    )
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+           coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           u.o_orderkey IS NOT NULL AS is_updated
+    FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
