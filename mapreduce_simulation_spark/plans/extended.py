@@ -777,3 +777,67 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("o_orderstatus"),
         F.col("u.o_orderkey").isNotNull().alias("is_updated"),
     )
+
+
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling audit over orders: one row per column with null
+    count, approximate-free exact distinct count, and min/max rendered as
+    strings — the schema-stable long form every ingestion pipeline runs
+    before trusting a feed. Single pass: all per-column aggregates compute
+    in ONE partial/final aggregation over one scan (no per-column jobs);
+    the long-form pivot is a literal stack, not a shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = orders.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        (F.col(f"{c}__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+                        F.col(f"{c}__nd").alias("n_distinct"),
+                        F.col(f"{c}__mn").alias("min_value"),
+                        F.col(f"{c}__mx").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*").orderBy("column_name")
+
+
+TABLE_PROFILE_SQL = """
+SELECT column_name, n_nulls, n_distinct, min_value, max_value FROM (
+  SELECT 'o_orderkey' AS column_name,
+         count(*) - count(o_orderkey) AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*) - count(o_custkey), count(DISTINCT o_custkey),
+         CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus),
+         CAST(min(o_orderstatus) AS VARCHAR),
+         CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(*) - count(o_totalprice),
+         count(DISTINCT o_totalprice),
+         CAST(min(o_totalprice) AS VARCHAR),
+         CAST(max(o_totalprice) AS VARCHAR) FROM orders
+)
+ORDER BY column_name
+"""

@@ -1167,3 +1167,12 @@ register(
     FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
     """,
 )
+
+# Data-profiling audit: one scan, all per-column aggregates in a single
+# aggregation, long form via a literal stack.
+from .extended import (  # noqa: E402
+    TABLE_PROFILE_SQL as _profile_sql,
+    table_profile_orders as _table_profile,
+)
+
+register("table_profile_orders", _table_profile, _profile_sql)
