@@ -841,3 +841,40 @@ SELECT column_name, n_nulls, n_distinct, min_value, max_value FROM (
 )
 ORDER BY column_name
 """
+
+
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution source path: two parquet generations staged side by
+    side — v1 lacks the `quality_tier` column that v2 adds — read as one
+    dataset with mergeSchema, which back-fills v1 rows with NULL. The
+    standard situation in any long-lived 100 TB lake (columns appear over
+    time; re-writing history is not an option). mergeSchema costs a footer
+    read per file at planning; pin the unified schema explicitly in
+    recurring production reads. Aggregation counts tiered vs legacy rows
+    per lang so the NULL back-fill itself is what's checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..staging import staging_dir
+
+    stage = staging_dir("docs_evolved_")
+    docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(stage + "/v1")
+    docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(F.col("n_chars") >= 120, "high").otherwise("low").alias(
+            "quality_tier"
+        ),
+    ).write.mode("overwrite").parquet(stage + "/v2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        stage + "/v1", stage + "/v2"
+    )
+    return (
+        merged.groupBy("lang", "quality_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", F.col("quality_tier").asc_nulls_first())
+    )

@@ -1176,3 +1176,23 @@ from .extended import (  # noqa: E402
 )
 
 register("table_profile_orders", _table_profile, _profile_sql)
+
+# Schema evolution: v1 files lack quality_tier; mergeSchema back-fills
+# NULL — the oracle derives the same tier for odd doc_ids and NULL for even.
+from .extended import schema_evolution_union as _schema_evo  # noqa: E402
+
+register(
+    "schema_evolution_union",
+    _schema_evo,
+    """
+    SELECT lang,
+           CASE WHEN doc_id % 2 = 1
+                THEN CASE WHEN n_chars >= 120 THEN 'high' ELSE 'low' END
+           END AS quality_tier,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, quality_tier NULLS FIRST
+    """,
+)
