@@ -356,3 +356,106 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Pseudonymization (privacy step: stable opaque keys, analytics preserved)
+# ---------------------------------------------------------------------------
+
+def pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing that keeps analytic joinability: customer names are
+    replaced by sha256 digests (stable → joins/group-bys still line up
+    across tables and runs; opaque → the original string never leaves the
+    scan). In production the digest is keyed (HMAC with a rotated secret) —
+    the plan is identical, only the key literal changes. Narrow map, zero
+    shuffle beyond the declared ordering; sha256 is JVM-side codegen.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            F.sha2(F.col("c_name").cast("binary"), 256).alias("name_token"),
+            "c_nationkey",
+            "c_mktsegment",
+            "c_acctbal",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+PSEUDONYMIZE_SQL = """
+SELECT c_custkey,
+       sha256(c_name) AS name_token,
+       c_nationkey, c_mktsegment, c_acctbal
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model counts (n-gram LM table construction)
+# ---------------------------------------------------------------------------
+
+LM_MIN_COUNT = 3
+
+
+def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram table with MLE conditional probability — the
+    construction step of a count-based n-gram LM (and of the perplexity
+    filters built on one). Emits (w1, w2, pair_n, prefix_n, p_mle) for
+    bigrams seen ≥ LM_MIN_COUNT times; p_mle = pair_n / prefix_n is a ratio
+    of small integers, IEEE-exact on both engines.
+
+    Scale: two partial aggregations on token hashes (pair counts, prefix
+    counts) + a broadcastable prefix join — shuffle is count rows, never
+    text positions. The min-count filter applies before the join, which is
+    what keeps the pair table's long tail off the wire.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w1")
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "w1", F.lead("w1", 1).over(wseq).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    prefix = pair.groupBy("w1").agg(F.sum("pair_n").alias("prefix_n"))
+    return (
+        pair.where(F.col("pair_n") >= LM_MIN_COUNT)
+        .join(F.broadcast(prefix), "w1")
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            "prefix_n",
+            (F.col("pair_n").cast("double") / F.col("prefix_n")).alias("p_mle"),
+        )
+    )
+
+
+BIGRAM_LM_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w1,
+         generate_subscripts(list_filter(str_split_regex(lower(text), '\s+'),
+                                         x -> x <> ''), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT w1, w2 FROM (
+    SELECT doc_id, w1,
+           lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+  ) WHERE w2 IS NOT NULL
+),
+pair AS (SELECT w1, w2, count(*) AS pair_n FROM big GROUP BY w1, w2),
+prefix AS (SELECT w1, sum(pair_n) AS prefix_n FROM pair GROUP BY w1)
+SELECT p.w1, p.w2, p.pair_n, x.prefix_n,
+       CAST(p.pair_n AS DOUBLE) / x.prefix_n AS p_mle
+FROM pair p JOIN prefix x USING (w1)
+WHERE p.pair_n >= {LM_MIN_COUNT}
+"""

@@ -1196,3 +1196,11 @@ register(
     ORDER BY lang, quality_tier NULLS FIRST
     """,
 )
+
+# Privacy + n-gram LM curation steps.
+register(
+    "pseudonymize_customers",
+    curation.pseudonymize_customers,
+    curation.PSEUDONYMIZE_SQL,
+)
+register("bigram_lm_counts", curation.bigram_lm_counts, curation.BIGRAM_LM_SQL)
