@@ -459,3 +459,183 @@ SELECT p.w1, p.w2, p.pair_n, x.prefix_n,
 FROM pair p JOIN prefix x USING (w1)
 WHERE p.pair_n >= {LM_MIN_COUNT}
 """
+
+
+# ---------------------------------------------------------------------------
+# Percentile-trimmed corpus (quantile-threshold quality filter)
+# ---------------------------------------------------------------------------
+
+def percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the length-outlier tails: keep documents whose n_chars lies
+    within the corpus's exact [p10, p90] — the distribution-relative trim
+    pipelines prefer over fixed thresholds (robust to corpus drift). The
+    thresholds are a 1-row aggregate crossed back onto the scan (broadcast
+    nested loop of a single row — effectively free), so the whole filter is
+    one scan + one O(1) join; Spark `percentile` is bit-equal to DuckDB
+    `quantile_cont` on this data (see quantiles_summary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.percentile("n_chars", F.lit(0.1)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.9)).alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+PERCENTILE_TRIM_SQL = """
+WITH b AS (
+  SELECT quantile_cont(n_chars, 0.1) AS lo,
+         quantile_cont(n_chars, 0.9) AS hi
+  FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM documents, b
+WHERE n_chars >= b.lo AND n_chars <= b.hi
+"""
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (tokenize-and-split with overlap)
+# ---------------------------------------------------------------------------
+
+WINDOW_TOKENS = 32
+WINDOW_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def chunk_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into WINDOW_TOKENS-token training windows with
+    an 8-token overlap (stride WINDOW_STRIDE) — the tokenize-and-split step
+    that turns variable-length documents into model-sized inputs while the
+    overlap preserves cross-boundary context. Emits (doc_id, chunk_idx,
+    n_tokens, chunk_text); the final short window is kept iff it adds
+    tokens beyond the previous window's coverage (start < n).
+
+    Scale: narrow generator over the scan (transform + posexplode), no
+    shuffle at all; output size is input × (1 + overlap/stride).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_windows = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(WINDOW_TOKENS)) / F.lit(WINDOW_STRIDE)).cast("int")
+        + 1,
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.slice(toks, i * WINDOW_STRIDE + 1, WINDOW_TOKENS),
+    )
+    return (
+        docs.where(n > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+CHUNK_FOR_TRAINING_SQL = rf"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+nw AS (
+  SELECT doc_id, tk,
+         greatest(1, CAST(ceil((len(tk) - {WINDOW_TOKENS})
+                               / CAST({WINDOW_STRIDE} AS DOUBLE)) AS INT) + 1)
+           AS n_windows
+  FROM tokd WHERE len(tk) > 0
+),
+ch AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0, n_windows - 1)) AS chunk_idx
+  FROM nw
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(tk[chunk_idx * {WINDOW_STRIDE} + 1 :
+                   chunk_idx * {WINDOW_STRIDE} + {WINDOW_TOKENS}]) AS BIGINT)
+         AS n_tokens,
+       array_to_string(tk[chunk_idx * {WINDOW_STRIDE} + 1 :
+                          chunk_idx * {WINDOW_STRIDE} + {WINDOW_TOKENS}], ' ')
+         AS chunk_text
+FROM ch
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (contiguous bin assignment by cumulative token count)
+# ---------------------------------------------------------------------------
+
+PACK_CAPACITY = 512
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in doc_id order) into fixed-capacity training
+    sequences by cumulative token count: doc d goes to sequence
+    floor(cumsum_before(d) / PACK_CAPACITY) — the deterministic contiguous
+    packing that turns a curated corpus into equal-budget training rows
+    without shuffling document order. Emits per-doc assignment plus the
+    sequence's fill statistics.
+
+    Scale: the running sum is a single global-ordered window — the one
+    construction here that genuinely needs a total order (range-partitioned
+    sort, same as global_sort); everything after is a partial agg on seq_id.
+    In production the cumsum runs per shard (partitionBy shard_id) to keep
+    the sort distributed; the global form is the spec.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    with_seq = (
+        docs.select("doc_id", n_tok.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                / PACK_CAPACITY
+            ).alias("seq_id"),
+        )
+    )
+    stats = with_seq.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs_in_seq"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+    return (
+        with_seq.join(stats, "seq_id")
+        .select("doc_id", "n_tokens", "seq_id", "n_docs_in_seq", "seq_tokens")
+    )
+
+
+SEQUENCE_PACKING_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(str_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {PACK_CAPACITY}) AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT s.doc_id, s.n_tokens, s.seq_id, g.n_docs_in_seq, g.seq_tokens
+FROM seq s JOIN (
+  SELECT seq_id, count(*) AS n_docs_in_seq, sum(n_tokens) AS seq_tokens
+  FROM seq GROUP BY seq_id
+) g USING (seq_id)
+"""

