@@ -1218,3 +1218,14 @@ register(
     curation.sequence_packing,
     curation.SEQUENCE_PACKING_SQL,
 )
+
+# Watermark-bounded streaming dedup: state TTL = watermark horizon.
+from ..streaming.events import (  # noqa: E402
+    streaming_dedup_within_watermark as _stream_dedup_wm,
+)
+
+register(
+    "streaming_dedup_within_watermark",
+    _stream_dedup_wm,
+    "SELECT DISTINCT user_id, event_type FROM events",
+)

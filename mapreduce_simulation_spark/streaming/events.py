@@ -265,3 +265,40 @@ def streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         sliding_counts(stream, "1 hour", "30 minutes"), "events_sliding_stream"
     )
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps a
+    key's state only until the watermark passes its event time, so the
+    state store holds (keys live within the watermark horizon) instead of
+    (all keys ever) — the production shape when the key space is unbounded
+    but duplicates arrive close together (retries, at-least-once sources).
+    Single-batch drain makes the emitted set equal global DISTINCT on the
+    key columns, so the exact oracle applies; the eviction behavior itself
+    is the API contract (state TTL = watermark), not visible in the
+    result."""
+    from ..staging import staging_dir
+    from ..tables import load_table
+
+    stage = staging_dir("events_dedup_wm_")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    ev = read_event_stream(spark, stage, max_files_per_trigger=None)
+    deduped = (
+        ev.withWatermark("ts", WATERMARK)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_dedup_wm")
