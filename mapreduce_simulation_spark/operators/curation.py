@@ -412,8 +412,6 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     what keeps the pair table's long tail off the wire.
     """
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
-
     tok = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w1")
     )

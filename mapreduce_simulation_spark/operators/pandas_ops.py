@@ -62,16 +62,32 @@ def embedding_argmax_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             vec_ids = batch.column("vec_id")
             embs = batch.column("embedding")
-            n_dims, n_pos, argmax = [], [], []
-            for i in range(batch.num_rows):
-                v = np.asarray(embs[i].values, dtype=np.float32)
-                n_dims.append(len(v))
-                n_pos.append(int((v > 0).sum()))
-                argmax.append(int(v.argmax()) + 1)
+            offs = np.asarray(embs.offsets)
+            vals = np.asarray(embs.values, dtype=np.float32)
+            widths = np.diff(offs).astype(np.int64)
+            if widths.size and (widths == widths[0]).all() and widths[0] > 0:
+                # Fixed-width lists (the embedding case): one reshape over
+                # the flat Arrow values buffer, fully vectorized — no
+                # per-row Python, which is the point of this tier.
+                m = vals[offs[0] : offs[-1]].reshape(-1, int(widths[0]))
+                n_pos = (m > 0).sum(axis=1).astype(np.int64)
+                argmax = m.argmax(axis=1).astype(np.int64) + 1
+            else:  # ragged fallback (not hit by the embeddings table)
+                n_pos = np.array(
+                    [int((vals[a:b] > 0).sum()) for a, b in zip(offs, offs[1:])],
+                    dtype=np.int64,
+                )
+                argmax = np.array(
+                    [
+                        int(vals[a:b].argmax()) + 1 if b > a else 0
+                        for a, b in zip(offs, offs[1:])
+                    ],
+                    dtype=np.int64,
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     vec_ids,
-                    pa.array(n_dims, pa.int64()),
+                    pa.array(widths, pa.int64()),
                     pa.array(n_pos, pa.int64()),
                     pa.array(argmax, pa.int64()),
                 ],

@@ -154,7 +154,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k per doc.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # n_docs stays IN the plan as a broadcast 1-row aggregate (no eager
+    # count() job at build time — that would be a second full corpus scan).
+    n_tbl = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
@@ -163,12 +165,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql.window import Window
 
-    scored = tf.join(F.broadcast(df_tbl), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        (F.col("tf") * F.lit(float(n_docs)) / F.col("df")).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.col("n_docs") / F.col("df")).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

@@ -747,6 +747,9 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
+    # New keys are the negation of an existing key: orderkeys are strictly
+    # positive at every scale factor, so -k can never collide with a real
+    # key (k + 10^9 would, once SF pushes the key space past 10^9).
     updates = (
         orders.where(F.col("o_orderkey") % 50 == 0)
         .select(
@@ -757,7 +760,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .union(
             orders.where(F.col("o_orderkey") % 77 == 0).select(
-                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                (-F.col("o_orderkey")).alias("o_orderkey"),
                 "o_custkey",
                 "o_totalprice",
                 F.lit("N").alias("o_orderstatus"),

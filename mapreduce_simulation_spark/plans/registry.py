@@ -1156,7 +1156,7 @@ register(
              'U' AS o_orderstatus
       FROM base WHERE o_orderkey % 50 = 0
       UNION ALL
-      SELECT o_orderkey + 1000000000, o_custkey, o_totalprice, 'N'
+      SELECT -o_orderkey, o_custkey, o_totalprice, 'N'
       FROM base WHERE o_orderkey % 77 = 0
     )
     SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,

@@ -59,8 +59,9 @@ SHAPES = [
     # keep-first over chunks + per-doc reassembly: two keyed exchanges,
     # no extra sort/shuffle beyond them
     ("span_dedup", 2, 0, "Window"),
-    # df table broadcasts back; per-doc top-k prefiltered below the exchange
-    ("tfidf_top_terms", 4, 1, "WindowGroupLimit"),
+    # df table + 1-row n_docs agg broadcast back; per-doc top-k prefiltered
+    # below the exchange (5th exchange = the single-row count partial)
+    ("tfidf_top_terms", 5, 2, "WindowGroupLimit"),
     # lang predicate must prune partition directories at the scan
     ("partitioned_source_pruned", 2, 0, "IN (de,es)]"),
     # bucketed layout: the SMJ reads co-located buckets, zero join exchange
