@@ -644,3 +644,92 @@ def brute_force_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+ANCHOR_MOD = 25
+
+
+def contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (anchor, positive, negative) triples for contrastive training:
+    every ANCHOR_MOD-th vector is an anchor; its positive is the exact
+    nearest neighbor by cosine, its negative the exact farthest — the
+    deterministic baseline triple miner (production swaps the farthest for
+    semi-hard negatives: same plan, different rank predicate).
+
+    Physical shape is brute_force_topk's: anchors broadcast against the
+    corpus scan (no corpus shuffle), then ONE window pass over |anchors|
+    keys ranks both directions; positives and negatives come from the same
+    scored frame, so the corpus is scanned and scored exactly once.
+    """
+    corpus = _corpus_with_norm(spark, sf_dir)
+    anchors = corpus.where(F.col("vec_id") % ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    scored = corpus.join(
+        broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
+    ).select("anchor_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    w_pos = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    w_neg = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_pos).alias("rn_pos"),
+        F.row_number().over(w_neg).alias("rn_neg"),
+    )
+    pos = ranked.where(F.col("rn_pos") == 1).select(
+        "anchor_id",
+        F.col("neighbor_id").alias("positive_id"),
+        F.col("cosine").alias("pos_cosine"),
+    )
+    neg = ranked.where(F.col("rn_neg") == 1).select(
+        "anchor_id",
+        F.col("neighbor_id").alias("negative_id"),
+        F.col("cosine").alias("neg_cosine"),
+    )
+    return pos.join(neg, "anchor_id").orderBy("anchor_id")
+
+
+CONTRASTIVE_TRIPLES_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+         round(list_reduce(
+                 list_prepend(0.0, list_transform(
+                   list_zip(q.v, c.v)::STRUCT(a DOUBLE, b DOUBLE)[],
+                   p -> p.a * p.b)),
+                 (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS cosine
+  FROM n q JOIN n c ON q.vec_id % {ANCHOR_MOD} = 0 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rn_pos,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine ASC, neighbor_id ASC) AS rn_neg
+  FROM scored
+)
+SELECT p.anchor_id,
+       p.neighbor_id AS positive_id, p.cosine AS pos_cosine,
+       g.neighbor_id AS negative_id, g.cosine AS neg_cosine
+FROM ranked p JOIN ranked g USING (anchor_id)
+WHERE p.rn_pos = 1 AND g.rn_neg = 1
+ORDER BY p.anchor_id
+"""

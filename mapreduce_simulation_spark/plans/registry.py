@@ -1229,3 +1229,11 @@ register(
     _stream_dedup_wm,
     "SELECT DISTINCT user_id, event_type FROM events",
 )
+
+# Contrastive triple mining: exact nearest (positive) + farthest (negative)
+# per anchor from one scored pass.
+register(
+    "contrastive_triples",
+    similarity.contrastive_triples,
+    similarity.CONTRASTIVE_TRIPLES_SQL,
+)
