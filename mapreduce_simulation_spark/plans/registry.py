@@ -1237,3 +1237,19 @@ register(
     similarity.contrastive_triples,
     similarity.CONTRASTIVE_TRIPLES_SQL,
 )
+
+# Stream-static enrichment join (dim re-resolved per micro-batch).
+from ..streaming.events import (  # noqa: E402
+    streaming_static_enrichment as _stream_enrich,
+)
+
+register(
+    "streaming_static_enrichment",
+    _stream_enrich,
+    """
+    SELECT c_mktsegment, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)

@@ -302,3 +302,41 @@ def streaming_dedup_within_watermark(
     )
     q.awaitTermination()
     return spark.table("stream_dedup_wm")
+
+
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the (batch)
+    customer dimension on user_id = c_custkey, then aggregated per market
+    segment. The static side needs no watermark and no state — each
+    micro-batch plans a fresh join against the table, which Spark
+    broadcasts at dim size; at 100 TB this is the standard pattern for
+    slowly-changing dims (re-resolved every batch, so updates to the dim
+    are picked up without restarting the query)."""
+    from ..staging import staging_dir
+    from ..tables import load_table
+
+    stage = staging_dir("events_enrich_")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    ev = read_event_stream(spark, stage, max_files_per_trigger=None)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = ev.join(cust, ev["user_id"] == cust["c_custkey"]).groupBy(
+        "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("stream_static_enrich")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_static_enrich")
