@@ -53,3 +53,23 @@ def salted_join(
     small_salted = small.select("*", salts)
     joined = big_salted.join(small_salted, [key, "__salt"], how)
     return joined.drop("__salt")
+
+
+def two_phase_distinct(
+    df: DataFrame, group_key: str, distinct_key: str
+) -> DataFrame:
+    """Exact COUNT(DISTINCT x) GROUP BY k, skew-proof: phase 1 de-dups on
+    (k, x) — the shuffle key includes the high-cardinality x, so one hot
+    group key still spreads over the whole cluster — phase 2 counts the
+    de-duped rows per k (tiny). Spark's native count_distinct instead
+    expands and shuffles on k alone, so one viral k melts a single reducer
+    at 100 TB; this rewrite is the standard fix (and what you also reach
+    for when combining distinct with other aggs forces the expand plan).
+    Result is identical to count_distinct — asserted in tests and by the
+    SQL oracle."""
+    return (
+        df.select(group_key, distinct_key)
+        .distinct()
+        .groupBy(group_key)
+        .agg(F.count(F.lit(1)).alias(f"n_distinct_{distinct_key}"))
+    )

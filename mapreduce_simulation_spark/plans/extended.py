@@ -881,3 +881,17 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", F.col("quality_tier").asc_nulls_first())
     )
+
+
+def skewed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per event type via the two-phase de-dup
+    rewrite (operators/skew.py::two_phase_distinct) — the skew-proof twin
+    of events_daily's native count_distinct: phase 1 shuffles on
+    (event_type, user_id) so a viral event type still balances, phase 2
+    counts de-duped rows."""
+    from ..operators.skew import two_phase_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return two_phase_distinct(ev, "event_type", "user_id").orderBy(
+        "event_type"
+    )

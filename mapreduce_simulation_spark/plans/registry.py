@@ -1253,3 +1253,17 @@ register(
     GROUP BY c_mktsegment
     """,
 )
+
+# Skew-proof exact distinct (two-phase de-dup rewrite).
+from .extended import skewed_distinct_users as _skew_distinct  # noqa: E402
+
+register(
+    "skewed_distinct_users",
+    _skew_distinct,
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)

@@ -487,3 +487,24 @@ def test_chunk_for_training_overlap(spark, sf_dir):
     # the last chunk may re-cover tokens already emitted; compare prefix
     assert rebuilt[: len(doc.tk)] == list(doc.tk)[: len(rebuilt)]
     assert set(doc.tk) == set(t for _, c in chunks for t in c)
+
+
+def test_two_phase_distinct_equals_count_distinct(spark, sf_dir):
+    """The skew-proof rewrite must agree with native count_distinct."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.operators.skew import two_phase_distinct
+    from mapreduce_simulation_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r.event_type: r.n_distinct_user_id
+        for r in two_phase_distinct(ev, "event_type", "user_id").collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
