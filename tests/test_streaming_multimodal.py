@@ -233,3 +233,48 @@ def test_streaming_parquet_file_sink(spark, event_files, tmp_path):
     assert 0 < len(got) <= len(want)
     for k, v in got.items():
         assert want[k] == v, (k, v, want[k])
+
+
+def test_streaming_restart_from_checkpoint_exactly_once(
+    spark, event_files, tmp_path
+):
+    """Kill a checkpointed file-sink query partway through the input, start
+    a NEW query from the same checkpoint, and the final sink must contain
+    every input row exactly once — the write-ahead-log + idempotent-sink
+    contract that makes streaming restarts safe (the streaming face of the
+    reference's task-replay fault tolerance, Q5)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = sev.read_event_stream(spark, event_files, max_files_per_trigger=1)
+        return (
+            stream.select("event_id", "user_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # First run: stop after at least one micro-batch has committed.
+    q1 = start()
+    while not q1.recentProgress:
+        import time
+
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination()
+    partial = spark.read.parquet(out).count()
+
+    # Restart from the same checkpoint: must resume, not re-emit.
+    q2 = start()
+    q2.awaitTermination()
+
+    got = spark.read.parquet(out)
+    want = spark.read.parquet(event_files)
+    assert got.count() == want.count(), (partial, got.count(), want.count())
+    assert got.select(F.count_distinct("event_id")).first()[0] == want.count()
