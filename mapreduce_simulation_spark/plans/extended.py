@@ -895,3 +895,27 @@ def skewed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_phase_distinct(ev, "event_type", "user_id").orderBy(
         "event_type"
     )
+
+
+def unpivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-status revenue table folded back to
+    long form with the official DataFrame.unpivot API — pivot's inverse,
+    completing the reshape family. Narrow op (each wide row expands to 3
+    long rows in place, no shuffle beyond pivot's own); NULL cells (status
+    absent in a year) are dropped, matching SQL UNPIVOT semantics."""
+    wide = pivot_revenue_by_status(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["yr"],
+            values=["rev_f", "rev_o", "rev_p"],
+            variableColumnName="status_col",
+            valueColumnName="revenue",
+        )
+        .where(F.col("revenue").isNotNull())
+        .select(
+            "yr",
+            F.upper(F.substring("status_col", 5, 1)).alias("o_orderstatus"),
+            "revenue",
+        )
+        .orderBy("yr", "o_orderstatus")
+    )

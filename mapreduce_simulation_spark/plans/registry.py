@@ -1267,3 +1267,20 @@ register(
     ORDER BY event_type
     """,
 )
+
+# UNPIVOT/melt — pivot's inverse; long form straight from the base table
+# is the oracle (the pivot/unpivot pair is lossless up to NULL cells).
+from .extended import unpivot_revenue as _unpivot  # noqa: E402
+
+register(
+    "unpivot_revenue",
+    _unpivot,
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY yr, o_orderstatus
+    """,
+)
