@@ -399,6 +399,18 @@ ORDER BY c_custkey
 LM_MIN_COUNT = 3
 
 
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) consecutive-token pairs per document — shared by
+    the LM-count construction and the per-document scoring pass."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w1")
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    return tok.select(
+        "doc_id", "w1", F.lead("w1", 1).over(wseq).alias("w2")
+    ).where(F.col("w2").isNotNull())
+
+
 def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram table with MLE conditional probability — the
     construction step of a count-based n-gram LM (and of the perplexity
@@ -412,13 +424,7 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     what keeps the pair table's long tail off the wire.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w1")
-    )
-    wseq = Window.partitionBy("doc_id").orderBy("pos")
-    big = tok.select(
-        "w1", F.lead("w1", 1).over(wseq).alias("w2")
-    ).where(F.col("w2").isNotNull())
+    big = _doc_bigrams(docs).select("w1", "w2")
     pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
     prefix = pair.groupBy("w1").agg(F.sum("pair_n").alias("prefix_n"))
     return (
@@ -456,6 +462,117 @@ SELECT p.w1, p.w2, p.pair_n, x.prefix_n,
        CAST(p.pair_n AS DOUBLE) / x.prefix_n AS p_mle
 FROM pair p JOIN prefix x USING (w1)
 WHERE p.pair_n >= {LM_MIN_COUNT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram pseudo-perplexity (LM-based quality scoring)
+# ---------------------------------------------------------------------------
+
+# Cost assigned to a bigram absent from the (min-count-filtered) LM: a flat
+# 20-bit floor, i.e. p_oov = 2^-20. Being an exact integer constant, the OOV
+# term stays bit-identical across engines regardless of summation order.
+OOV_LOG2_BITS = -20.0
+
+
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bits-per-bigram under the corpus bigram LM —
+    the count-based stand-in for the perplexity filter pretraining
+    pipelines run with a real LM (CCNet-style: score every document
+    against a reference model, drop the high-perplexity tail). Emits
+    (doc_id, n_bigrams, n_oov, avg_bits); avg_bits = -(Σ log2 p_mle +
+    OOV_LOG2_BITS·n_oov) / n_bigrams, NULL for docs with < 2 tokens.
+
+    Scale: the LM is rebuilt with the same two count aggregations as
+    `bigram_lm_counts` (shuffle = count rows on token pairs), then the doc
+    bigram stream left-joins it on (w1, w2) — a hash join whose build side
+    is the min-count-filtered LM table (vocabulary-sized, ≪ corpus; at
+    sf-test scale AQE broadcasts it) — and collapses to one row per doc on
+    the same doc_id partitioning the bigram window already established.
+    Nothing wider than token-pair counts ever shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    big = _doc_bigrams(docs)
+    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    prefix = pair.groupBy("w1").agg(F.sum("pair_n").alias("prefix_n"))
+    lm = (
+        pair.where(F.col("pair_n") >= LM_MIN_COUNT)
+        .join(F.broadcast(prefix), "w1")
+        .select(
+            "w1",
+            "w2",
+            F.log2(
+                F.col("pair_n").cast("double") / F.col("prefix_n")
+            ).alias("log2p"),
+        )
+    )
+    per_doc = (
+        big.join(lm, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count("log2p").alias("n_in_lm"),
+            F.sum("log2p").alias("s_log2p"),
+        )
+    )
+    n_oov = F.col("n_bigrams") - F.col("n_in_lm")
+    avg_bits = -(
+        F.coalesce(F.col("s_log2p"), F.lit(0.0))
+        + F.lit(OOV_LOG2_BITS) * n_oov
+    ) / F.col("n_bigrams")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(n_oov, F.lit(0)).alias("n_oov"),
+            avg_bits.alias("avg_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_PPL_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w1,
+         generate_subscripts(list_filter(str_split_regex(lower(text), '\s+'),
+                                         x -> x <> ''), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w1,
+           lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+  ) WHERE w2 IS NOT NULL
+),
+pair AS (SELECT w1, w2, count(*) AS pair_n FROM big GROUP BY w1, w2),
+prefix AS (SELECT w1, sum(pair_n) AS prefix_n FROM pair GROUP BY w1),
+lm AS (
+  SELECT p.w1, p.w2,
+         log2(CAST(p.pair_n AS DOUBLE) / x.prefix_n) AS log2p
+  FROM pair p JOIN prefix x USING (w1)
+  WHERE p.pair_n >= {LM_MIN_COUNT}
+),
+per_doc AS (
+  SELECT b.doc_id,
+         count(*) AS n_bigrams,
+         count(l.log2p) AS n_in_lm,
+         sum(l.log2p) AS s_log2p
+  FROM big b LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       coalesce(p.n_bigrams - p.n_in_lm, 0) AS n_oov,
+       -(coalesce(p.s_log2p, 0.0)
+         + ({OOV_LOG2_BITS}) * (p.n_bigrams - p.n_in_lm))
+        / p.n_bigrams AS avg_bits
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
 """
 
 

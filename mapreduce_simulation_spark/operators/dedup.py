@@ -682,8 +682,10 @@ def dedup_connected_components_stars(
     )
 
 
-DEDUP_CC_SQL = f"""
-WITH RECURSIVE {_SHINGLES_SQL},
+# Shared DuckDB CTE chain: near-dup graph → recursive reachability →
+# per-doc component labels. Used by the CC oracles and by downstream
+# cluster-level operators (canonical selection).
+_CC_GRAPH_SQL = f"""{_SHINGLES_SQL},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -710,10 +712,50 @@ reach(doc_id, r) AS (
 ),
 comps AS (
   SELECT doc_id, min(r) AS component_id FROM reach GROUP BY doc_id
-)
+)"""
+
+DEDUP_CC_SQL = f"""
+WITH RECURSIVE {_CC_GRAPH_SQL}
 SELECT c.doc_id, c.component_id, s.cluster_size
 FROM comps c
 JOIN (SELECT component_id, count(*) AS cluster_size
       FROM comps GROUP BY component_id) s USING (component_id)
 ORDER BY c.doc_id
 """
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step that turns cluster labels
+    into an actual dedup decision: within each near-dup component, keep
+    the highest-quality member (composite quality score from
+    operators/text.py; ties broken by lowest doc_id) and flag the rest for
+    drop. This is the "pick the best representative" reduce the reference
+    could only express as a user reduce executable (reference
+    worker/__main__.py runs arbitrary reducers); here it is declarative:
+    component labels (star-contraction CC, the O(log² n)-round scale path)
+    joined to per-doc quality, one row_number window per component.
+
+    Scale: reuses `_cc_star_labels` (edges/labels only — never text) and
+    the pure-JVM quality expression; the final ranking is one shuffle on
+    component_id with a WindowGroupLimit-able rank. Output keeps every doc
+    with its keep/drop verdict so downstream stages can filter or audit.
+    """
+    from .text import quality_score
+
+    docs_full = load_table(spark, sf_dir, "documents")
+    pairs = _pair_jaccard(_shingles(docs_full), None).select("doc_a", "doc_b")
+    labels = _cc_star_labels(docs_full.select("doc_id"), pairs)
+    quality = quality_score(spark, sf_dir)
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc_nulls_last("quality"), F.asc("doc_id")
+    )
+    return (
+        labels.join(quality, "doc_id")
+        .select(
+            "doc_id",
+            F.col("comp").alias("component_id"),
+            "quality",
+        )
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .orderBy("doc_id")
+    )

@@ -394,16 +394,19 @@ register(
     """,
 )
 
+# Composite quality expression over the `tok` CTE — shared by the
+# quality_score oracle and the cluster-canonical selection oracle.
+_QUALITY_EXPR_SQL = f"""least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + (CAST(len(list_filter(ts, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
+         / len(ts)) * 0.2
+      + (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) * 0.4"""
+
 register(
     "quality_score",
     text.quality_score,
     f"""
     WITH {_TOK_CTE}
-    SELECT doc_id,
-      least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0) * 0.4
-      + (CAST(len(list_filter(ts, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
-         / len(ts)) * 0.2
-      + (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) * 0.4 AS quality
+    SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality
     FROM tok
     """,
 )
@@ -1283,4 +1286,43 @@ register(
     GROUP BY 1, 2
     ORDER BY yr, o_orderstatus
     """,
+)
+
+# Per-document bits-per-bigram under the corpus bigram LM — the
+# count-based perplexity filter (CCNet-style quality scoring).
+register(
+    "bigram_perplexity",
+    curation.bigram_perplexity,
+    curation.BIGRAM_PPL_SQL,
+)
+
+# Cluster-canonical selection: near-dup components × quality score →
+# keep-best-per-cluster verdict. Oracle = the recursive-CTE component
+# labels joined to the shared quality expression; the window tie-break
+# (quality DESC, doc_id ASC) is replicated exactly.
+register(
+    "dedup_canonical",
+    dedup.dedup_canonical,
+    rf"""
+WITH RECURSIVE {dedup._CC_GRAPH_SQL},
+qtok AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+q AS (SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM qtok)
+SELECT c.doc_id, c.component_id, q.quality,
+       (row_number() OVER (PARTITION BY c.component_id
+                           ORDER BY q.quality DESC NULLS LAST, c.doc_id) = 1)
+         AS keep
+FROM comps c JOIN q USING (doc_id)
+ORDER BY c.doc_id
+""",
+)
+
+# Ordered funnel (view → click → purchase) with strict time sequencing.
+register(
+    "funnel_conversion",
+    relational.funnel_conversion,
+    relational.FUNNEL_SQL,
 )

@@ -316,3 +316,100 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis over the event stream: for each user, the
+    first `view`, the first `click` strictly after that view, and the
+    first `purchase` strictly after that click — plus the furthest stage
+    reached. The sequencing constraint (each stage must follow the
+    previous one in time) is what makes this more than three conditional
+    mins; it is the standard product-analytics funnel.
+
+    Scale: ONE shuffle. All three stage timestamps are whole-partition
+    window mins stacked over the same user_id partitioning (each stage's
+    predicate references the previous stage's window result), and the
+    final collapse is a groupBy on that same key, so Catalyst plans a
+    single exchange for the entire query. Timestamps flow as epoch
+    microseconds (exact integers on both engines)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id")
+    ev = ev.withColumn(
+        "view_us",
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w),
+    )
+    ev = ev.withColumn(
+        "click_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("us") > F.col("view_us")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    ev = ev.withColumn(
+        "purchase_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") > F.col("click_us")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    stage = (
+        F.when(F.col("purchase_us").isNotNull(), "purchase")
+        .when(F.col("click_us").isNotNull(), "click")
+        .when(F.col("view_us").isNotNull(), "view")
+        .otherwise("none")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("view_us").alias("view_us"),
+            F.min("click_us").alias("click_us"),
+            F.min("purchase_us").alias("purchase_us"),
+        )
+        .select("user_id", "view_us", "click_us", "purchase_us",
+                stage.alias("stage"))
+        .orderBy("user_id")
+    )
+
+
+FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+              OVER (PARTITION BY user_id) AS view_us
+  FROM e
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND us > view_us THEN us END)
+              OVER (PARTITION BY user_id) AS click_us
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > click_us
+                     THEN us END)
+              OVER (PARTITION BY user_id) AS purchase_us
+  FROM s2
+)
+SELECT user_id,
+       min(view_us) AS view_us,
+       min(click_us) AS click_us,
+       min(purchase_us) AS purchase_us,
+       CASE WHEN min(purchase_us) IS NOT NULL THEN 'purchase'
+            WHEN min(click_us) IS NOT NULL THEN 'click'
+            WHEN min(view_us) IS NOT NULL THEN 'view'
+            ELSE 'none' END AS stage
+FROM s3
+GROUP BY user_id
+ORDER BY user_id
+"""
