@@ -73,3 +73,58 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     agg.collect()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead coalesced" in plan or "coalesced" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning: when the build side of a shuffle
+    join carries a selective predicate, Spark injects a bloom-filter
+    aggregate on it and pushes `bloom_filter_might_contain` into the probe
+    side's scan — at 100 TB this drops most of the fact table before the
+    exchange instead of after the join. Demonstrated by forcing the shuffle
+    join (no broadcast) and lowering the probe-size threshold the injection
+    gates on; asserted on the optimized plan and on result equality with
+    the filter disabled."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        joined = li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "bloom filter not injected"
+        assert "might_contain" in plan, "probe side not bloom-pruned"
+        with_bloom = joined.collect()[0]["n"]
+
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        plain = li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        assert "bloom_filter_agg" not in (
+            plain._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert with_bloom == plain.collect()[0]["n"]
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
