@@ -919,3 +919,85 @@ def unpivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "o_orderstatus")
     )
+
+
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history built from an event-like
+    fact: each customer's order-priority regime collapsed into validity
+    ranges — the gaps-and-islands pattern (lag → change flag → running sum
+    → island id) followed by the SCD2 close-off (each island's valid_to =
+    the next island's valid_from; NULL marks the current version).
+
+    Scale: every step — both sequencing windows, the island groupBy, and
+    the close-off lead window — partitions on o_custkey, so Catalyst plans
+    ONE keyed exchange for the whole history build (plus the declared
+    ORDER BY's range exchange — asserted in tests/test_plan_shapes.py).
+    Dates flow as epoch microseconds (exact integers on both engines)."""
+    # o_orderdate is TIMESTAMP_NTZ: µs-since-epoch via pure wall-clock
+    # arithmetic (session-timezone independent; matches DuckDB epoch_us).
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.timestamp_diff("MICROSECOND", epoch, F.col("o_orderdate")).alias(
+            "od_us"
+        ),
+        "o_orderkey",
+    )
+    wseq = Window.partitionBy("o_custkey").orderBy("od_us", "o_orderkey")
+    prev = F.lag("o_orderpriority").over(wseq)
+    chg = (
+        F.when(prev.isNull() | (prev != F.col("o_orderpriority")), 1)
+        .otherwise(0)
+    )
+    isl = orders.withColumn("chg", chg).withColumn(
+        "island", F.sum("chg").over(wseq)
+    )
+    grp = isl.groupBy("o_custkey", "island", "o_orderpriority").agg(
+        F.min("od_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wisl = Window.partitionBy("o_custkey").orderBy("island")
+    return (
+        grp.withColumn("valid_to_us", F.lead("valid_from_us").over(wisl))
+        .select(
+            "o_custkey",
+            "island",
+            "o_orderpriority",
+            "valid_from_us",
+            "valid_to_us",
+            "n_orders",
+        )
+        .orderBy("o_custkey", "island")
+    )
+
+
+SCD2_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderpriority, epoch_us(o_orderdate) AS od_us,
+         o_orderkey
+  FROM orders
+),
+seq AS (
+  SELECT *, CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                   OR lag(o_orderpriority) OVER w <> o_orderpriority
+                 THEN 1 ELSE 0 END AS chg
+  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY od_us, o_orderkey)
+),
+isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                           ORDER BY od_us, o_orderkey) AS island
+  FROM seq
+),
+grp AS (
+  SELECT o_custkey, island, o_orderpriority,
+         min(od_us) AS valid_from_us, count(*) AS n_orders
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT o_custkey, island, o_orderpriority, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY o_custkey ORDER BY island)
+         AS valid_to_us,
+       n_orders
+FROM grp
+ORDER BY o_custkey, island
+"""

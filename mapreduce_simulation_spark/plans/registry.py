@@ -1326,3 +1326,8 @@ register(
     relational.funnel_conversion,
     relational.FUNNEL_SQL,
 )
+
+# SCD2 history construction via gaps-and-islands (single-exchange plan).
+from .extended import scd2_priority_history as _scd2  # noqa: E402
+
+register("scd2_priority_history", _scd2, _ext.SCD2_SQL)

@@ -326,12 +326,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous one in time) is what makes this more than three conditional
     mins; it is the standard product-analytics funnel.
 
-    Scale: ONE shuffle. All three stage timestamps are whole-partition
-    window mins stacked over the same user_id partitioning (each stage's
-    predicate references the previous stage's window result), and the
-    final collapse is a groupBy on that same key, so Catalyst plans a
-    single exchange for the entire query. Timestamps flow as epoch
-    microseconds (exact integers on both engines)."""
+    Scale: ONE keyed shuffle. All three stage timestamps are
+    whole-partition window mins stacked over the same user_id partitioning
+    (each stage's predicate references the previous stage's window
+    result), and the final collapse is a groupBy on that same key, so
+    Catalyst plans a single hash exchange for the entire query (plus the
+    declared ORDER BY's range exchange — asserted in
+    tests/test_plan_shapes.py). Timestamps flow as epoch microseconds
+    (exact integers on both engines)."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events").select(

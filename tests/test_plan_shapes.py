@@ -67,6 +67,12 @@ SHAPES = [
     # bucketed layout: the SMJ reads co-located buckets, zero join exchange
     # (the 2 allowed are the final agg + declared order)
     ("bucketed_join_revenue", 2, 0, "SelectedBucketsCount: 8 out of 8"),
+    # gaps-and-islands SCD2: every window + the island agg share the
+    # o_custkey partitioning — one keyed exchange + declared order by
+    ("scd2_priority_history", 2, 0, "Window"),
+    # funnel: three stacked whole-partition windows + final agg, all on
+    # user_id — one keyed exchange + declared order by
+    ("funnel_conversion", 2, 0, "Window"),
 ]
 
 
