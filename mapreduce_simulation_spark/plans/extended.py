@@ -1001,3 +1001,273 @@ SELECT o_custkey, island, o_orderpriority, valid_from_us,
 FROM grp
 ORDER BY o_custkey, island
 """
+
+
+# Sweep-line window length: how long an event is considered "active".
+CONCURRENCY_WINDOW_US = 1800 * 1_000_000
+
+
+def event_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: the maximum number of
+    simultaneously-active events, where each event is active for 30
+    minutes from its timestamp — the sweep-line pattern (explode each
+    interval to a +1 start / -1 end point, running sum over time, max).
+    The interval-overlap primitive behind concurrent-session counting and
+    capacity planning.
+
+    Determinism: the running sum uses the default RANGE frame, so rows
+    tied on (ts_us, delta) are peers and share one cumulative value —
+    tie order cannot change the result on either engine. End points sort
+    before start points at the same instant (delta ASC ⇒ half-open
+    [ts, ts+30m) intervals).
+
+    Scale: one shuffle on event_type. The partition key has small
+    cardinality (5 types), so at 100 TB this exact formulation would
+    sweep each type on one task; the scale path is a two-phase sweep —
+    partition by (type, time-bucket), local sweep, then prefix-sum the
+    per-bucket carry-in deltas — same decomposition as any distributed
+    prefix sum. At bench scale the single-key sweep is the right plan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    starts = ev.select("event_type", "ts_us", F.lit(1).alias("delta"))
+    ends = ev.select(
+        "event_type",
+        (F.col("ts_us") + CONCURRENCY_WINDOW_US).alias("ts_us"),
+        F.lit(-1).alias("delta"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts_us").asc(), F.col("delta").asc()
+    )
+    swept = starts.union(ends).withColumn(
+        "running", F.sum("delta").over(w)
+    )
+    return (
+        swept.groupBy("event_type")
+        .agg(F.max("running").alias("peak_concurrency"))
+        .join(
+            ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events")),
+            "event_type",
+        )
+        .select("event_type", "peak_concurrency", "n_events")
+        .orderBy("event_type")
+    )
+
+
+PEAK_CONCURRENCY_SQL = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+),
+points AS (
+  SELECT event_type, ts_us, 1 AS delta FROM e
+  UNION ALL
+  SELECT event_type, ts_us + {CONCURRENCY_WINDOW_US}, -1 FROM e
+),
+swept AS (
+  SELECT event_type,
+         sum(delta) OVER (PARTITION BY event_type
+                          ORDER BY ts_us ASC, delta ASC) AS running
+  FROM points
+)
+SELECT s.event_type,
+       max(s.running) AS peak_concurrency,
+       c.n_events
+FROM swept s
+JOIN (SELECT event_type, count(*) AS n_events FROM e GROUP BY event_type) c
+  USING (event_type)
+GROUP BY s.event_type, c.n_events
+ORDER BY s.event_type
+"""
+
+
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksums for cross-environment data
+    validation ("did the copy/migration produce the same table?"): each
+    row is canonicalized to a delimited string over engine-stable columns
+    (integers, strings, µs-precision timestamps — no floats), hashed with
+    the cross-engine polynomial hash, and the per-table checksum is the
+    SUM of row hashes mod P — commutative, so any partitioning or row
+    order yields the same value.
+
+    Scale: one scan per table, all-JVM expressions, a single scalar
+    aggregate (partial sums per partition, one exchange of one row). The
+    decimal(38,0) accumulator keeps the sum exact past int64 at row
+    counts where sum(hash) overflows. In production the same shape runs
+    with xxhash64 for speed; the polynomial hash is the cross-engine-
+    verifiable variant."""
+    from ..functions.hashing import P, char_hash
+
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+    def checksum(df: DataFrame, name: str, cols: list) -> DataFrame:
+        row = F.concat_ws("|", *[c.cast("string") for c in cols])
+        return df.select(char_hash(row).alias("h")).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("h").cast("decimal(38,0)")) % P)
+            .cast("long")
+            .alias("checksum"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o_sum = checksum(
+        orders,
+        "orders",
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.timestamp_diff("MICROSECOND", epoch, F.col("o_orderdate")),
+        ],
+    )
+    c_sum = checksum(
+        cust,
+        "customer",
+        [
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+        ],
+    )
+    return o_sum.union(c_sum).orderBy("table_name")
+
+
+def _row_checksum_sql(cols: str) -> str:
+    from ..functions.hashing import char_hash_sql
+
+    return char_hash_sql(f"concat_ws('|', {cols})")
+
+
+def _table_checksum_sql() -> str:
+    from ..functions.hashing import P
+
+    o_cols = (
+        "CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+        "o_orderstatus, o_orderpriority, "
+        "CAST(epoch_us(o_orderdate) AS VARCHAR)"
+    )
+    c_cols = (
+        "CAST(c_custkey AS VARCHAR), CAST(c_name AS VARCHAR), "
+        "CAST(c_nationkey AS VARCHAR), c_mktsegment"
+    )
+    return f"""
+SELECT * FROM (
+  SELECT 'orders' AS table_name, count(*) AS n_rows,
+         CAST(sum({_row_checksum_sql(o_cols)}) % {P} AS BIGINT) AS checksum
+  FROM orders
+  UNION ALL
+  SELECT 'customer', count(*),
+         CAST(sum({_row_checksum_sql(c_cols)}) % {P} AS BIGINT)
+  FROM customer
+) ORDER BY table_name
+"""
+
+
+TABLE_CHECKSUM_SQL = _table_checksum_sql()
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC-detect): compare two versions of the orders
+    table keyed on o_orderkey and emit every key whose row was added,
+    removed, or changed — the detection half of change-data-capture
+    (merge_upsert_orders is the apply half). Snapshot B is derived
+    deterministically from A so both engines build identical inputs:
+    keys ≡ 0 (mod 97) deleted, keys ≡ 0 (mod 101) get status 'X',
+    keys ≡ 0 (mod 103) are re-inserted as new keys (+10^7).
+
+    Scale: row identity is compared via the char hash of a canonical
+    column concat, so the full-outer join carries (key, 8-byte hash) —
+    never the row payload — and both sides hash-partition on the key
+    once. Unchanged keys (the overwhelming majority in a real diff) are
+    filtered immediately after the join, before anything wider happens;
+    with both snapshots bucketed on the key the join would need no
+    exchange at all."""
+    from ..functions.hashing import char_hash
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    key = F.col("o_orderkey")
+    snap_b = (
+        base.where(key % 97 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(key % 101 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .union(
+            base.where(key % 103 == 0).select(
+                (key + 10_000_000).alias("o_orderkey"),
+                F.col("o_custkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.col("o_orderpriority"),
+            )
+        )
+    )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        row = F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        return df.select("o_orderkey", char_hash(row).alias("h"))
+
+    a = hashed(base).alias("a")
+    b = hashed(snap_b).alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            change.alias("change_type"),
+        )
+        .where(F.col("change_type").isNotNull())
+        .orderBy("o_orderkey")
+    )
+
+
+def _snapshot_diff_sql() -> str:
+    row = _row_checksum_sql(
+        "CAST(o_custkey AS VARCHAR), o_orderstatus, o_orderpriority"
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders
+),
+snap_b AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_orderpriority
+  FROM base WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', o_orderpriority
+  FROM base WHERE o_orderkey % 103 = 0
+),
+a AS (SELECT o_orderkey, {row} AS h FROM base),
+b AS (SELECT o_orderkey, {row} AS h FROM snap_b)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            WHEN a.h <> b.h THEN 'changed' END AS change_type
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE (CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            WHEN a.h <> b.h THEN 'changed' END) IS NOT NULL
+ORDER BY o_orderkey
+"""
+
+
+SNAPSHOT_DIFF_SQL = _snapshot_diff_sql()

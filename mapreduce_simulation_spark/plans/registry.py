@@ -1331,3 +1331,16 @@ register(
 from .extended import scd2_priority_history as _scd2  # noqa: E402
 
 register("scd2_priority_history", _scd2, _ext.SCD2_SQL)
+
+# Sweep-line interval overlap (peak concurrency per event type).
+register(
+    "event_peak_concurrency",
+    _ext.event_peak_concurrency,
+    _ext.PEAK_CONCURRENCY_SQL,
+)
+
+# Cross-engine order-independent table checksums (copy validation).
+register("table_checksum", _ext.table_checksum, _ext.TABLE_CHECKSUM_SQL)
+
+# CDC-detect: keyed snapshot diff via row-hash full-outer reconciliation.
+register("snapshot_diff", _ext.snapshot_diff, _ext.SNAPSHOT_DIFF_SQL)
