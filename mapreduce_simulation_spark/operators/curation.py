@@ -754,3 +754,58 @@ FROM seq s JOIN (
   FROM seq GROUP BY seq_id
 ) g USING (seq_id)
 """
+
+
+# Encode only the first N token positions (context-window prefix) so the
+# encoded output is bounded per document.
+ENCODE_MAX_POS = 32
+
+
+def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction + token-id encoding — the tokenize-to-ids
+    step that turns curated text into model input: build the corpus
+    vocabulary ranked by frequency (rank 1 = most frequent; ties broken
+    lexicographically), then encode each document's first ENCODE_MAX_POS
+    tokens as (doc_id, pos, token_id) rows.
+
+    Scale: the vocabulary is type-count-sized (≪ corpus) — its global
+    frequency ranking is one single-partition window over the vocab
+    table only, never the token stream; the encode join broadcasts the
+    id table against the token scan. Output rows are exploded (not an
+    array column) so they stay hash-checkable and streamable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ids = vocab.select(
+        "tok", F.row_number().over(wv).cast("long").alias("token_id")
+    )
+    return (
+        tok.where(F.col("pos") < ENCODE_MAX_POS)
+        .join(F.broadcast(ids), "tok")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token_id")
+        .orderBy("doc_id", "pos")
+    )
+
+
+VOCAB_ENCODE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(str_split_regex(lower(text), '\s+'),
+                                         x -> x <> ''), 1) - 1 AS pos
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+ids AS (
+  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS token_id
+  FROM vocab
+)
+SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, i.token_id
+FROM tok t JOIN ids i USING (tok)
+WHERE t.pos < {ENCODE_MAX_POS}
+ORDER BY t.doc_id, t.pos
+"""

@@ -1271,3 +1271,60 @@ ORDER BY o_orderkey
 
 
 SNAPSHOT_DIFF_SQL = _snapshot_diff_sql()
+
+
+def price_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates: per nation, the OLS slope/intercept/R²
+    of order price over order date (in days) — completing the statistical
+    aggregate family (corr/stddev in stats_correlation) with the built-in
+    regr_* functions both engines implement. Values are rounded to 6
+    decimals: the sum-of-products accumulations differ in the last float
+    ulps across engines/partitionings (same policy as stats_correlation).
+
+    Scale: one partial-aggregated groupBy after a broadcast dim join —
+    regression sums are just five extra partial aggregates per group."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    x_days = (
+        F.timestamp_diff("MICROSECOND", epoch, F.col("o_orderdate"))
+        / F.lit(86_400_000_000.0)
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    joined = (
+        orders.join(_bc(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bc(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", x_days.alias("x"), F.col("o_totalprice").alias("y"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+PRICE_TREND_SQL = """
+WITH j AS (
+  SELECT n_name,
+         epoch_us(o_orderdate) / 86400000000.0 AS x,
+         o_totalprice AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+SELECT n_name,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept,
+       round(regr_r2(y, x), 6) AS r2,
+       count(*) AS n_orders
+FROM j
+GROUP BY n_name
+ORDER BY n_name
+"""

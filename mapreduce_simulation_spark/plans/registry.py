@@ -1344,3 +1344,13 @@ register("table_checksum", _ext.table_checksum, _ext.TABLE_CHECKSUM_SQL)
 
 # CDC-detect: keyed snapshot diff via row-hash full-outer reconciliation.
 register("snapshot_diff", _ext.snapshot_diff, _ext.SNAPSHOT_DIFF_SQL)
+
+# OLS regression aggregates per group (regr_slope / intercept / r2).
+register(
+    "price_trend_by_nation",
+    _ext.price_trend_by_nation,
+    _ext.PRICE_TREND_SQL,
+)
+
+# Vocabulary build + token-id encoding (tokenize-to-ids training prep).
+register("vocab_encode", curation.vocab_encode, curation.VOCAB_ENCODE_SQL)
