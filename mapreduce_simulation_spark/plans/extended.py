@@ -1328,3 +1328,53 @@ FROM j
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+def binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media ingestion through Spark's `binaryFile` source: the staged
+    media payloads land as one opaque blob file per document (the way
+    image/audio corpora arrive on a filesystem or object store), then the
+    binaryFile reader lists the directory, and each row is (path, length,
+    content). The doc key is recovered from the file name, and content
+    integrity is proven by checksumming the blob against the original
+    text bytes in the oracle.
+
+    Scale: the stage-out runs executor-side (foreachPartition — on a
+    cluster the destination is a shared filesystem/object store); the
+    binaryFile scan is a plain file-parallel source whose partitioning
+    follows spark.sql.files.maxPartitionBytes, and only (path, length,
+    md5) flow past the scan — blobs stay in their partitions."""
+    from ..operators.multimodal import synthesize_media
+    from ..staging import staging_dir
+
+    stage = staging_dir("media_blobs_")
+    media = synthesize_media(spark, sf_dir).select("doc_id", "media")
+
+    def write_blobs(rows) -> None:
+        import os
+
+        for r in rows:
+            with open(os.path.join(stage, f"{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["media"])
+
+    media.foreachPartition(write_blobs)
+    bf = spark.read.format("binaryFile").load(stage)
+    return (
+        bf.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BINARY_FILE_SOURCE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+ORDER BY doc_id
+"""

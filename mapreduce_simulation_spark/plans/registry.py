@@ -1354,3 +1354,10 @@ register(
 
 # Vocabulary build + token-id encoding (tokenize-to-ids training prep).
 register("vocab_encode", curation.vocab_encode, curation.VOCAB_ENCODE_SQL)
+
+# binaryFile source: opaque per-document blob files (media ingestion).
+register(
+    "binary_file_source",
+    _ext.binary_file_source,
+    _ext.BINARY_FILE_SOURCE_SQL,
+)
