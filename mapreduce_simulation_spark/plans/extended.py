@@ -1378,3 +1378,43 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+def kvtext_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the `kvtext` custom connector (the reference's
+    native key/value text format as a registered Spark DataSource): stage
+    documents as ``doc_id<TAB>text`` lines (tabs/newlines in the payload
+    flattened to spaces — the format is line-oriented), read them back
+    with spark.read.format("kvtext"), and reduce to per-doc lengths. The
+    oracle applies the same flattening to the parquet table, so a value
+    mismatch anywhere in the connector (file listing, line split, kv
+    parse) surfaces as a hash mismatch.
+
+    Scale: the connector hands each file to the JVM as one Arrow batch
+    (vectorized DataSource path); the aggregation below is plain
+    codegen. For formats Spark already speaks, built-in sources remain
+    the fast path — this demonstrates the extensibility surface."""
+    from ..sources.kvtext import register_kvtext
+    from ..staging import staging_dir
+
+    register_kvtext(spark)
+    stage = staging_dir("docs_kvtext_")
+    docs = load_table(spark, sf_dir, "documents")
+    flat = F.regexp_replace("text", r"[\t\n\r]", " ")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), flat).alias("value")
+    ).write.mode("overwrite").text(stage)
+    kv = spark.read.format("kvtext").load(stage)
+    return kv.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.length("value").cast("long").alias("n_chars_flat"),
+    ).orderBy("doc_id")
+
+
+KVTEXT_SOURCE_SQL = r"""
+SELECT doc_id,
+       CAST(length(regexp_replace(text, '[\t\n\r]', ' ', 'g')) AS BIGINT)
+         AS n_chars_flat
+FROM documents
+ORDER BY doc_id
+"""

@@ -1361,3 +1361,11 @@ register(
     _ext.binary_file_source,
     _ext.BINARY_FILE_SOURCE_SQL,
 )
+
+# Custom Python DataSource: the reference's native kv-text format as a
+# registered connector (file-per-partition, Arrow-batched).
+register(
+    "kvtext_source_stats",
+    _ext.kvtext_source_stats,
+    _ext.KVTEXT_SOURCE_SQL,
+)
