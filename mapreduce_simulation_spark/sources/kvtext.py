@@ -25,7 +25,13 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class KVTextDataSource(DataSource):
@@ -40,6 +46,9 @@ class KVTextDataSource(DataSource):
 
     def reader(self, schema) -> "KVTextReader":
         return KVTextReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "KVTextWriter":
+        return KVTextWriter(self.options, overwrite)
 
 
 class KVTextReader(DataSourceReader):
@@ -80,3 +89,51 @@ class KVTextReader(DataSourceReader):
 def register_kvtext(spark) -> None:
     """Idempotently register the connector on a session."""
     spark.dataSource.register(KVTextDataSource)
+
+
+class KVTextCommit(WriterCommitMessage):
+    def __init__(self, file: str) -> None:
+        self.file = file
+
+
+class KVTextWriter(DataSourceWriter):
+    """Write side of the contract: each task emits one ``part-{NNNNN}``
+    file of tab-joined lines (the reference's reducer output,
+    worker/__main__.py:237-250), named by its partition id so the file
+    set mirrors the task set. Tasks write to ``.part-*.tmp`` and commit()
+    renames — the standard two-phase output commit, so a failed/
+    speculative duplicate task never corrupts the directory."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("kvtext requires a path: .save(<directory>)")
+        self.path = path
+        if overwrite and os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator) -> "KVTextCommit":
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(self.path, f".part-{pid:05d}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write("\t".join("" if v is None else str(v) for v in row))
+                fh.write("\n")
+        return KVTextCommit(tmp)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            final = m.file.replace(".tmp", "").replace("/.part-", "/part-")
+            os.replace(m.file, final)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)

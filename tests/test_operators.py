@@ -508,3 +508,33 @@ def test_two_phase_distinct_equals_count_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_dedup_canonical_invariants(spark, sf_dir):
+    """Cluster-canonical selection: exactly one keep per component, the
+    keep has the component's max quality (doc_id tie-break), and the doc
+    set matches the CC clustering it is built on."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.operators.dedup import (
+        dedup_canonical,
+        dedup_connected_components_stars,
+    )
+
+    res = dedup_canonical(spark, sf_dir)
+    rows = res.collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for comp, members in by_comp.items():
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1, f"component {comp}: {len(keeps)} keeps"
+        best = max(
+            members, key=lambda m: (m["quality"], -m["doc_id"])
+        )
+        assert keeps[0]["doc_id"] == best["doc_id"]
+
+    cc = dedup_connected_components_stars(spark, sf_dir)
+    assert {(r["doc_id"], r["component_id"]) for r in cc.collect()} == {
+        (r["doc_id"], r["component_id"]) for r in rows
+    }

@@ -145,3 +145,33 @@ def test_staging_dirs_removed_at_cleanup(tmp_path):
     staging._cleanup()
     assert not os.path.exists(d1) and not os.path.exists(d2)
     assert not staging._DIRS
+
+
+def test_kvtext_connector_roundtrip(spark, sf_dir, tmp_path):
+    """The kvtext custom DataSource round-trips the reference's native
+    format in both directions: write word counts as tab-separated part
+    files (one per task, two-phase commit), read them back with the
+    reader, and recover the exact multiset."""
+    import os
+
+    from mapreduce_simulation_spark.plans.registry import queries
+    from mapreduce_simulation_spark.sources.kvtext import register_kvtext
+
+    register_kvtext(spark)
+    out = str(tmp_path / "wc_kv")
+    wc = queries()["word_count"](spark, sf_dir)
+    wc.repartition(4).write.format("kvtext").mode("overwrite").save(out)
+
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert len(parts) == 4
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not any(f.endswith(".tmp") for f in os.listdir(out))
+
+    back = (
+        spark.read.format("kvtext")
+        .load(out)
+        .select("key", F.col("value").cast("long").alias("cnt"))
+    )
+    expect = {(r["word"], r["cnt"]) for r in wc.collect()}
+    got = {(r["key"], r["cnt"]) for r in back.collect()}
+    assert got == expect
