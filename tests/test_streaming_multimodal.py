@@ -278,3 +278,77 @@ def test_streaming_restart_from_checkpoint_exactly_once(
     want = spark.read.parquet(event_files)
     assert got.count() == want.count(), (partial, got.count(), want.count())
     assert got.select(F.count_distinct("event_id")).first()[0] == want.count()
+
+
+def test_foreach_batch_idempotent_upsert_sink(spark, event_files, tmp_path):
+    """foreachBatch — the production sink pattern for targets Spark has no
+    native connector for: each micro-batch MERGEs per-user deltas into a
+    keyed parquet target. The merge keys on user_id (last-writer-wins per
+    batch, totals accumulated), and re-processing the SAME batch id is a
+    no-op (idempotence via a recorded batch watermark), which is what
+    makes foreachBatch + checkpoint exactly-once end-to-end."""
+    import os
+
+    target = str(tmp_path / "user_totals")
+    applied: list[int] = []
+
+    def upsert(batch_df, batch_id: int) -> None:
+        if batch_id in applied:  # replay guard (idempotence)
+            return
+        applied.append(batch_id)
+        sess = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        if os.path.isdir(target) and any(
+            f.startswith("part-") for f in os.listdir(target)
+        ):
+            cur = sess.read.parquet(target)
+            merged = (
+                cur.join(delta.withColumnRenamed("n_events", "d"), "user_id", "full")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("n_events"), F.lit(0))
+                        + F.coalesce(F.col("d"), F.lit(0))
+                    ).alias("n_events"),
+                )
+            )
+        else:
+            merged = delta
+        merged.cache().count()  # materialize before overwriting the input
+        merged.write.mode("overwrite").parquet(target + ".next")
+        sess.read.parquet(target + ".next").write.mode("overwrite").parquet(target)
+        merged.unpersist()
+
+    stream = sev.read_event_stream(spark, event_files)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.read.parquet(target).collect()
+    }
+    expect = {
+        (r["user_id"], r["n_events"])
+        for r in spark.read.parquet(event_files)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == expect
+    assert len(applied) >= 1
+
+    # replaying an already-applied batch id must not change the target
+    first = spark.read.parquet(event_files)
+    upsert(first, applied[0])
+    again = {
+        (r["user_id"], r["n_events"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == got
