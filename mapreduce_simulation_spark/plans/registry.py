@@ -1369,3 +1369,10 @@ register(
     _ext.kvtext_source_stats,
     _ext.KVTEXT_SOURCE_SQL,
 )
+
+# TPC-H Q7 shape: disjunctive two-nation predicate over a 6-table join.
+register(
+    "volume_shipping",
+    relational.volume_shipping,
+    relational.VOLUME_SHIPPING_SQL,
+)

@@ -415,3 +415,82 @@ FROM s3
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# The two trading nations for the volume-shipping query (TPC-H Q7 shape).
+VOLUME_NATIONS = ("NATION_3", "NATION_7")
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between two specific nations, by
+    supplier nation × customer nation × ship year — the six-table join
+    whose disjunctive nation predicate stresses join ordering.
+
+    Scale: both nation dims broadcast WITH their name filter already
+    applied (Catalyst pushes the IN before the broadcast), so the
+    supplier and customer sides are pre-reduced to the two nations before
+    the fact joins; lineitem⋈orders stays the only fact-fact shuffle,
+    same as revenue_by_nation. The OR pairing is checked after the cheap
+    broadcast joins, not as a join condition, keeping every join an
+    equi-join."""
+    n1, n2 = VOLUME_NATIONS
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nations = nation.where(F.col("n_name").isin(n1, n2))
+    supp_n = supp.join(
+        broadcast(nations.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust_n = cust.join(
+        broadcast(nations.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("integer").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(22,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+VOLUME_SHIPPING_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{VOLUME_NATIONS[0]}' AND n2.n_name = '{VOLUME_NATIONS[1]}')
+   OR (n1.n_name = '{VOLUME_NATIONS[1]}' AND n2.n_name = '{VOLUME_NATIONS[0]}')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
