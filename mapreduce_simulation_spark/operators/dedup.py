@@ -208,6 +208,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 is 3; test_operators asserts equality with the uncapped join)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
+    return _pair_jaccard(sh, _capped_candidates(sh)).orderBy("doc_a", "doc_b")
+
+
+def _capped_candidates(sh: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidates sharing ≥1 shingle with document
+    frequency ≤ SHINGLE_DF_CAP — the bounded-fanout inverted-index join
+    (see dedup_ngram_jaccard's docstring for the no-loss argument)."""
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -215,7 +222,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     capped = sh.join(rare, "shingle")
-    pairs = (
+    return (
         capped.alias("a")
         .join(
             capped.alias("b"),
@@ -227,7 +234,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _pair_jaccard(sh, pairs).orderBy("doc_a", "doc_b")
+
+
+def _near_dup_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pairs at jaccard ≥ threshold via capped candidates +
+    exact verification — the graph-construction input for the CC family.
+    Identical results to the exhaustive inverted-index join (cap-equality
+    asserted in tests) with the per-shingle fanout bounded at cap²."""
+    sh = _shingles(docs)
+    return _pair_jaccard(sh, _capped_candidates(sh)).select("doc_a", "doc_b")
 
 
 DEDUP_NGRAM_SQL = f"""
@@ -509,7 +524,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs_full = load_table(spark, sf_dir, "documents")
     docs = docs_full.select("doc_id")
-    pairs = _pair_jaccard(_shingles(docs_full), None).select("doc_a", "doc_b")
+    pairs = _near_dup_pairs(docs_full)
     edges = (
         pairs.union(
             pairs.select(
@@ -671,7 +686,7 @@ def dedup_connected_components_stars(
     of pairwise near-dups at 100 TB."""
     docs_full = load_table(spark, sf_dir, "documents")
     docs = docs_full.select("doc_id")
-    pairs = _pair_jaccard(_shingles(docs_full), None).select("doc_a", "doc_b")
+    pairs = _near_dup_pairs(docs_full)
     labels = _cc_star_labels(docs, pairs)
     return (
         labels.groupBy("comp")
@@ -743,7 +758,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import quality_score
 
     docs_full = load_table(spark, sf_dir, "documents")
-    pairs = _pair_jaccard(_shingles(docs_full), None).select("doc_a", "doc_b")
+    pairs = _near_dup_pairs(docs_full)
     labels = _cc_star_labels(docs_full.select("doc_id"), pairs)
     quality = quality_score(spark, sf_dir)
     w = Window.partitionBy("component_id").orderBy(
