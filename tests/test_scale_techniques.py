@@ -128,3 +128,73 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_observe_inflight_quality_metrics(spark, sf_dir):
+    """`observe()` attaches data-quality metrics to a plan and reports
+    them from the SAME pass that computes the query — at 100 TB the
+    row-count/null-count audit would otherwise be a second full scan."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    orders = load_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("int")).alias("null_price"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+    result = orders.groupBy("o_orderstatus").count().collect()
+    metrics = obs.get
+    assert metrics["n_rows"] == sum(r["count"] for r in result)
+    assert metrics["null_price"] == 0
+    assert metrics["min_key"] >= 0
+
+
+def test_cbo_stats_reorder_join(spark, sf_dir):
+    """Cost-based join reordering: with catalog statistics and CBO on,
+    the syntactic order lineitem⋈orders⋈customer is rewritten to join
+    the two SMALL tables first, so the fact table meets an already-
+    reduced build side — the stats-driven lever big clusters rely on
+    when the user's SQL join order is wrong."""
+    for t in ("li_cbo", "ord_cbo", "cust_cbo"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").saveAsTable(
+        "li_cbo"
+    )
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(
+        "ord_cbo"
+    )
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").saveAsTable(
+        "cust_cbo"
+    )
+    q = """
+        SELECT c_mktsegment, count(*) AS n
+        FROM li_cbo
+        JOIN ord_cbo ON l_orderkey = o_orderkey
+        JOIN cust_cbo ON o_custkey = c_custkey
+        GROUP BY 1
+    """
+
+    def top_join_key() -> str:
+        plan = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        joins = [
+            line for line in plan.splitlines() if "Join Inner" in line
+        ]
+        return joins[0]  # first line = outermost join
+
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        assert "c_custkey" in top_join_key(), "syntactic order expected"
+
+        for t in ("li_cbo", "ord_cbo", "cust_cbo"):
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        assert "l_orderkey" in top_join_key(), (
+            "CBO should hoist the fact join above the dim⋈dim join"
+        )
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        for t in ("li_cbo", "ord_cbo", "cust_cbo"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
