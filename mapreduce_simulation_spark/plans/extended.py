@@ -1418,3 +1418,81 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+def densify_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (time-series gap filling): daily order
+    revenue per order status over the COMPLETE calendar spine — days with
+    no orders appear with revenue 0 and n_orders 0, which is what rolling
+    models and charting downstream require. The spine is generated from
+    the table's own [min_day, max_day] bounds (a 1-row aggregate), crossed
+    with the distinct status values, and the sparse daily aggregate is
+    left-joined onto it.
+
+    Scale: the spine is days × statuses — thousands of rows regardless of
+    fact size — so it broadcasts; the fact side contributes one
+    partial-aggregated groupBy. Dates are exchanged as DATE (wall-clock
+    from the NTZ timestamp, identical on both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate").alias("day")
+    daily = (
+        orders.select(F.col("o_orderstatus"), day, F.col("o_totalprice"))
+        .groupBy("o_orderstatus", "day")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day")
+        )
+        .crossJoin(orders.select("o_orderstatus").distinct())
+    )
+    return (
+        spine.join(daily, ["o_orderstatus", "day"], "left")
+        .select(
+            "o_orderstatus",
+            "day",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus", "day")
+    )
+
+
+DENSIFY_DAILY_SQL = """
+WITH daily AS (
+  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_orders
+  FROM orders
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+         max(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT s.o_orderstatus, CAST(g.day AS DATE) AS day
+  FROM (SELECT DISTINCT o_orderstatus FROM orders) s
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+  ) g
+)
+SELECT sp.o_orderstatus, sp.day,
+       coalesce(d.revenue, 0.0) AS revenue,
+       coalesce(d.n_orders, 0) AS n_orders
+FROM spine sp
+LEFT JOIN daily d ON sp.o_orderstatus = d.o_orderstatus AND sp.day = d.day
+ORDER BY sp.o_orderstatus, sp.day
+"""

@@ -1376,3 +1376,10 @@ register(
     relational.volume_shipping,
     relational.VOLUME_SHIPPING_SQL,
 )
+
+# Calendar densification: complete day×status spine with zero fill.
+register(
+    "densify_daily_revenue",
+    _ext.densify_daily_revenue,
+    _ext.DENSIFY_DAILY_SQL,
+)
