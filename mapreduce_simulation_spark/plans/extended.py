@@ -1496,3 +1496,52 @@ FROM spine sp
 LEFT JOIN daily d ON sp.o_orderstatus = d.o_orderstatus AND sp.day = d.day
 ORDER BY sp.o_orderstatus, sp.day
 """
+
+
+N_PRICE_BINS = 20
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order prices: bin bounds from the table's
+    own [min, max] (a 1-row aggregate crossed back onto the scan), then
+    one count per bin — the single-pass-plus-scalar shape every
+    profiler/visualizer needs. Bin edges are computed identically on both
+    engines from the same min/max doubles; the top edge folds into the
+    last bin (standard half-open bins, closed at the top).
+
+    Scale: scalar bounds broadcast; the binning is pure arithmetic in the
+    scan projection and the aggregate is N_PRICE_BINS partial rows per
+    partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    width = (F.col("hi") - F.col("lo")) / N_PRICE_BINS
+    binned = orders.crossJoin(_bc(bounds)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+            F.lit(N_PRICE_BINS - 1),
+        )
+        .cast("integer")
+        .alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("bin")
+    )
+
+
+PRICE_HISTOGRAM_SQL = f"""
+WITH bounds AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+)
+SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / {N_PRICE_BINS})),
+                  {N_PRICE_BINS - 1}) AS INTEGER) AS bin,
+       count(*) AS n_orders
+FROM orders CROSS JOIN bounds
+GROUP BY 1
+ORDER BY 1
+"""

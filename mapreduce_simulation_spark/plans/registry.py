@@ -1383,3 +1383,6 @@ register(
     _ext.densify_daily_revenue,
     _ext.DENSIFY_DAILY_SQL,
 )
+
+# Equi-width histogram with self-derived bounds (single pass + scalar).
+register("price_histogram", _ext.price_histogram, _ext.PRICE_HISTOGRAM_SQL)
