@@ -733,3 +733,174 @@ FROM ranked p JOIN ranked g USING (anchor_id)
 WHERE p.rn_pos = 1 AND g.rn_neg = 1
 ORDER BY p.anchor_id
 """
+
+
+# Product quantization: EMBED_DIM split into PQ_SUBSPACES subvectors, each
+# quantized against a 16-entry per-subspace codebook → 8 small ints per
+# vector instead of 64 doubles (64× scan compression at 100 TB).
+PQ_SUBSPACES = 8
+PQ_SUBDIM = EMBED_DIM // PQ_SUBSPACES
+PQ_CODEBOOK = 16
+PQ_REFINE = 4  # re-rank the top K×PQ_REFINE approx candidates exactly
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation and
+    exact refinement — the compression member of the ANN suite (brute
+    force = exact baseline, LSH = bucketing, IVF = partitioning, PQ =
+    compressed-domain scoring):
+
+      1. per-subspace codebooks: seeded sampled k-means (Spark ML) over
+         each 8-dim slice — driver-held, broadcast, like any offline
+         codebook;
+      2. encode: each corpus vector becomes 8 centroid ids (argmin by
+         squared distance; max(struct) partial-agg argmin, same shape as
+         the IVF cell assignment);
+      3. ADC scoring: each query precomputes its dot product against all
+         8×16 centroids (the lookup table); a candidate's approximate
+         score is 8 table lookups — no touching the original vectors;
+      4. refine: the top K×PQ_REFINE approx candidates are re-scored with
+         the EXACT cosine and re-ranked.
+
+    Scale: the scored scan reads (vec_id, codes[8]) — the 64×-smaller
+    encoded table — and the LUT join is a broadcast; only the refine step
+    fetches the top candidates' full vectors (a semi-join by key). K-means
+    is seeded/iterative → rows-only driver check; the recall floor vs
+    brute force is asserted in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = _corpus_with_norm(spark, sf_dir)
+    base = corpus.where(F.col("vec_id") >= N_QUERIES)
+
+    # 1. one small seeded fit per subspace over a sampled slice
+    cents_rows = []
+    sample = base.sample(fraction=0.5, seed=42)
+    for m in range(PQ_SUBSPACES):
+        sub = sample.select(
+            array_to_vector(
+                F.slice(F.col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+            ).alias("fv")
+        )
+        model = KMeans(k=PQ_CODEBOOK, seed=42 + m, maxIter=10).setFeaturesCol(
+            "fv"
+        ).fit(sub)
+        for cid, c in enumerate(model.clusterCenters()):
+            cents_rows.append((m, cid, [float(x) for x in c]))
+    cents = spark.createDataFrame(
+        cents_rows, "m int, cid int, cv array<double>"
+    )
+
+    # 2. encode: argmin centroid per (vector, subspace), folded to a codes
+    # array ordered by subspace
+    subv = base.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice(F.col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                        "sv"
+                    ),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    sqd = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        subv.join(broadcast(cents), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.max(
+                F.struct((-sqd).alias("nd"), (-F.col("cid")).alias("nc"))
+            ).alias("best")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("m", (-F.col("best.nc")).alias("cid"))
+                    )
+                ),
+                lambda s: s["cid"],
+            ).alias("codes")
+        )
+    )
+
+    # 3. per-query LUT: dot(query subvector, centroid) for all 8×16 cells,
+    # flattened to a 128-slot array indexed by m*16+cid
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    lut_entries = (
+        queries.join(broadcast(cents))
+        .select(
+            "query_id",
+            "qn",
+            (F.col("m") * PQ_CODEBOOK + F.col("cid")).alias("slot"),
+            _dot(
+                F.slice(F.col("qv"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM),
+                F.col("cv"),
+            ).alias("part"),
+        )
+        .groupBy("query_id", "qn")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "part"))),
+                lambda s: s["part"],
+            ).alias("lut")
+        )
+    )
+
+    # ADC: approx dot = Σ_m lut[m*16 + codes[m]] — 8 lookups per candidate
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col("lut"),
+            (m * PQ_CODEBOOK + F.element_at(F.col("codes"), m + 1) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        codes.join(broadcast(lut_entries))
+        .select("query_id", "vec_id", "qn", approx.alias("approx"))
+        .withColumn("ark", F.row_number().over(aw))
+        .where(F.col("ark") <= TOP_K * PQ_REFINE)
+    )
+
+    # 4. exact refinement of the surviving candidates
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(corpus.select("vec_id", "v", "nrm"), "vec_id")
+        .join(
+            broadcast(queries.select("query_id", "qv")), "query_id"
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(rw))
+        .where(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )

