@@ -1545,3 +1545,77 @@ FROM orders CROSS JOIN bounds
 GROUP BY 1
 ORDER BY 1
 """
+
+
+BAD_RECORD_MOD = 13
+
+
+def csv_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on ingest: orders staged as CSV with a
+    deterministic corruption (keys ≡ 0 mod BAD_RECORD_MOD get a
+    non-numeric price), read back in PERMISSIVE mode with a
+    _corrupt_record column — the production ingest contract where bad
+    rows are quarantined and counted, never silently dropped and never
+    failing the job. Output: per-status counts of good vs quarantined
+    rows and revenue over good rows only.
+
+    Scale: PERMISSIVE parsing is per-row and partition-local (no extra
+    pass); the quarantine column is NULL for good rows so it compresses
+    to nothing downstream. FAILFAST is the right mode only when upstream
+    is contractually clean."""
+    from ..staging import staging_dir
+
+    stage = staging_dir("orders_badcsv_")
+    orders = load_table(spark, sf_dir, "orders")
+    price_or_junk = F.when(
+        F.col("o_orderkey") % BAD_RECORD_MOD == 0, F.lit("not-a-price")
+    ).otherwise(F.col("o_totalprice").cast("string"))
+    orders.select(
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        price_or_junk.alias("o_totalprice"),
+    ).write.mode("overwrite").option("header", True).csv(stage)
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+            "_corrupt_record string"
+        )
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(stage)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("_corrupt_record").isNull().cast("long")).alias(
+                "n_good"
+            ),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias(
+                "n_quarantined"
+            ),
+            F.sum(
+                F.when(
+                    F.col("_corrupt_record").isNull(), F.col("o_totalprice")
+                ).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("good_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+CSV_BAD_RECORDS_SQL = f"""
+SELECT o_orderstatus,
+       sum(CASE WHEN o_orderkey % {BAD_RECORD_MOD} <> 0 THEN 1 ELSE 0 END)
+         AS n_good,
+       sum(CASE WHEN o_orderkey % {BAD_RECORD_MOD} = 0 THEN 1 ELSE 0 END)
+         AS n_quarantined,
+       CAST(sum(CASE WHEN o_orderkey % {BAD_RECORD_MOD} <> 0
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS good_revenue
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

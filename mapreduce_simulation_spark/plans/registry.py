@@ -1390,3 +1390,7 @@ register("price_histogram", _ext.price_histogram, _ext.PRICE_HISTOGRAM_SQL)
 # Product quantization ANN (seeded k-means codebooks → rows-only; recall
 # floor + exact-refinement agreement asserted in tests).
 register("similarity_pq_topk", similarity.pq_topk, None)
+
+# PERMISSIVE ingest with deterministic corruption: quarantine, count,
+# aggregate good rows — malformed input never fails or silently drops.
+register("csv_bad_records", _ext.csv_bad_records, _ext.CSV_BAD_RECORDS_SQL)
