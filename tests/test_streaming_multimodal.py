@@ -352,3 +352,117 @@ def test_foreach_batch_idempotent_upsert_sink(spark, event_files, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert again == got
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(
+    spark, sf_dir, tmp_path
+):
+    """Stream-stream LEFT OUTER join: purchases with no click in the
+    preceding 30 min must be emitted WITH NULL click columns — but only
+    once the watermark proves no matching click can still arrive. A
+    far-future sentinel batch (one click + one purchase) advances the
+    watermark past every real event, so the emitted set equals the batch
+    left-outer join over the real data."""
+    import os
+    import time
+
+    stage = str(tmp_path / "outer_join_events")
+    real = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    real.coalesce(1).write.mode("overwrite").parquet(stage)
+    time.sleep(1.1)
+    far = real.agg(
+        F.max("ts").alias("m"), F.max("event_id").alias("e")
+    ).collect()[0]
+    sentinel = spark.createDataFrame(
+        [
+            (far["e"] + 1, "click"),
+            (far["e"] + 2, "purchase"),
+        ],
+        "event_id bigint, event_type string",
+    ).select(
+        "event_id",
+        (F.lit(far["m"]) + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(stage)
+    # file-source batch order = modification time: make the sentinel newest
+    paths = sorted(
+        (os.path.getmtime(os.path.join(stage, f)), f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+    assert len(paths) == 2
+
+    ev = sev.read_event_stream(spark, stage, max_files_per_trigger=1)
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    c = clicks.withWatermark("ts", sev.WATERMARK).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", sev.WATERMARK).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = p.join(
+        c,
+        [
+            p["user_id"] == c["user_id"],
+            c["click_ts"] <= p["purchase_ts"],
+            c["click_ts"] >= p["purchase_ts"] - F.expr("INTERVAL 30 MINUTES"),
+        ],
+        "leftOuter",
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("outer_join_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("outer_join_stream").collect()
+        if r["purchase_id"] != far["e"] + 2  # sentinel purchase
+    }
+
+    b = spark.read.parquet(stage)
+    bc = b.where(
+        (F.col("event_type") == "click") & (F.col("event_id") <= far["e"])
+    ).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    bp = b.where(
+        (F.col("event_type") == "purchase") & (F.col("event_id") <= far["e"])
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in bp.join(
+            bc,
+            [
+                bp["user_id"] == bc["user_id"],
+                bc["click_ts"] <= bp["purchase_ts"],
+                bc["click_ts"]
+                >= bp["purchase_ts"] - F.expr("INTERVAL 30 MINUTES"),
+            ],
+            "leftOuter",
+        )
+        .select("purchase_id", "click_id")
+        .collect()
+    }
+    assert got == want
+    assert any(cid is None for _, cid in got), "no unmatched purchases emitted"
