@@ -1619,3 +1619,69 @@ FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension: each event is
+    enriched with the customer's order-priority regime VALID AT the
+    event's timestamp — the query an SCD2 table exists to answer.
+    Declaratively this is an inequality join (valid_from ≤ ts < valid_to);
+    the scale implementation is the as-of composition: union the version
+    starts with the events on a (key, time) order and carry the latest
+    version forward with a window — one shuffle on the key, O(1) state
+    per row, versus the O(versions × events) inequality join. Version
+    intervals are contiguous per key (valid_to = next valid_from), so
+    carry-forward and the interval predicate agree exactly; events before
+    a customer's first version get NULLs.
+
+    Output: (event_id, user_id, regime, regime_since_us) — the enriched
+    fact a training pipeline or feature store would materialize."""
+    hist = scd2_priority_history(spark, sf_dir).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("valid_from_us").alias("t_us"),
+        F.col("o_orderpriority").alias("regime"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(None).cast("string").alias("regime"),
+        F.lit(1).alias("kind"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = hist.unionByName(ev).select(
+        "event_id",
+        "user_id",
+        "kind",
+        F.last("regime", ignorenulls=True).over(w).alias("regime"),
+        F.last(
+            F.when(F.col("kind") == 0, F.col("t_us")), ignorenulls=True
+        )
+        .over(w)
+        .alias("regime_since_us"),
+    )
+    return (
+        merged.where(F.col("kind") == 1)
+        .select("event_id", "user_id", "regime", "regime_since_us")
+        .orderBy("event_id")
+    )
+
+
+SCD2_PIT_SQL = f"""
+WITH hist AS ({SCD2_SQL.replace("ORDER BY o_custkey, island", "")}),
+ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+SELECT e.event_id, e.user_id, h.o_orderpriority AS regime,
+       h.valid_from_us AS regime_since_us
+FROM ev e
+LEFT JOIN hist h
+  ON h.o_custkey = e.user_id
+ AND h.valid_from_us <= e.ts_us
+ AND (h.valid_to_us IS NULL OR e.ts_us < h.valid_to_us)
+ORDER BY e.event_id
+"""

@@ -1394,3 +1394,7 @@ register("similarity_pq_topk", similarity.pq_topk, None)
 # PERMISSIVE ingest with deterministic corruption: quarantine, count,
 # aggregate good rows — malformed input never fails or silently drops.
 register("csv_bad_records", _ext.csv_bad_records, _ext.CSV_BAD_RECORDS_SQL)
+
+# Point-in-time SCD2 enrichment: as-of carry-forward vs the oracle's
+# declarative interval join.
+register("scd2_point_in_time", _ext.scd2_point_in_time, _ext.SCD2_PIT_SQL)
