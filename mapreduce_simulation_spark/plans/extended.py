@@ -1685,3 +1685,34 @@ LEFT JOIN hist h
  AND (h.valid_to_us IS NULL OR e.ts_us < h.valid_to_us)
 ORDER BY e.event_id
 """
+
+
+def hll_monthly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-DAY HLL sketches of active
+    users, union-merged up to months with NO access to the raw data —
+    the property that makes sketch tables a 100 TB staple (compute once
+    per partition/day at ingest, merge for any coarser rollup later;
+    exact distinct would need the raw user ids again). Uses the Datasketches
+    HLL aggregates built into Spark 4 (hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate).
+
+    Rows-only check (the sketch binary is engine-specific); the estimate's
+    relative error vs exact distinct is asserted in tests — the meaningful
+    property for an approximate operator."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy(
+            F.year("day").cast("int").alias("yr"),
+            F.month("day").cast("int").alias("mo"),
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("yr", "mo")
+    )

@@ -1398,3 +1398,7 @@ register("csv_bad_records", _ext.csv_bad_records, _ext.CSV_BAD_RECORDS_SQL)
 # Point-in-time SCD2 enrichment: as-of carry-forward vs the oracle's
 # declarative interval join.
 register("scd2_point_in_time", _ext.scd2_point_in_time, _ext.SCD2_PIT_SQL)
+
+# Mergeable HLL sketch rollup (daily sketches → monthly union-merge);
+# engine-specific sketch binary → rows-only, error bound tested.
+register("hll_monthly_users", _ext.hll_monthly_users, None)

@@ -558,3 +558,32 @@ def test_pq_topk_recall_floor(spark, sf_dir):
     hits = sum(1 for r in rows if (r.query_id, r.neighbor_id) in bf)
     recall = hits / len(bf)
     assert recall >= 0.35, f"PQ recall {recall:.2f} below floor"
+
+
+def test_hll_monthly_users_error_bound(spark, sf_dir):
+    """Daily HLL sketches union-merged to months must estimate monthly
+    distinct users within HLL's expected error (lgConfigK=12 → ~1.6% rel
+    std error; assert a generous 10%), proving merge correctness — a
+    wrong merge collapses to the per-day max or inflates by summing."""
+    from mapreduce_simulation_spark.plans.extended import hll_monthly_users
+    from mapreduce_simulation_spark.tables import load_table as lt
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["yr"], r["mo"]): r["approx_users"]
+        for r in hll_monthly_users(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["yr"], r["mo"]): r["n"]
+        for r in lt(spark, sf_dir, "events")
+        .groupBy(
+            F.year(F.to_date("ts")).cast("int").alias("yr"),
+            F.month(F.to_date("ts")).cast("int").alias("mo"),
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, approx in got.items():
+        rel = abs(approx - exact[k]) / exact[k]
+        assert rel < 0.10, (k, approx, exact[k])
