@@ -1716,3 +1716,49 @@ def hll_monthly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+def xml_source_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source roundtrip (built-in since Spark 4): customers staged as
+    <row> elements, read back with an EXPLICIT schema (inference is an
+    extra full scan — same discipline as the CSV path), aggregated per
+    segment. Completes the format matrix: parquet / text / CSV / JSON /
+    ORC / XML / binaryFile / custom DataSource.
+
+    (Avro is Spark-external in this container — no jar, no pip — so the
+    format matrix documents it as the one absent built-in.)"""
+    from ..staging import staging_dir
+
+    stage = staging_dir("customer_xml_")
+    cust = load_table(spark, sf_dir, "customer")
+    cust.select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal").write.mode(
+        "overwrite"
+    ).format("xml").option("rowTag", "row").save(stage)
+    back = (
+        spark.read.schema(
+            "c_custkey bigint, c_nationkey bigint, c_mktsegment string, "
+            "c_acctbal double"
+        )
+        .format("xml")
+        .option("rowTag", "row")
+        .load(stage)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+XML_SOURCE_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

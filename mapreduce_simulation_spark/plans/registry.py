@@ -1402,3 +1402,10 @@ register("scd2_point_in_time", _ext.scd2_point_in_time, _ext.SCD2_PIT_SQL)
 # Mergeable HLL sketch rollup (daily sketches → monthly union-merge);
 # engine-specific sketch binary → rows-only, error bound tested.
 register("hll_monthly_users", _ext.hll_monthly_users, None)
+
+# XML source roundtrip with explicit schema (Spark 4 built-in).
+register(
+    "xml_source_customers",
+    _ext.xml_source_customers,
+    _ext.XML_SOURCE_SQL,
+)
