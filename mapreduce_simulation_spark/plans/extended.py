@@ -1762,3 +1762,70 @@ FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-level recursion (WITH RECURSIVE — new in Spark 4): each
+    customer's orders form a linked chain (prev pointer = lag over order
+    date), and the recursive member walks it, numbering the sequence and
+    accumulating spend in exact DECIMAL — the iterate-until-exhausted
+    surface INSIDE the SQL engine, complementing the driver-loop
+    iteration the CC family uses. The chain is acyclic and bounded by
+    orders-per-customer, so UNION ALL recursion (Spark's supported form;
+    UNION-distinct recursion is not yet in) terminates naturally well
+    under spark.sql.cteRecursionLevelLimit.
+
+    The oracle runs the IDENTICAL recursive SQL on DuckDB — the first
+    query family where both engines execute the same recursion."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+    )
+    edges.createOrReplaceTempView("rec_chain_edges_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(o_custkey, o_orderkey, seq, cum) AS (
+          SELECT o_custkey, o_orderkey, 1,
+                 CAST(o_totalprice AS DECIMAL(18,2))
+          FROM rec_chain_edges_v WHERE prev_key IS NULL
+          UNION ALL
+          SELECT e.o_custkey, e.o_orderkey, c.seq + 1,
+                 CAST(c.cum + CAST(e.o_totalprice AS DECIMAL(18,2))
+                      AS DECIMAL(18,2))
+          FROM chain c
+          JOIN rec_chain_edges_v e
+            ON e.prev_key = c.o_orderkey AND e.o_custkey = c.o_custkey
+        )
+        SELECT o_custkey, o_orderkey, seq,
+               CAST(cum AS DOUBLE) AS cum_spend
+        FROM chain
+        ORDER BY o_custkey, seq
+        """
+    )
+
+
+RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         lag(o_orderkey) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev_key
+  FROM orders
+),
+chain(o_custkey, o_orderkey, seq, cum) AS (
+  SELECT o_custkey, o_orderkey, 1, CAST(o_totalprice AS DECIMAL(18,2))
+  FROM edges WHERE prev_key IS NULL
+  UNION ALL
+  SELECT e.o_custkey, e.o_orderkey, c.seq + 1,
+         CAST(c.cum + CAST(e.o_totalprice AS DECIMAL(18,2))
+              AS DECIMAL(18,2))
+  FROM chain c
+  JOIN edges e ON e.prev_key = c.o_orderkey AND e.o_custkey = c.o_custkey
+)
+SELECT o_custkey, o_orderkey, seq, CAST(cum AS DOUBLE) AS cum_spend
+FROM chain
+ORDER BY o_custkey, seq
+"""

@@ -1409,3 +1409,11 @@ register(
     _ext.xml_source_customers,
     _ext.XML_SOURCE_SQL,
 )
+
+# Engine-level recursion: per-customer order chains via WITH RECURSIVE —
+# both engines run the identical recursive SQL.
+register(
+    "recursive_order_chain",
+    _ext.recursive_order_chain,
+    _ext.RECURSIVE_CHAIN_SQL,
+)
