@@ -1829,3 +1829,37 @@ SELECT o_custkey, o_orderkey, seq, CAST(cum AS DOUBLE) AS cum_spend
 FROM chain
 ORDER BY o_custkey, seq
 """
+
+
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data through the VARIANT type (new in Spark 4):
+    props parsed ONCE into a variant column, then typed path access with
+    try_variant_get — the columnar successor to per-path get_json_object
+    string re-parsing (json_props_extract is the old-style twin; at scale
+    variant parse cost is paid once per row, not once per extracted
+    path, and the binary encoding prunes like any other column). Output
+    matches the string-path twin, so the same SQL oracle shape applies."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"), "value")
+    k = F.try_variant_get("v", "$.k", "long")
+    return (
+        v.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("k")
+    )
+
+
+VARIANT_PROPS_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY k
+ORDER BY k
+"""

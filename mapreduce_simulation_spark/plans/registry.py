@@ -1417,3 +1417,10 @@ register(
     _ext.recursive_order_chain,
     _ext.RECURSIVE_CHAIN_SQL,
 )
+
+# VARIANT semi-structured type: parse once, typed path access.
+register(
+    "variant_props_extract",
+    _ext.variant_props_extract,
+    _ext.VARIANT_PROPS_SQL,
+)
