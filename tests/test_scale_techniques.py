@@ -198,3 +198,36 @@ def test_cbo_stats_reorder_join(spark, sf_dir):
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
         for t in ("li_cbo", "ord_cbo", "cust_cbo"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_small_files_write_control_and_compaction(spark, sf_dir, tmp_path):
+    """Output-file sizing: maxRecordsPerFile caps rows per file at write
+    (the knob that prevents one fat task from emitting a single huge
+    file), and a coalesced rewrite compacts a small-files directory —
+    the maintenance job every long-lived table needs, since file count,
+    not byte count, drives scan task setup and listing cost."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    frag = str(tmp_path / "fragmented")
+    orders.repartition(4).write.option("maxRecordsPerFile", 200).mode(
+        "overwrite"
+    ).parquet(frag)
+    frag_files = [f for f in os.listdir(frag) if f.endswith(".parquet")]
+    assert len(frag_files) >= n // 200, "maxRecordsPerFile did not split"
+
+    compact = str(tmp_path / "compacted")
+    spark.read.parquet(frag).coalesce(1).write.mode("overwrite").parquet(
+        compact
+    )
+    compact_files = [f for f in os.listdir(compact) if f.endswith(".parquet")]
+    assert len(compact_files) == 1
+    # lossless: same multiset of keys
+    a = spark.read.parquet(frag).agg(
+        F.count(F.lit(1)), F.sum("o_orderkey")
+    ).collect()[0]
+    b = spark.read.parquet(compact).agg(
+        F.count(F.lit(1)), F.sum("o_orderkey")
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
