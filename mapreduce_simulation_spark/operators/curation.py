@@ -411,6 +411,20 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     ).where(F.col("w2").isNotNull())
 
 
+def _bigram_lm(docs: DataFrame) -> DataFrame:
+    """The corpus bigram LM: (w1, w2, pair_n, prefix_n) for bigrams seen
+    ≥ LM_MIN_COUNT times — the ONE definition shared by the LM-table query
+    and the perplexity scorer, so the two can never drift."""
+    big = _doc_bigrams(docs).select("w1", "w2")
+    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    prefix = pair.groupBy("w1").agg(F.sum("pair_n").alias("prefix_n"))
+    return (
+        pair.where(F.col("pair_n") >= LM_MIN_COUNT)
+        .join(F.broadcast(prefix), "w1")
+        .select("w1", "w2", "pair_n", "prefix_n")
+    )
+
+
 def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram table with MLE conditional probability — the
     construction step of a count-based n-gram LM (and of the perplexity
@@ -424,19 +438,12 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     what keeps the pair table's long tail off the wire.
     """
     docs = load_table(spark, sf_dir, "documents")
-    big = _doc_bigrams(docs).select("w1", "w2")
-    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
-    prefix = pair.groupBy("w1").agg(F.sum("pair_n").alias("prefix_n"))
-    return (
-        pair.where(F.col("pair_n") >= LM_MIN_COUNT)
-        .join(F.broadcast(prefix), "w1")
-        .select(
-            "w1",
-            "w2",
-            "pair_n",
-            "prefix_n",
-            (F.col("pair_n").cast("double") / F.col("prefix_n")).alias("p_mle"),
-        )
+    return _bigram_lm(docs).select(
+        "w1",
+        "w2",
+        "pair_n",
+        "prefix_n",
+        (F.col("pair_n").cast("double") / F.col("prefix_n")).alias("p_mle"),
     )
 
 
@@ -493,18 +500,12 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     big = _doc_bigrams(docs)
-    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
-    prefix = pair.groupBy("w1").agg(F.sum("pair_n").alias("prefix_n"))
-    lm = (
-        pair.where(F.col("pair_n") >= LM_MIN_COUNT)
-        .join(F.broadcast(prefix), "w1")
-        .select(
-            "w1",
-            "w2",
-            F.log2(
-                F.col("pair_n").cast("double") / F.col("prefix_n")
-            ).alias("log2p"),
-        )
+    lm = _bigram_lm(docs).select(
+        "w1",
+        "w2",
+        F.log2(
+            F.col("pair_n").cast("double") / F.col("prefix_n")
+        ).alias("log2p"),
     )
     per_doc = (
         big.join(lm, ["w1", "w2"], "left")

@@ -786,7 +786,16 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         model = KMeans(k=PQ_CODEBOOK, seed=42 + m, maxIter=10).setFeaturesCol(
             "fv"
         ).fit(sub)
-        for cid, c in enumerate(model.clusterCenters()):
+        centers = model.clusterCenters()
+        if len(centers) != PQ_CODEBOOK:
+            # The ADC lookup indexes the LUT positionally (m*K + cid); a
+            # short codebook would silently shift every later subspace's
+            # slots — fail loudly instead.
+            raise RuntimeError(
+                f"subspace {m}: k-means returned {len(centers)} centers, "
+                f"expected {PQ_CODEBOOK} (sample too small/degenerate)"
+            )
+        for cid, c in enumerate(centers):
             cents_rows.append((m, cid, [float(x) for x in c]))
     cents = spark.createDataFrame(
         cents_rows, "m int, cid int, cv array<double>"

@@ -1176,7 +1176,9 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (merge_upsert_orders is the apply half). Snapshot B is derived
     deterministically from A so both engines build identical inputs:
     keys ≡ 0 (mod 97) deleted, keys ≡ 0 (mod 101) get status 'X',
-    keys ≡ 0 (mod 103) are re-inserted as new keys (+10^7).
+    keys ≡ 0 (mod 103) are re-inserted as new keys offset by
+    max(o_orderkey) — collision-free at ANY scale factor because the
+    offset is derived from the data, not a constant.
 
     Scale: row identity is compared via the char hash of a canonical
     column concat, so the full-outer join carries (key, 8-byte hash) —
@@ -1200,8 +1202,12 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .union(
-            base.where(key % 103 == 0).select(
-                (key + 10_000_000).alias("o_orderkey"),
+            base.where(key % 103 == 0)
+            .crossJoin(
+                F.broadcast(base.agg(F.max("o_orderkey").alias("mx")))
+            )
+            .select(
+                (key + F.col("mx")).alias("o_orderkey"),
                 F.col("o_custkey"),
                 F.lit("N").alias("o_orderstatus"),
                 F.col("o_orderpriority"),
@@ -1253,7 +1259,8 @@ snap_b AS (
          o_orderpriority
   FROM base WHERE o_orderkey % 97 <> 0
   UNION ALL
-  SELECT o_orderkey + 10000000, o_custkey, 'N', o_orderpriority
+  SELECT o_orderkey + (SELECT max(o_orderkey) FROM base), o_custkey, 'N',
+         o_orderpriority
   FROM base WHERE o_orderkey % 103 = 0
 ),
 a AS (SELECT o_orderkey, {row} AS h FROM base),
@@ -1641,6 +1648,7 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from_us").alias("t_us"),
         F.col("o_orderpriority").alias("regime"),
         F.lit(0).alias("kind"),
+        F.col("island"),
         F.lit(None).cast("long").alias("event_id"),
     )
     ev = load_table(spark, sf_dir, "events").select(
@@ -1648,11 +1656,18 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("t_us"),
         F.lit(None).cast("string").alias("regime"),
         F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("island"),
         "event_id",
     )
+    # Tie handling: two versions can START at the same timestamp (two
+    # orders on one date) — the earlier island is then an EMPTY interval
+    # [t, t) which the oracle's valid_from <= ts < valid_to predicate
+    # never matches. Ordering ties by island makes the carry-forward pick
+    # the later (non-empty) version deterministically; events (kind=1,
+    # island NULL) still sort after all same-timestamp version starts.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("t_us", "kind")
+        .orderBy("t_us", "kind", F.col("island").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = hist.unionByName(ev).select(

@@ -1328,9 +1328,7 @@ register(
 )
 
 # SCD2 history construction via gaps-and-islands (single-exchange plan).
-from .extended import scd2_priority_history as _scd2  # noqa: E402
-
-register("scd2_priority_history", _scd2, _ext.SCD2_SQL)
+register("scd2_priority_history", _ext.scd2_priority_history, _ext.SCD2_SQL)
 
 # Sweep-line interval overlap (peak concurrency per event type).
 register(

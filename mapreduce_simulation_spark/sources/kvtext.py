@@ -100,9 +100,10 @@ class KVTextWriter(DataSourceWriter):
     """Write side of the contract: each task emits one ``part-{NNNNN}``
     file of tab-joined lines (the reference's reducer output,
     worker/__main__.py:237-250), named by its partition id so the file
-    set mirrors the task set. Tasks write to ``.part-*.tmp`` and commit()
-    renames — the standard two-phase output commit, so a failed/
-    speculative duplicate task never corrupts the directory."""
+    set mirrors the task set. Tasks write to a per-ATTEMPT temp file
+    (partition id + task attempt id, so speculative or retried attempts
+    never share a temp path) and commit() renames the winning attempt's
+    file — the standard two-phase output commit."""
 
     def __init__(self, options, overwrite: bool) -> None:
         path = options.get("path")
@@ -118,8 +119,11 @@ class KVTextWriter(DataSourceWriter):
     def write(self, iterator) -> "KVTextCommit":
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        tmp = os.path.join(self.path, f".part-{pid:05d}.tmp")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        tmp = os.path.join(
+            self.path, f".part-{pid:05d}.attempt-{ctx.taskAttemptId()}.tmp"
+        )
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
                 fh.write("\t".join("" if v is None else str(v) for v in row))
@@ -128,8 +132,11 @@ class KVTextWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         for m in messages:
-            final = m.file.replace(".tmp", "").replace("/.part-", "/part-")
-            os.replace(m.file, final)
+            # strip only the leading '.' and the '.attempt-*.tmp' suffix of
+            # the FILENAME (the directory path must pass through untouched)
+            name = os.path.basename(m.file)
+            final_name = "part-" + name[len(".part-"):].split(".attempt-")[0]
+            os.replace(m.file, os.path.join(self.path, final_name))
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write("")
 
