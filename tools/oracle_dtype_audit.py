@@ -1,0 +1,80 @@
+"""Audit every registered oracle for pandas-dtype mismatches vs Spark.
+
+The driver canonicalizes both result sets through pandas before hashing.
+DuckDB's ``sum(INTEGER)`` returns HUGEINT which pandas widens to float64,
+while Spark's ``sum(bigint)`` stays int64 — the stringified values then
+differ ("123.0" vs "123") and the value hash mismatches even though the
+results are numerically identical (observed on repetition_stats/span_dedup
+in CORRECTNESS_r02). This tool runs every (query, oracle) pair at a small
+SF and flags any column whose pandas dtype differs between the two engines
+so the oracle SQL can be cast to match.
+
+Usage: python tools/oracle_dtype_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapreduce_simulation_spark.plans import registry  # noqa: E402
+from mapreduce_simulation_spark.session import build_session  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# dtype pairs that stringify identically — no canonicalization hazard.
+_COMPATIBLE = {
+    ("float64", "float64"),
+    ("int64", "int64"),
+    ("int32", "int64"),
+    ("int64", "int32"),
+    ("object", "object"),
+    ("bool", "bool"),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = build_session("dtype-audit", master="local[8]", shuffle_partitions=8)
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    oracles = registry.oracle_sql()
+    queries = registry.queries()
+    bad = 0
+    for name in sorted(oracles):
+        try:
+            spdf = queries[name](spark, sf_dir).limit(200).toPandas()
+            dkdf = duck.execute(oracles[name]).df().head(200)
+        except Exception as exc:  # pragma: no cover - audit tool
+            print(f"ERR  {name}: {exc}")
+            bad += 1
+            continue
+        sp = {c: str(spdf[c].dtype) for c in spdf.columns}
+        dk = {c: str(dkdf[c].dtype) for c in dkdf.columns}
+        for col in sorted(set(sp) | set(dk)):
+            a, b = sp.get(col), dk.get(col)
+            if a is None or b is None:
+                print(f"COL  {name}.{col}: spark={a} duck={b} (missing)")
+                bad += 1
+            elif (a, b) not in _COMPATIBLE and a != b:
+                print(f"MISM {name}.{col}: spark={a} duck={b}")
+                bad += 1
+    print(f"{'FAIL' if bad else 'OK'}: {bad} dtype hazards across "
+          f"{len(oracles)} oracles")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
