@@ -251,7 +251,7 @@ WITH tok AS (
 ),
 wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
 per_doc AS (
-  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_token_n
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_token_n
   FROM wc GROUP BY doc_id
 ),
 big AS (
@@ -350,7 +350,7 @@ flagged AS (
 )
 SELECT doc_id,
        count(*) AS n_chunks,
-       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
                            ORDER BY chunk_pos), '') AS dedup_text
 FROM flagged

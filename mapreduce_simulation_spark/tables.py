@@ -32,11 +32,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table. Parquet scan → Catalyst prunes/pushes.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS) which Spark rejects by
-    default; we read it as nano-longs and truncate to microseconds —
-    identical to how DuckDB coerces ns→µs, keeping oracle comparisons exact.
-    Integer division (``div``), not float: ~1.7e18 ns overflows a double's
-    53-bit mantissa.
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) (which Spark reads as
+    nano-longs under ``nanosAsLong``) and plain ``timestamp[us]``; we detect
+    which from the loaded dtype and convert only the legacy nanos case,
+    truncating to microseconds exactly as DuckDB coerces ns→µs so oracle
+    comparisons stay exact. Integer division (``div``), not float: ~1.7e18 ns
+    overflows a double's 53-bit mantissa.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -46,7 +47,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Downstream operators (unix_micros, watermarks) expect TIMESTAMP;
+            # session tz is UTC so the cast is value-preserving vs the oracle.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
