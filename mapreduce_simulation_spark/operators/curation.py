@@ -464,7 +464,8 @@ big AS (
   ) WHERE w2 IS NOT NULL
 ),
 pair AS (SELECT w1, w2, count(*) AS pair_n FROM big GROUP BY w1, w2),
-prefix AS (SELECT w1, sum(pair_n) AS prefix_n FROM pair GROUP BY w1)
+prefix AS (SELECT w1, CAST(sum(pair_n) AS BIGINT) AS prefix_n
+           FROM pair GROUP BY w1)
 SELECT p.w1, p.w2, p.pair_n, x.prefix_n,
        CAST(p.pair_n AS DOUBLE) / x.prefix_n AS p_mle
 FROM pair p JOIN prefix x USING (w1)
@@ -751,7 +752,8 @@ seq AS (
 )
 SELECT s.doc_id, s.n_tokens, s.seq_id, g.n_docs_in_seq, g.seq_tokens
 FROM seq s JOIN (
-  SELECT seq_id, count(*) AS n_docs_in_seq, sum(n_tokens) AS seq_tokens
+  SELECT seq_id, count(*) AS n_docs_in_seq,
+         CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
   FROM seq GROUP BY seq_id
 ) g USING (seq_id)
 """

@@ -985,8 +985,8 @@ seq AS (
   FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY od_us, o_orderkey)
 ),
 isl AS (
-  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
-                           ORDER BY od_us, o_orderkey) AS island
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                ORDER BY od_us, o_orderkey) AS BIGINT) AS island
   FROM seq
 ),
 grp AS (
@@ -1070,7 +1070,7 @@ swept AS (
   FROM points
 )
 SELECT s.event_type,
-       max(s.running) AS peak_concurrency,
+       CAST(max(s.running) AS BIGINT) AS peak_concurrency,
        c.n_events
 FROM swept s
 JOIN (SELECT event_type, count(*) AS n_events FROM e GROUP BY event_type) c
@@ -1615,10 +1615,10 @@ def csv_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CSV_BAD_RECORDS_SQL = f"""
 SELECT o_orderstatus,
-       sum(CASE WHEN o_orderkey % {BAD_RECORD_MOD} <> 0 THEN 1 ELSE 0 END)
-         AS n_good,
-       sum(CASE WHEN o_orderkey % {BAD_RECORD_MOD} = 0 THEN 1 ELSE 0 END)
-         AS n_quarantined,
+       CAST(sum(CASE WHEN o_orderkey % {BAD_RECORD_MOD} <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_good,
+       CAST(sum(CASE WHEN o_orderkey % {BAD_RECORD_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_quarantined,
        CAST(sum(CASE WHEN o_orderkey % {BAD_RECORD_MOD} <> 0
                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
             AS DOUBLE) AS good_revenue

@@ -9,6 +9,12 @@ in CORRECTNESS_r02). This tool runs every (query, oracle) pair at a small
 SF and flags any column whose pandas dtype differs between the two engines
 so the oracle SQL can be cast to match.
 
+Full result sets are compared (no .limit sample): a nullable int column
+whose nulls sit outside a sample would show int64 in the sample but widen
+to float64 on the driver's full run. For object-dtype columns (where equal
+dtypes still admit different stringification, e.g. Decimal('123.00') vs
+'123'), the Python type of the first non-null value is compared too.
+
 Usage: python tools/oracle_dtype_audit.py [sf_dir]
 """
 
@@ -40,40 +46,73 @@ _COMPATIBLE = {
 }
 
 
+def _first_nonnull_type(series) -> str | None:
+    nonnull = series.dropna()
+    if len(nonnull) == 0:
+        return None
+    return type(nonnull.iloc[0]).__name__
+
+
+def _stringify_matches(sa, sb) -> bool:
+    """The driver hashes stringified values, so a dtype difference is only a
+    hazard if the stringified multisets differ (e.g. datetime64[ns] vs [us]
+    both render '2020-01-01 00:00:00.000000' — benign; int64 vs float64
+    render '123' vs '123.0' — hazard)."""
+    return sorted(sa.astype(str)) == sorted(sb.astype(str))
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = build_session("dtype-audit", master="local[8]", shuffle_partitions=8)
-    duck = duckdb.connect()
-    for t in TABLES:
-        duck.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    try:
+        duck = duckdb.connect()
+        for t in TABLES:
+            duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
 
-    oracles = registry.oracle_sql()
-    queries = registry.queries()
-    bad = 0
-    for name in sorted(oracles):
-        try:
-            spdf = queries[name](spark, sf_dir).limit(200).toPandas()
-            dkdf = duck.execute(oracles[name]).df().head(200)
-        except Exception as exc:  # pragma: no cover - audit tool
-            print(f"ERR  {name}: {exc}")
-            bad += 1
-            continue
-        sp = {c: str(spdf[c].dtype) for c in spdf.columns}
-        dk = {c: str(dkdf[c].dtype) for c in dkdf.columns}
-        for col in sorted(set(sp) | set(dk)):
-            a, b = sp.get(col), dk.get(col)
-            if a is None or b is None:
-                print(f"COL  {name}.{col}: spark={a} duck={b} (missing)")
+        oracles = registry.oracle_sql()
+        queries = registry.queries()
+        bad = 0
+        for name in sorted(oracles):
+            try:
+                spdf = queries[name](spark, sf_dir).toPandas()
+                dkdf = duck.execute(oracles[name]).df()
+            except Exception as exc:  # pragma: no cover - audit tool
+                print(f"ERR  {name}: {exc}")
                 bad += 1
-            elif (a, b) not in _COMPATIBLE and a != b:
-                print(f"MISM {name}.{col}: spark={a} duck={b}")
-                bad += 1
-    print(f"{'FAIL' if bad else 'OK'}: {bad} dtype hazards across "
-          f"{len(oracles)} oracles")
-    return 1 if bad else 0
+                continue
+            sp = {c: str(spdf[c].dtype) for c in spdf.columns}
+            dk = {c: str(dkdf[c].dtype) for c in dkdf.columns}
+            for col in sorted(set(sp) | set(dk)):
+                a, b = sp.get(col), dk.get(col)
+                if a is None or b is None:
+                    print(f"COL  {name}.{col}: spark={a} duck={b} (missing)")
+                    bad += 1
+                elif (a, b) not in _COMPATIBLE and a != b:
+                    if not _stringify_matches(spdf[col], dkdf[col]):
+                        print(f"MISM {name}.{col}: spark={a} duck={b}")
+                        bad += 1
+                elif a == "object" and b == "object":
+                    ta = _first_nonnull_type(spdf[col])
+                    tb = _first_nonnull_type(dkdf[col])
+                    if (
+                        ta is not None
+                        and tb is not None
+                        and ta != tb
+                        and not _stringify_matches(spdf[col], dkdf[col])
+                    ):
+                        print(
+                            f"OBJ  {name}.{col}: spark value type={ta} "
+                            f"duck value type={tb}"
+                        )
+                        bad += 1
+        print(f"{'FAIL' if bad else 'OK'}: {bad} dtype hazards across "
+              f"{len(oracles)} oracles")
+        return 1 if bad else 0
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":
