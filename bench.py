@@ -59,41 +59,60 @@ def main() -> None:
 
     # Warm up: session init, whole-stage codegen, shuffle machinery, and
     # parquet footers for each table family — otherwise the first measured
-    # query absorbs multi-second one-time JVM costs.
-    qs["top_orders"](spark, SF_DIR).count()
-    qs["word_count"](spark, "/root/testdata/sf0.001").count()
-    qs["revenue_by_nation"](spark, "/root/testdata/sf0.001").count()
-    qs["events_daily"](spark, "/root/testdata/sf0.001").count()
-    # Spawn the Python worker pool so Arrow-path queries measure steady
-    # state, not daemon startup.
-    qs["similarity_topk_pandas"](spark, "/root/testdata/sf0.001").count()
-    # The two most stage-heavy plans: compile their codegen (identical
-    # generated code at any SF) so the measured run is throughput, not
-    # Janino compile time.
-    qs["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").count()
-    qs["similarity_ivf_topk"](spark, "/root/testdata/sf0.001").count()
+    # query absorbs multi-second one-time JVM costs. A broken warm-up query
+    # must not zero the whole bench (round 3: one loader regression crashed
+    # warm-up and the round recorded no timings at all), so failures are
+    # noted and the run continues — the failing query will show up in
+    # "errors" when its measured run also fails.
+    warmups = [
+        ("top_orders", SF_DIR),
+        ("word_count", "/root/testdata/sf0.001"),
+        ("revenue_by_nation", "/root/testdata/sf0.001"),
+        ("events_daily", "/root/testdata/sf0.001"),
+        # Spawn the Python worker pool so Arrow-path queries measure steady
+        # state, not daemon startup.
+        ("similarity_topk_pandas", "/root/testdata/sf0.001"),
+        # The two most stage-heavy plans: compile their codegen (identical
+        # generated code at any SF) so the measured run is throughput, not
+        # Janino compile time.
+        ("dedup_minhash_lsh", "/root/testdata/sf0.001"),
+        ("similarity_ivf_topk", "/root/testdata/sf0.001"),
+    ]
+    for name, sf_path in warmups:
+        try:
+            qs[name](spark, sf_path).count()
+        except Exception as exc:  # noqa: BLE001 - survive to measure the rest
+            print(f"warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
+        try:
+            qs[name](spark, SF_DIR).count()
+        except Exception as exc:  # noqa: BLE001 - one bad query ≠ no bench
+            errors[name] = str(exc).split("\n")[0][:200]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
+    # Surface partial failure in the exit code without suppressing the
+    # JSON line above (the driver records both).
+    if errors:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

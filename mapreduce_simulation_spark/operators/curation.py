@@ -393,6 +393,120 @@ ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------------------
+# PII redaction (scrub free text before it enters a training corpus)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common dialect (no lookaround,
+# no backreferences) so Spark and the DuckDB oracle match identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# The synthetic corpus contains no organic PII, so the operator first
+# enriches each document with deterministic doc_id-derived contact lines —
+# both engines apply the identical enrichment, keeping the oracle exact
+# while exercising every redaction class on every row.
+_PII_SUFFIX = (
+    " contact user{id}@example.com call 555-010-{phone4} from 10.0.{a}.{b}"
+)
+
+
+def _pii_enriched(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails, phone numbers, and IPv4 addresses from document text,
+    reporting per-class counts and a residual check.
+
+    A training-data pipeline scrubs PII *before* dedup/packing so redaction
+    tokens participate in fingerprints consistently. Everything here is
+    JVM-side codegen (regexp_replace / regexp_extract_all) — a narrow map
+    over the scan with zero shuffle beyond the declared ordering, so at
+    100 TB it is scan-bound and embarrassingly parallel. The `residual_pii`
+    column re-applies the detectors to the scrubbed text: a nonzero value
+    is an audit failure, computed in the same pass.
+    """
+    enriched = _pii_enriched(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+    def _count(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return (
+        enriched.select(
+            "doc_id",
+            _count(F.col("text"), PII_EMAIL_RE).alias("n_emails"),
+            _count(F.col("text"), PII_PHONE_RE).alias("n_phones"),
+            _count(F.col("text"), PII_IP_RE).alias("n_ips"),
+            scrubbed.alias("text_scrubbed"),
+        )
+        .withColumn(
+            "residual_pii",
+            _count(F.col("text_scrubbed"), PII_EMAIL_RE)
+            + _count(F.col("text_scrubbed"), PII_PHONE_RE)
+            + _count(F.col("text_scrubbed"), PII_IP_RE),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_SCRUB_SQL = rf"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com call 555-010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+           AS text
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+         CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(
+             text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g') AS text_scrubbed
+  FROM enriched
+)
+SELECT doc_id, n_emails, n_phones, n_ips, text_scrubbed,
+       CAST(len(regexp_extract_all(text_scrubbed, '{PII_EMAIL_RE}'))
+          + len(regexp_extract_all(text_scrubbed, '{PII_PHONE_RE}'))
+          + len(regexp_extract_all(text_scrubbed, '{PII_IP_RE}')) AS BIGINT)
+         AS residual_pii
+FROM scrub
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bigram language-model counts (n-gram LM table construction)
 # ---------------------------------------------------------------------------
 

@@ -1240,6 +1240,7 @@ register(
     curation.pseudonymize_customers,
     curation.PSEUDONYMIZE_SQL,
 )
+register("pii_scrub", curation.pii_scrub, curation.PII_SCRUB_SQL)
 register("bigram_lm_counts", curation.bigram_lm_counts, curation.BIGRAM_LM_SQL)
 
 # Training-data prep: distribution-relative trim, context-window chunking,

@@ -587,3 +587,18 @@ def test_hll_monthly_users_error_bound(spark, sf_dir):
     for k, approx in got.items():
         rel = abs(approx - exact[k]) / exact[k]
         assert rel < 0.10, (k, approx, exact[k])
+
+
+def test_pii_scrub_redacts_all_classes(spark, sf_dir):
+    """Every redaction class fires on every row (deterministic enrichment),
+    the scrubbed text carries the redaction tokens, and re-applying the
+    detectors to the scrubbed text finds nothing (residual audit)."""
+    from mapreduce_simulation_spark.operators.curation import pii_scrub
+
+    out = pii_scrub(spark, sf_dir)
+    rows = out.collect()
+    assert all(r.n_emails >= 1 and r.n_phones >= 1 and r.n_ips >= 1 for r in rows)
+    assert all(r.residual_pii == 0 for r in rows)
+    sample = rows[0].text_scrubbed
+    assert "<EMAIL>" in sample and "<PHONE>" in sample and "<IP>" in sample
+    assert "@example.com" not in sample
