@@ -44,6 +44,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The ntz→ltz normalization below is value-preserving only when the
+        # session renders timestamps in UTC; pin it in case the caller's
+        # session (e.g. the driver's) was built without our session.py.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 

@@ -73,6 +73,9 @@ SHAPES = [
     # funnel: three stacked whole-partition windows + final agg, all on
     # user_id — one keyed exchange + declared order by
     ("funnel_conversion", 2, 0, "Window"),
+    # PII scrub is a narrow regexp map over the scan: the ONLY exchange is
+    # the declared ORDER BY's range partitioning
+    ("pii_scrub", 1, 0, "Project"),
 ]
 
 
