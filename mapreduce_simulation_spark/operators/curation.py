@@ -926,3 +926,185 @@ FROM tok t JOIN ids i USING (tok)
 WHERE t.pos < {ENCODE_MAX_POS}
 ORDER BY t.doc_id, t.pos
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (train the tokenizer's merge table from the corpus)
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 8
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_N_MERGES byte-pair-encoding merge rules from the
+    corpus: repeatedly count adjacent symbol pairs weighted by word
+    frequency, merge the most frequent pair (ties broken lexicographically)
+    greedily left-to-right in every word, and record (rank, lhs, rhs).
+
+    Completes the tokenizer story next to token_count_bpe (applying a
+    pre-tokenizer) and vocab_encode (frequency vocab → ids): this is the
+    step that LEARNS the subword vocabulary.
+
+    Scale: classic BPE trains on the word-frequency TYPE table, not the raw
+    corpus — one corpus-scale token aggregation (map-side combine, word-key
+    shuffle), then every iteration runs over |vocab| rows. Per iteration the
+    driver fetches exactly ONE row (the argmax pair); the per-iteration
+    localCheckpoint keeps the plan linear instead of 8× nested. The greedy
+    non-overlapping merge is pure window arithmetic: runs of consecutive
+    matches (only possible when lhs == rhs) merge at even offsets, which is
+    exactly left-to-right greedy semantics — no sequential UDF needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("seq"),
+        )
+        .localCheckpoint()
+    )
+    return _bpe_iterate(spark, words, BPE_N_MERGES)
+
+
+def _bpe_iterate(spark: SparkSession, words: DataFrame, n_merges: int) -> DataFrame:
+    """The merge-learning loop over a (word, cnt, seq) type table — split out
+    so tests can drive it with adversarial vocabularies (repeated-symbol
+    runs) against an independent reference implementation."""
+    wseq = Window.partitionBy("word").orderBy("pos")
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        tok = words.select(
+            "word", "cnt", F.posexplode(F.split("seq", " ")).alias("pos", "sym")
+        )
+        pairs = tok.withColumn("r", F.lead("sym", 1).over(wseq))
+        best = (
+            pairs.where(F.col("r").isNotNull())
+            .groupBy("sym", "r")
+            .agg(F.sum("cnt").alias("pair_n"))
+            .orderBy(F.desc("pair_n"), F.asc("sym"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append((rank, b.sym, b.r, b.sym + b.r, b.pair_n))
+
+        m = pairs.withColumn(
+            "matched",
+            F.coalesce(
+                (F.col("sym") == F.lit(b.sym)) & (F.col("r") == F.lit(b.r)),
+                F.lit(False),
+            ),
+        )
+        wrun = Window.partitionBy("word", "matched").orderBy("pos")
+        runs = m.withColumn("runkey", F.col("pos") - F.row_number().over(wrun))
+        wrk = Window.partitionBy("word", "matched", "runkey")
+        dec = runs.withColumn(
+            "do_merge",
+            F.col("matched")
+            & (((F.col("pos") - F.min("pos").over(wrk)) % 2) == 0),
+        )
+        out = dec.withColumn(
+            "osym",
+            F.when(F.col("do_merge"), F.concat("sym", "r")).otherwise(
+                F.col("sym")
+            ),
+        ).withColumn(
+            "absorbed", F.coalesce(F.lag("do_merge", 1).over(wseq), F.lit(False))
+        )
+        words = (
+            out.where(~F.col("absorbed"))
+            .groupBy("word", "cnt")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "osym"))),
+                        lambda s: s["osym"],
+                    ),
+                    " ",
+                ).alias("seq")
+            )
+            .localCheckpoint()
+        )
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, lhs string, rhs string, merged string, pair_n bigint",
+    )
+
+
+def _bpe_stage_sql(i: int) -> str:
+    """One unrolled BPE iteration as DuckDB CTEs (stage i reads words{i},
+    emits best{i} and words{i+1}) — the same window arithmetic as the Spark
+    loop, so the merge table is bit-identical."""
+    return f"""
+tok{i} AS (
+  SELECT word, cnt,
+         unnest(str_split(seq, ' ')) AS sym,
+         generate_subscripts(str_split(seq, ' '), 1) AS pos
+  FROM words{i}
+),
+pairs{i} AS (
+  SELECT word, cnt, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r
+  FROM tok{i}
+),
+best{i} AS (
+  SELECT sym AS lhs, r AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_n
+  FROM pairs{i} WHERE r IS NOT NULL
+  GROUP BY sym, r
+  ORDER BY pair_n DESC, lhs ASC, rhs ASC
+  LIMIT 1
+),
+m{i} AS (
+  SELECT p.word, p.cnt, p.pos, p.sym, p.r,
+         coalesce(p.sym = b.lhs AND p.r = b.rhs, FALSE) AS matched
+  FROM pairs{i} p CROSS JOIN best{i} b
+),
+runs{i} AS (
+  SELECT *, pos - row_number()
+                    OVER (PARTITION BY word, matched ORDER BY pos) AS runkey
+  FROM m{i}
+),
+dec{i} AS (
+  SELECT *, matched AND ((pos - min(pos)
+              OVER (PARTITION BY word, matched, runkey)) % 2 = 0) AS do_merge
+  FROM runs{i}
+),
+out{i} AS (
+  SELECT word, cnt, pos,
+         CASE WHEN do_merge THEN sym || r ELSE sym END AS osym,
+         coalesce(lag(do_merge) OVER (PARTITION BY word ORDER BY pos),
+                  FALSE) AS absorbed
+  FROM dec{i}
+),
+words{i + 1} AS (
+  SELECT word, cnt, string_agg(osym, ' ' ORDER BY pos) AS seq
+  FROM out{i} WHERE NOT absorbed
+  GROUP BY word, cnt
+)"""
+
+
+BPE_LEARN_SQL = (
+    r"""
+WITH words0 AS (
+  SELECT word, count(*) AS cnt,
+         trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq
+  FROM (SELECT unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word
+),"""
+    + ",".join(_bpe_stage_sql(i) for i in range(BPE_N_MERGES))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, lhs, rhs,"
+        f" lhs || rhs AS merged, pair_n FROM best{i}"
+        for i in range(BPE_N_MERGES)
+    )
+    + "\nORDER BY merge_rank"
+)

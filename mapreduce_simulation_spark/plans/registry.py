@@ -1387,6 +1387,7 @@ register(
 
 # Vocabulary build + token-id encoding (tokenize-to-ids training prep).
 register("vocab_encode", curation.vocab_encode, curation.VOCAB_ENCODE_SQL)
+register("bpe_learn_merges", curation.bpe_learn_merges, curation.BPE_LEARN_SQL)
 
 # binaryFile source: opaque per-document blob files (media ingestion).
 register(

@@ -602,3 +602,51 @@ def test_pii_scrub_redacts_all_classes(spark, sf_dir):
     sample = rows[0].text_scrubbed
     assert "<EMAIL>" in sample and "<PHONE>" in sample and "<IP>" in sample
     assert "@example.com" not in sample
+
+
+def test_bpe_learn_merges_matches_reference_bpe(spark):
+    """Drive the BPE loop with a vocabulary that exercises the hard case —
+    runs of a repeated symbol, where greedy left-to-right merging must take
+    non-overlapping pairs from the left — and compare every learned rule
+    against an independent pure-Python BPE implementation."""
+    from mapreduce_simulation_spark.operators.curation import _bpe_iterate
+
+    vocab = {"aaaa": 10, "aaab": 6, "baaa": 5, "abab": 4, "cde": 3}
+
+    def ref_bpe(vocab, n_merges):
+        words = {tuple(w): c for w, c in vocab.items()}
+        rules = []
+        for rank in range(1, n_merges + 1):
+            counts = {}
+            for syms, c in words.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] = (
+                        counts.get((syms[i], syms[i + 1]), 0) + c
+                    )
+            if not counts:
+                break
+            (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            rules.append((rank, l, r, l + r, n))
+            new = {}
+            for syms, c in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new[tuple(out)] = new.get(tuple(out), 0) + c
+            words = new
+        return rules
+
+    words_df = spark.createDataFrame(
+        [(w, c, " ".join(w)) for w, c in vocab.items()],
+        "word string, cnt bigint, seq string",
+    )
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_n)
+        for r in _bpe_iterate(spark, words_df, 6).collect()
+    ]
+    assert got == ref_bpe(vocab, 6)
