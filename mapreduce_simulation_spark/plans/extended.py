@@ -1878,3 +1878,156 @@ FROM events
 GROUP BY k
 ORDER BY k
 """
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics: PageRank in exact fixed-point arithmetic
+# ---------------------------------------------------------------------------
+
+PR_ITERATIONS = 5
+PR_SCALE = 10**12  # ranks carried as integers scaled by 1e12
+
+
+def _pagerank_iterate(
+    nodes: DataFrame, edges: DataFrame, n_iterations: int
+) -> DataFrame:
+    """Generic fixed-point PageRank loop (damping 0.85): ``nodes`` has one
+    ``node`` column, ``edges`` has (src, dst). Iterative float PageRank
+    cannot be hash-checked across engines (sum order varies), so ranks are
+    integers scaled by PR_SCALE and every step is integer arithmetic —
+    floor division for the per-edge contribution (rank DIV out-degree), the
+    dangling redistribution (dangling_sum DIV N), and the damping
+    ((85 * x) DIV 100) — exact, order-independent, identical in Spark and
+    DuckDB. Dangling mass is redistributed uniformly, so total mass is
+    conserved up to floor losses.
+
+    This is the Pregel shape: the edge table is hash-partitioned by src
+    once; every iteration is one join of the rank table onto it plus one
+    dst aggregation — both on 8-byte keys. The per-iteration
+    localCheckpoint keeps lineage linear (the CC operator's pattern).
+    """
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = nodes.count()
+    base = PR_SCALE // n_nodes
+    teleport = (15 * base) // 100
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_scaled"))
+
+    for _ in range(n_iterations):
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank_scaled DIV outdeg").alias("contrib"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("contrib").alias("in_sum"))
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("dang"))
+        )
+        ranks = (
+            nodes.join(incoming, nodes.node == incoming.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"85 * (coalesce(in_sum, 0) + dang DIV {n_nodes})"
+                        " DIV 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank_scaled"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the per-customer order-succession graph: each order
+    points to the customer's previous order (the recursive_order_chain
+    walk, as a graph), so rank accumulates toward chain heads with depth —
+    a node set that scales with the data, unlike a fixed dimension graph.
+
+    Edge extraction is one lag window per customer (single keyed exchange);
+    heads are dangling and their mass is redistributed. See
+    _pagerank_iterate for the exact-arithmetic iteration scheme.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        orders.select(
+            F.col("o_orderkey").alias("src"),
+            F.lag("o_orderkey", 1).over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .localCheckpoint()
+    )
+    nodes = orders.select(F.col("o_orderkey").alias("node"))
+    ranks = _pagerank_iterate(nodes, edges, PR_ITERATIONS)
+    return ranks.select(
+        F.col("node").alias("o_orderkey"),
+        "rank_scaled",
+        (F.col("rank_scaled") / F.lit(float(PR_SCALE))).alias("rank"),
+    ).orderBy(F.desc("rank_scaled"), F.asc("o_orderkey"))
+
+
+def _pagerank_stage_sql(i: int) -> str:
+    return f"""
+incoming{i} AS (
+  SELECT e.dst, CAST(sum(r.rank_scaled // o.outdeg) AS BIGINT) AS in_sum
+  FROM ranks{i} r
+  JOIN edges e ON r.node = e.src
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+dang{i} AS (
+  SELECT CAST(coalesce(sum(r.rank_scaled), 0) AS BIGINT) AS dang
+  FROM ranks{i} r LEFT JOIN outdeg o ON r.node = o.src
+  WHERE o.src IS NULL
+),
+ranks{i + 1} AS (
+  SELECT n.node,
+         CAST((SELECT teleport FROM consts)
+              + 85 * (coalesce(i.in_sum, 0)
+                      + (SELECT dang FROM dang{i})
+                        // (SELECT n_nodes FROM consts)) // 100
+              AS BIGINT) AS rank_scaled
+  FROM (SELECT node FROM ranks0) n
+  LEFT JOIN incoming{i} i ON n.node = i.dst
+)"""
+
+
+PAGERANK_SQL = (
+    f"""
+WITH ordered AS (
+  SELECT o_orderkey,
+         lag(o_orderkey) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+),
+edges AS (
+  SELECT o_orderkey AS src, prev AS dst FROM ordered WHERE prev IS NOT NULL
+),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+consts AS (
+  SELECT count(*) AS n_nodes,
+         {PR_SCALE} // count(*) AS base,
+         (15 * ({PR_SCALE} // count(*))) // 100 AS teleport
+  FROM orders
+),
+ranks0 AS (
+  SELECT o_orderkey AS node,
+         CAST((SELECT base FROM consts) AS BIGINT) AS rank_scaled
+  FROM orders
+),"""
+    + ",".join(_pagerank_stage_sql(i) for i in range(PR_ITERATIONS))
+    + f"""
+SELECT r.node AS o_orderkey, r.rank_scaled,
+       r.rank_scaled / {float(PR_SCALE)} AS rank
+FROM ranks{PR_ITERATIONS} r
+ORDER BY r.rank_scaled DESC, r.node ASC
+"""
+)

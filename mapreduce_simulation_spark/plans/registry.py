@@ -1458,3 +1458,6 @@ register(
     _ext.variant_props_extract,
     _ext.VARIANT_PROPS_SQL,
 )
+
+# Iterative graph analytics in exact fixed-point arithmetic.
+register("pagerank_order_chain", _ext.pagerank_order_chain, _ext.PAGERANK_SQL)

@@ -650,3 +650,45 @@ def test_bpe_learn_merges_matches_reference_bpe(spark):
         for r in _bpe_iterate(spark, words_df, 6).collect()
     ]
     assert got == ref_bpe(vocab, 6)
+
+
+def test_pagerank_iterate_matches_reference(spark):
+    """Drive the generic PageRank loop with a handmade graph exercising
+    multi-out-degree nodes, a dangling node, and an unreachable node, and
+    compare every scaled rank against an independent pure-Python
+    implementation of the same fixed-point scheme."""
+    from mapreduce_simulation_spark.plans.extended import (
+        PR_SCALE,
+        _pagerank_iterate,
+    )
+
+    nodes = [1, 2, 3, 4, 5]
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (4, 2), (4, 3)]
+    # node 5 is dangling AND unreachable; node 4 has out-degree 3.
+
+    def ref_pagerank(nodes, edges, n_iter):
+        n = len(nodes)
+        base = PR_SCALE // n
+        teleport = (15 * base) // 100
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        r = {v: base for v in nodes}
+        for _ in range(n_iter):
+            in_sum = {v: 0 for v in nodes}
+            for s, d in edges:
+                in_sum[d] += r[s] // outdeg[s]
+            dang = sum(r[v] for v in nodes if v not in outdeg)
+            r = {
+                v: teleport + (85 * (in_sum[v] + dang // n)) // 100
+                for v in nodes
+            }
+        return r
+
+    nodes_df = spark.createDataFrame([(v,) for v in nodes], "node bigint")
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.node: r.rank_scaled
+        for r in _pagerank_iterate(nodes_df, edges_df, 4).collect()
+    }
+    assert got == ref_pagerank(nodes, edges, 4)
