@@ -7,6 +7,13 @@ tiny fraction of its input is scan-bound and scales linearly; one that
 shuffles ~its input size needs the co-location/bucketing levers at 100 TB.
 
 Run: python tools/shuffle_audit.py   (prints a markdown table)
+
+Scaling mode: python tools/shuffle_audit.py <sf_dir_small> <sf_dir_big>
+runs every headline query at both scale factors and prints the shuffle-byte
+growth ratio next to the data growth ratio. A query whose shuffle grows
+much slower than the data (group-cardinality- or vocab-bounded aggregates)
+is shuffle-safe at 100 TB; one whose shuffle tracks the data linearly needs
+its co-location lever (bucketing, broadcast, pre-aggregation) called out.
 """
 
 from __future__ import annotations
@@ -41,6 +48,22 @@ def fmt_bytes(n: int) -> str:
     return f"{n:.1f} GiB"
 
 
+def _measure(spark, base, app_id, qs, sf_dir: str) -> dict[str, tuple[int, int, int]]:
+    out = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        before = stage_totals(base, app_id)
+        qs[name](spark, sf_dir).count()
+        after = stage_totals(base, app_id)
+        out[name] = (
+            after[0] - before[0],
+            after[1] - before[1],
+            after[2] - before[2],
+        )
+    return out
+
+
 def main() -> None:
     spark = build_session(
         "shuffle-audit", extra_conf={"spark.ui.enabled": "true"}
@@ -49,18 +72,31 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     qs = e.queries()
 
+    if len(sys.argv) == 3:
+        small_dir, big_dir = sys.argv[1], sys.argv[2]
+        small = _measure(spark, base, app_id, qs, small_dir)
+        big = _measure(spark, base, app_id, qs, big_dir)
+        print(f"Shuffle scaling {small_dir} → {big_dir}\n")
+        # Input-byte deltas are NOT printed in this mode: the UI's
+        # FileSystem read counters are JVM-global and bleed across the two
+        # runs sharing this session, so per-query input growth is
+        # unreliable here; shuffle counters are per-stage and exact.
+        print("| query | shuffle @small | shuffle @big | shuffle ×growth |")
+        print("|---|---|---|---|")
+        for name in small:
+            _, sw_s, _ = small[name]
+            _, sw_b, _ = big[name]
+            sw_g = f"{sw_b / sw_s:.1f}×" if sw_s else ("flat" if not sw_b else "n/a")
+            print(f"| {name} | {fmt_bytes(sw_s)} | {fmt_bytes(sw_b)} | {sw_g} |")
+        spark.stop()
+        return
+
     print(f"Shuffle audit at {SF_DIR} ({len(HEADLINE)} headline queries)\n")
     print("| query | input read | shuffle written | shuffle records | shuffle/input |")
     print("|---|---|---|---|---|")
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        before = stage_totals(base, app_id)
-        qs[name](spark, SF_DIR).count()
-        after = stage_totals(base, app_id)
-        inp = after[0] - before[0]
-        sw = after[1] - before[1]
-        recs = after[2] - before[2]
+    for name, (inp, sw, recs) in _measure(
+        spark, base, app_id, qs, SF_DIR
+    ).items():
         ratio = f"{sw / inp:.2%}" if inp else "n/a"
         print(
             f"| {name} | {fmt_bytes(inp)} | {fmt_bytes(sw)} | {recs:,} | {ratio} |"
