@@ -771,6 +771,35 @@ register(
     """,
 )
 
+from ..streaming.events import streaming_sessions as _stream_sessions  # noqa: E402
+
+register(
+    "streaming_sessions",
+    _stream_sessions,
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+
 register(
     "streaming_events_hourly",
     _stream_hourly,

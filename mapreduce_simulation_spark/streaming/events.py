@@ -248,6 +248,36 @@ def sliding_counts(
     )
 
 
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing gap-based session-window streaming query — the
+    incremental twin of relational.sessionize_events, through the same
+    staging/drain harness as streaming_events_hourly. Spark's
+    session_window(ts, gap) closes a session when the next event lands at
+    or after last_ts + gap (the window is [start, last_ts + gap)), so the
+    oracle's gaps-and-islands replay uses `diff >= gap`, and session_end is
+    max(ts) + gap. Complete output mode retains all sessions, matching the
+    batch answer; in an append deployment the watermark expires session
+    state the same way it bounds the tumbling windows."""
+    from ..staging import staging_dir
+    from ..tables import load_table
+
+    stage = staging_dir("events_sessions_")
+    load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    # One-batch drain: the session operator enforces the watermark on its
+    # INPUT even in complete mode, so per-file micro-batches drop any event
+    # behind the previous batch's high watermark (file order is not a time
+    # order guarantee) — measured 7132 vs 9549 sessions at sf0.01. Single
+    # batch ⇒ no intermediate watermark ⇒ exact parity with the batch
+    # sessionization; the incremental multi-batch path (with its late-drop
+    # semantics) is exercised in tests/test_streaming_multimodal.py.
+    stream = read_event_stream(spark, stage, max_files_per_trigger=None)
+    return run_to_memory(
+        session_windows(stream, "30 minutes"), "events_sessions_stream"
+    )
+
+
 def streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing sliding-window streaming query (window 1 h, slide
     30 min) — same staging/drain harness as streaming_events_hourly. The
