@@ -207,3 +207,68 @@ ranked AS (
 )
 SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= {TFIDF_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching (edit-distance join without a cross join)
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All distinct part-name pairs within Levenshtein distance
+    FUZZY_MAX_DIST — entity resolution's core primitive, built scale-first:
+    candidates come from an inverted bigram index (names sharing at least
+    one 2-gram, the dedup_ngram_jaccard pattern), then only candidates pay
+    the exact levenshtein. By q-gram pigeonhole, d edits destroy at most
+    d*q grams, so any pair with distance ≤ 2 shares a bigram whenever
+    len > (d+1)*q - 1 = 5 — true for every part name — which makes the
+    candidate set COMPLETE: the oracle is the exhaustive self-join and
+    must match exactly, proving no pair is lost to pruning.
+
+    Scale: names are a type table (≪ corpus); the bigram join shuffles
+    (gram, name) pairs, never the corpus, and a length pre-filter bounds
+    the verify set. At 100 TB the same plan applies after a distinct() on
+    the name column; hot grams can be count-filtered like the shingle cap
+    in dedup_ngram_jaccard.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    grams = names.select(
+        "name",
+        F.explode(
+            F.expr("transform(sequence(1, length(name) - 1),"
+                   " i -> substring(name, i, 2))")
+        ).alias("gram"),
+    ).distinct()
+    cand = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .where(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.where(
+            F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_MAX_DIST
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("dist") <= FUZZY_MAX_DIST)
+        .orderBy("name_a", "name_b")
+    )
+
+
+FUZZY_NAME_PAIRS_SQL = f"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""

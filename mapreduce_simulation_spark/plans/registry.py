@@ -1490,3 +1490,7 @@ register(
 
 # Iterative graph analytics in exact fixed-point arithmetic.
 register("pagerank_order_chain", _ext.pagerank_order_chain, _ext.PAGERANK_SQL)
+
+# Fuzzy entity matching: q-gram candidate join + exact edit-distance verify
+# (the exhaustive oracle proves candidate completeness).
+register("fuzzy_name_pairs", text.fuzzy_name_pairs, text.FUZZY_NAME_PAIRS_SQL)
