@@ -161,3 +161,50 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sketch_count").desc(), F.col("word").asc())
         .limit(HEAVY_HITTERS_TOP)
     )
+
+
+def grouped_agg_median_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation median account balance through a GROUPED_AGG pandas UDF —
+    the custom-UDAF tier of the UDF surface (scalar pandas_udf, grouped-map
+    applyInPandas, mapInPandas/Arrow, UDTF, and stateful are covered by
+    sibling queries; this is the one aggregate-shaped tier).
+
+    A GROUPED_AGG UDF participates in a real aggregation plan: Spark
+    shuffles on the group key and hands each group's column to the UDF as a
+    pandas Series (no partial aggregation — the UDF is a black box, which
+    is exactly the trade to document vs built-in percentile_approx at
+    scale). Median is deterministic for the oracle: the sorted-middle
+    element, or the IEEE midpoint of the two middles — both engines define
+    it identically.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udf(v: pd.Series) -> float:
+        return float(v.median())
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg, so the row count is a pandas UDF too.
+    @pandas_udf("long")
+    def count_udf(v: pd.Series) -> int:
+        return len(v)
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            median_udf("c_acctbal").alias("median_balance"),
+            count_udf("c_acctbal").alias("n_customers"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+GROUPED_AGG_MEDIAN_SQL = """
+SELECT c_nationkey,
+       median(c_acctbal) AS median_balance,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""

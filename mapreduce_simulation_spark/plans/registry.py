@@ -1153,6 +1153,13 @@ register(
     """,
 )
 
+from ..operators.pandas_ops import (  # noqa: E402
+    GROUPED_AGG_MEDIAN_SQL as _gam_sql,
+    grouped_agg_median_balance as _gam,
+)
+
+register("pandas_grouped_agg_median", _gam, _gam_sql)
+
 # ---------------------------------------------------------------------------
 # As-of and range joins (operators Spark lacks natively — compositions)
 # ---------------------------------------------------------------------------
