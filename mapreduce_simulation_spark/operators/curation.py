@@ -404,13 +404,9 @@ PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 # The synthetic corpus contains no organic PII, so the operator first
 # enriches each document with deterministic doc_id-derived contact lines —
-# both engines apply the identical enrichment, keeping the oracle exact
-# while exercising every redaction class on every row.
-_PII_SUFFIX = (
-    " contact user{id}@example.com call 555-010-{phone4} from 10.0.{a}.{b}"
-)
-
-
+# both engines apply the identical enrichment (the column expression below
+# and the SQL in PII_SCRUB_SQL must stay in lockstep), keeping the oracle
+# exact while exercising every redaction class on every row.
 def _pii_enriched(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",

@@ -223,9 +223,9 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 2-gram, the dedup_ngram_jaccard pattern), then only candidates pay
     the exact levenshtein. By q-gram pigeonhole, d edits destroy at most
     d*q grams, so any pair with distance ≤ 2 shares a bigram whenever
-    len > (d+1)*q - 1 = 5 — true for every part name — which makes the
-    candidate set COMPLETE: the oracle is the exhaustive self-join and
-    must match exactly, proving no pair is lost to pruning.
+    len > (d+1)*q - 1 = 5; shorter names take a bounded broadcast path —
+    which makes the candidate set COMPLETE: the oracle is the exhaustive
+    self-join and must match exactly, proving no pair is lost to pruning.
 
     Scale: names are a type table (≪ corpus); the bigram join shuffles
     (gram, name) pairs, never the corpus, and a length pre-filter bounds
@@ -238,7 +238,14 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_name").alias("name"))
         .distinct()
     )
-    grams = names.select(
+    return _fuzzy_pairs(names)
+
+
+def _fuzzy_pairs(names: DataFrame) -> DataFrame:
+    """The candidate-generation + verify core over a distinct (name) table —
+    split out so tests can drive it with short-name vocabularies that fall
+    outside the bigram pigeonhole guarantee."""
+    grams = names.where(F.length("name") > 5).select(
         "name",
         F.explode(
             F.expr("transform(sequence(1, length(name) - 1),"
@@ -254,8 +261,28 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Names shorter than 6 chars fall outside the pigeonhole guarantee (two
+    # edits can destroy every bigram of a 5-char string), so pairs touching
+    # a short name take a direct broadcast path instead: the short-name set
+    # is bounded by the alphabet (finitely many strings ≤ 5 chars exist,
+    # and a type table holds each once), so the "cross" side stays tiny at
+    # any corpus size. Empty on TPC-H p_name; exists so completeness is a
+    # property of the plan, not of the data.
+    short = names.where(F.length("name") <= 5)
+    short_cand = (
+        F.broadcast(short.select(F.col("name").alias("s_name")))
+        .crossJoin(names)
+        .where(F.col("s_name") != F.col("name"))
+        .select(
+            F.least("s_name", "name").alias("name_a"),
+            F.greatest("s_name", "name").alias("name_b"),
+        )
+        .distinct()
+    )
     return (
-        cand.where(
+        cand.unionByName(short_cand)
+        .distinct()
+        .where(
             F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_MAX_DIST
         )
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))

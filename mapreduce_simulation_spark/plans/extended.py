@@ -1906,7 +1906,16 @@ def _pagerank_iterate(
     dst aggregation — both on 8-byte keys. The per-iteration
     localCheckpoint keeps lineage linear (the CC operator's pattern).
     """
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Materialize the loop invariants once: outdeg is referenced twice per
+    # iteration (contrib join + dangling anti-join) and nodes once, so
+    # without this each iteration re-runs the edge aggregation and the
+    # source scan behind nodes.
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint()
+    )
+    nodes = nodes.localCheckpoint()
     n_nodes = nodes.count()
     base = PR_SCALE // n_nodes
     teleport = (15 * base) // 100

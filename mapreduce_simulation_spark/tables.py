@@ -47,6 +47,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # The ntz→ltz normalization below is value-preserving only when the
         # session renders timestamps in UTC; pin it in case the caller's
         # session (e.g. the driver's) was built without our session.py.
+        # Deliberate session-wide side effect: UTC sessions are an engine
+        # contract (session.py pins it; every oracle is tz-naive) — a
+        # caller wanting non-UTC rendering must convert at the edge, not
+        # via the session zone.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F

@@ -692,3 +692,41 @@ def test_pagerank_iterate_matches_reference(spark):
         for r in _pagerank_iterate(nodes_df, edges_df, 4).collect()
     }
     assert got == ref_pagerank(nodes, edges, 4)
+
+
+def test_fuzzy_pairs_complete_for_short_names(spark):
+    """Short names (len <= 5) fall outside the bigram pigeonhole guarantee —
+    'ab' vs 'cd' share no bigram at distance 2 — so they take the broadcast
+    path. Compare the plan against an exhaustive python check."""
+    from mapreduce_simulation_spark.operators.text import (
+        FUZZY_MAX_DIST,
+        _fuzzy_pairs,
+    )
+
+    vocab = ["ab", "cd", "axe", "axle", "maple", "ample", "sample",
+             "example", "examples", "exampled"]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = sorted(
+        (a, b, lev(a, b))
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1:]
+        if lev(a, b) <= FUZZY_MAX_DIST
+    )
+    want = [(min(a, b), max(a, b), d) for a, b, d in want]
+    names_df = spark.createDataFrame([(n,) for n in vocab], "name string")
+    got = [
+        (r.name_a, r.name_b, r.dist) for r in _fuzzy_pairs(names_df).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    # the short-name pair the bigram index cannot see must be present
+    assert ("ab", "cd", 2) in got
