@@ -714,6 +714,16 @@ from ..streaming.stateful import (  # noqa: E402
 
 register("stateful_user_rollup", _stateful_rollup, _stateful_sql)
 
+from ..streaming.stateful import _HAS_TWS  # noqa: E402
+
+if _HAS_TWS:
+    from ..streaming.stateful import (  # noqa: E402
+        stateful_user_rollup_tws as _stateful_tws,
+    )
+
+    # Same semantics + oracle on Spark 4's transformWithStateInPandas.
+    register("stateful_user_rollup_tws", _stateful_tws, _stateful_sql)
+
 # Stream-stream watermarked join (attribution shape); single-batch staging
 # → emitted set equals the batch join, so the plain SQL join is the oracle.
 from ..streaming.events import (  # noqa: E402

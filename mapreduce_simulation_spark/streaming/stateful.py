@@ -126,3 +126,112 @@ SELECT user_id, count(*) AS n_events,
 FROM events
 GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# The same rollup on transformWithStateInPandas — Spark 4's successor state
+# API (typed value/list/map state handles, timers, TTL) replacing the single
+# opaque tuple of applyInPandasWithState. Kept semantically identical to
+# _rollup_fn so one oracle covers both operators.
+# ---------------------------------------------------------------------------
+
+try:  # the API landed in Spark 4.0; its state protocol needs protobuf.
+    import google.protobuf  # noqa: F401  (absent in some containers)
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover - environment-dependent
+    # Without protobuf the TWS driver worker crashes at query start
+    # (StateMessage_pb2 import). The operator below is complete and runs on
+    # any cluster with protobuf installed; registration is gated so this
+    # container's driver run never hits the crash.
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+
+class _RollupProcessor(StatefulProcessor):
+    """Per-user (count, first_us, last_us) accumulator as a typed ValueState
+    handle. The handle survives micro-batches via the state store exactly
+    like the applyInPandasWithState tuple, but the new API scales to
+    multiple named handles (list/map state, timers) without re-encoding."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("rollup", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            n, first_us, last_us = self._state.get()
+        else:
+            n, first_us, last_us = 0, None, None
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            us = _ts_micros(pdf["ts"])
+            n += len(pdf)
+            lo, hi = int(us.min()), int(us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        self._state.update((n, first_us, last_us))
+        (user_id,) = key
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "first_event_us": [first_us],
+                "last_event_us": [last_us],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_rollup_tws(stream: DataFrame) -> DataFrame:
+    """The rollup through transformWithStateInPandas."""
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RollupProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def stateful_user_rollup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing twin of stateful_user_rollup on the new state API —
+    same single-batch staging, same output, same oracle."""
+    from ..staging import staging_dir
+    from ..tables import load_table
+
+    from .events import read_event_stream
+
+    stage = staging_dir("events_tws_")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=None)
+    # transformWithState requires the RocksDB state store provider (the
+    # default HDFS-backed provider is unsupported); scope the setting to
+    # this query's start and restore afterwards.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            user_rollup_tws(stream)
+            .writeStream.format("memory")
+            .queryName("stateful_user_rollup_tws")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table("stateful_user_rollup_tws")

@@ -516,3 +516,39 @@ def test_rocksdb_state_store_provider(spark, event_files, tmp_path):
         assert got == want
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transform_with_state_rollup_parity(spark, sf_dir):
+    """transformWithStateInPandas twin of the stateful rollup — runs only
+    where its protobuf-based state protocol is available (gated exactly
+    like the multimodal codecs); asserts parity with the batch GROUP BY."""
+    import pytest as _pytest
+
+    from mapreduce_simulation_spark.streaming.stateful import _HAS_TWS
+
+    if not _HAS_TWS:
+        _pytest.skip("google.protobuf absent: TWS driver worker cannot start")
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.streaming.stateful import (
+        stateful_user_rollup_tws,
+    )
+    from mapreduce_simulation_spark.tables import load_table
+
+    got = {
+        r.user_id: (r.n_events, r.first_event_us, r.last_event_us)
+        for r in stateful_user_rollup_tws(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.first_event_us, r.last_event_us)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("first_event_us"),
+            F.unix_micros(F.max("ts")).alias("last_event_us"),
+        )
+        .collect()
+    }
+    assert got == want
