@@ -59,6 +59,7 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
+    n_ok = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -72,6 +73,7 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
+            n_rows_only += 1
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             continue
@@ -99,8 +101,12 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures += 1
         else:
+            n_ok += 1
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
     spark.stop()
+    # One grep-proof summary line (Spark progress bars can swallow
+    # individual result lines on a tty).
+    print(f"SUMMARY: {n_ok} ok, {n_rows_only} rows-only, {failures} failed")
     return 1 if failures else 0
 
 
