@@ -1104,3 +1104,78 @@ WITH words0 AS (
     )
     + "\nORDER BY merge_rank"
 )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (probability-proportional-to-size) sampling
+# ---------------------------------------------------------------------------
+
+PPS_N_SAMPLES = 100
+_PPS_MIX = 2654435761  # Knuth multiplicative constant — fixed shuffle key
+
+
+def pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample: ~PPS_N_SAMPLES documents drawn with
+    probability proportional to n_chars — the weighted companion to
+    deterministic_sample (uniform hash-mod) and stratified_sample
+    (per-group quota), completing the corpus-sampling toolkit.
+
+    Scheme: order docs by a fixed multiplicative hash of doc_id (a
+    deterministic shuffle — no RNG, so the same rows are drawn on any
+    cluster layout), take the running character total, and select every
+    document in which the cumulative weight crosses a step boundary
+    (step = total_chars // N). All integer arithmetic → the oracle is
+    exact; a document heavier than the step is selected once, not
+    multiplied (deterministic, and the right semantics for dedup-style
+    corpus draws). The global cumulative sum needs a total order — the
+    sequence_packing caveat applies: at 100 TB this runs per shard with
+    carried-in prefix totals, identical arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    keyed = docs.withColumn(
+        "hkey", (F.col("doc_id") * F.lit(_PPS_MIX)) % F.lit(1000000007)
+    )
+    w = Window.orderBy("hkey", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = keyed.withColumn("cum_chars", F.sum("n_chars").over(w))
+    step = docs.agg(
+        F.greatest(
+            F.expr(f"CAST(sum(n_chars) AS BIGINT) DIV {PPS_N_SAMPLES}"),
+            F.lit(1).cast("long"),
+        ).alias("step")
+    )
+    return (
+        cum.crossJoin(F.broadcast(step))
+        .where(
+            F.expr("(cum_chars - n_chars) DIV step < cum_chars DIV step")
+        )
+        .select("doc_id", "source", "n_chars", "cum_chars")
+        .orderBy("doc_id")
+    )
+
+
+PPS_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         (doc_id * {_PPS_MIX}) % 1000000007 AS hkey
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_chars,
+         CAST(sum(n_chars) OVER (ORDER BY hkey, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_chars
+  FROM keyed
+),
+c AS (
+  SELECT greatest(CAST(sum(n_chars) AS BIGINT) // {PPS_N_SAMPLES}, 1) AS step
+  FROM documents
+)
+SELECT doc_id, source, n_chars, cum_chars
+FROM cum CROSS JOIN c
+WHERE (cum_chars - n_chars) // step < cum_chars // step
+ORDER BY doc_id
+"""

@@ -1511,3 +1511,7 @@ register("pagerank_order_chain", _ext.pagerank_order_chain, _ext.PAGERANK_SQL)
 # Fuzzy entity matching: q-gram candidate join + exact edit-distance verify
 # (the exhaustive oracle proves candidate completeness).
 register("fuzzy_name_pairs", text.fuzzy_name_pairs, text.FUZZY_NAME_PAIRS_SQL)
+
+# Weighted (PPS) sampling — registered here, past the driver window, so it
+# does not displace the long-green entries at the window boundary.
+register("pps_sample", curation.pps_sample, curation.PPS_SAMPLE_SQL)
