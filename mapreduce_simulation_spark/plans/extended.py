@@ -2040,3 +2040,65 @@ FROM ranks{PR_ITERATIONS} r
 ORDER BY r.rank_scaled DESC, r.node ASC
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket analysis: frequent co-purchased pairs
+# ---------------------------------------------------------------------------
+
+BASKET_TOP_K = 20
+
+
+def co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASKET_TOP_K most frequent co-purchased part-brand pairs across
+    orders (frequent-itemset mining at k=2, the building block of
+    association rules).
+
+    The pair explosion is a per-order self-join on l_orderkey with the
+    brand inequality halving the square: cost is Σ(basket_size²)/2, bounded
+    by the max lines-per-order (single digits in order data), NOT corpus² —
+    the same bounded-fanout argument as the dedup candidate joins. The
+    distinct() before pairing collapses duplicate brands within an order so
+    a pair counts once per order (support semantics). One agg on the pair
+    key, then TakeOrdered for the top-k.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .select(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+    )
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(BASKET_TOP_K)
+    )
+
+
+CO_PURCHASE_SQL = f"""
+WITH basket AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM basket a JOIN basket b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY 1, 2
+ORDER BY n_orders DESC, brand_a ASC, brand_b ASC
+LIMIT {BASKET_TOP_K}
+"""

@@ -1515,3 +1515,6 @@ register("fuzzy_name_pairs", text.fuzzy_name_pairs, text.FUZZY_NAME_PAIRS_SQL)
 # Weighted (PPS) sampling — registered here, past the driver window, so it
 # does not displace the long-green entries at the window boundary.
 register("pps_sample", curation.pps_sample, curation.PPS_SAMPLE_SQL)
+
+# Market-basket frequent pairs (itemset mining at k=2).
+register("co_purchase_pairs", _ext.co_purchase_pairs, _ext.CO_PURCHASE_SQL)
