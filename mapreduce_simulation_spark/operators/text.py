@@ -299,3 +299,106 @@ FROM names a JOIN names b ON a.name < b.name
 WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
 ORDER BY name_a, name_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable frequency estimation, exactly reproducible)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus word stream, then every word's
+    estimate next to its true count — the mergeable-sketch frequency
+    primitive (heavy_hitters_sketch is the Misra-Gries companion; HLL
+    covers distinct counts).
+
+    The sketch is linear, so building it from the word-count type table
+    (counter[i][h_i(w)] += count(w)) is bit-identical to streaming every
+    token through it — the build is therefore one type-table pass, and at
+    100 TB the d×w counter grid (4×512 longs here) is the only state:
+    partial grids from any partitioning merge by addition, which is the
+    whole point of the structure. Hash family = the engine's shared
+    polynomial hash composed with the frozen MinHash (A,B) pairs, so both
+    engines place every word in the same buckets and even the
+    collision-inflated estimates hash-match exactly. est_n >= true_n
+    always (one-sided error); the property test pins the classic ε-bound.
+    """
+    from ..functions.hashing import MINHASH_PERMS, P, char_hash, char_hash_sql  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .withColumn("h", char_hash(F.col("word")))
+    )
+    rows = None
+    for i in range(CMS_DEPTH):
+        a, b = MINHASH_PERMS[i]
+        r = wc.select(
+            "word",
+            "true_n",
+            F.lit(i).alias("row"),
+            (((F.col("h") * a + b) % P) % CMS_WIDTH).alias("bucket"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    counters = rows.groupBy("row", "bucket").agg(
+        F.sum("true_n").alias("counter")
+    )
+    return (
+        rows.join(counters, ["row", "bucket"])
+        .groupBy("word")
+        .agg(
+            F.min("counter").alias("est_n"),
+            F.first("true_n").alias("true_n"),
+        )
+        .select("word", "true_n", "est_n")
+        .orderBy("word")
+    )
+
+
+def _cms_rows_sql() -> str:
+    from ..functions.hashing import MINHASH_PERMS, P, char_hash_sql
+
+    parts = []
+    for i in range(CMS_DEPTH):
+        a, b = MINHASH_PERMS[i]
+        parts.append(
+            f"SELECT word, true_n, {i} AS row,"
+            f" ((h * {a} + {b}) % {P}) % {CMS_WIDTH} AS bucket FROM wc"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _build_cms_sql() -> str:
+    from ..functions.hashing import char_hash_sql
+
+    return rf"""
+WITH tok AS (
+  SELECT unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS true_n,
+         {char_hash_sql('word')} AS h
+  FROM tok GROUP BY word
+),
+rows AS (
+{_cms_rows_sql()}
+),
+counters AS (
+  SELECT row, bucket, CAST(sum(true_n) AS BIGINT) AS counter
+  FROM rows GROUP BY row, bucket
+)
+SELECT r.word, r.true_n, CAST(min(c.counter) AS BIGINT) AS est_n
+FROM rows r JOIN counters c USING (row, bucket)
+GROUP BY r.word, r.true_n
+ORDER BY r.word
+"""
+
+
+CMS_WORD_FREQ_SQL = _build_cms_sql()

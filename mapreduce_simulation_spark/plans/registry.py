@@ -1518,3 +1518,7 @@ register("pps_sample", curation.pps_sample, curation.PPS_SAMPLE_SQL)
 
 # Market-basket frequent pairs (itemset mining at k=2).
 register("co_purchase_pairs", _ext.co_purchase_pairs, _ext.CO_PURCHASE_SQL)
+
+# Count-Min sketch: mergeable frequency estimation, deterministic hash
+# family → even the collision-inflated estimates hash-match the oracle.
+register("cms_word_freq", text.cms_word_freq, text.CMS_WORD_FREQ_SQL)

@@ -730,3 +730,21 @@ def test_fuzzy_pairs_complete_for_short_names(spark):
     assert sorted(got) == sorted(want)
     # the short-name pair the bigram index cannot see must be present
     assert ("ab", "cd", 2) in got
+
+
+def test_cms_estimates_one_sided_and_bounded(spark, sf_dir):
+    """Count-Min guarantees: estimates never undercount (one-sided error),
+    and any overestimate is bounded by the total stream mass that could
+    collide into a bucket (N per row, trivially; at this vocab-to-width
+    ratio the sketch should be collision-free and exact)."""
+    from mapreduce_simulation_spark.operators.text import cms_word_freq
+
+    rows = cms_word_freq(spark, sf_dir).collect()
+    assert rows, "empty sketch output"
+    n_total = sum(r.true_n for r in rows)
+    for r in rows:
+        assert r.est_n >= r.true_n, (r.word, r.est_n, r.true_n)
+        assert r.est_n - r.true_n <= n_total
+    # 31 words into 512 buckets x 4 rows: expect exactness; if this ever
+    # fails after a vocab change, drop to the epsilon-bound assertion above.
+    assert all(r.est_n == r.true_n for r in rows)
