@@ -361,7 +361,7 @@ def cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_rows_sql() -> str:
-    from ..functions.hashing import MINHASH_PERMS, P, char_hash_sql
+    from ..functions.hashing import MINHASH_PERMS, P
 
     parts = []
     for i in range(CMS_DEPTH):
