@@ -2102,3 +2102,94 @@ GROUP BY 1, 2
 ORDER BY n_orders DESC, brand_a ASC, brand_b ASC
 LIMIT {BASKET_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (graph analytics on equi-joins only)
+# ---------------------------------------------------------------------------
+
+def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation in the undirected nation trade
+    graph (edge: a supplier nation shipped to a customer nation), plus the
+    classic two-join triangle enumeration.
+
+    The standard distributed formulation: canonicalize edges to a < b,
+    enumerate wedges by joining edges on the shared middle vertex, close
+    each wedge with a third equi-join — no vertex ever sees more than its
+    neighborhood, and the a < b < c ordering counts each triangle exactly
+    once. Skew lever at scale: orient wedges by degree (low-degree vertex
+    as the join key) so hub vertices don't quadratically explode — noted,
+    not needed at 25 nations.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    triangles = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    per_node = (
+        triangles.select(F.explode(F.array("x", "y", "z")).alias("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        nation.join(per_node, "n_nationkey", "left")
+        .select(
+            "n_name",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+        .orderBy("n_name")
+    )
+
+
+TRIANGLE_COUNT_SQL = """
+WITH edges AS (
+  SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+                  greatest(s.s_nationkey, c.c_nationkey) AS b
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node AS n_nationkey, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (
+    SELECT unnest([x, y, z]) AS node FROM tri
+  )
+  GROUP BY node
+)
+SELECT n.n_name, coalesce(p.n_triangles, 0) AS n_triangles
+FROM nation n LEFT JOIN per_node p USING (n_nationkey)
+ORDER BY n.n_name
+"""

@@ -1522,3 +1522,10 @@ register("co_purchase_pairs", _ext.co_purchase_pairs, _ext.CO_PURCHASE_SQL)
 # Count-Min sketch: mergeable frequency estimation, deterministic hash
 # family → even the collision-inflated estimates hash-match the oracle.
 register("cms_word_freq", text.cms_word_freq, text.CMS_WORD_FREQ_SQL)
+
+# Triangle counting: wedge join + closing join, a<b<c canonical order.
+register(
+    "triangle_count_nations",
+    _ext.triangle_count_nations,
+    _ext.TRIANGLE_COUNT_SQL,
+)
