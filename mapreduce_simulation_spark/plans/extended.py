@@ -2193,3 +2193,99 @@ SELECT n.n_name, coalesce(p.n_triangles, 0) AS n_triangles
 FROM nation n LEFT JOIN per_node p USING (n_nationkey)
 ORDER BY n.n_name
 """
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a→b over the brand baskets: support counts,
+    directional confidence, and lift for every co-purchased pair with
+    support ≥ 2 orders.
+
+    Exactness discipline: confidence and lift are each ONE IEEE double
+    division of exact integer counts (lift's numerator n_ab·N and
+    denominator n_a·n_b are computed in int64 first), so both engines
+    round identically — no accumulated float arithmetic anywhere. Same
+    bounded pair explosion as co_purchase_pairs; the singles table is
+    |brands| rows and broadcasts back onto the pairs.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders_tbl = basket.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders_total")
+    )
+    singles = basket.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_single"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 2)
+    )
+    sa = singles.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_single").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_single").alias("n_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n_orders_tbl))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (F.col("n_both").cast("double") / F.col("n_a")).alias("conf_a_to_b"),
+            (F.col("n_both").cast("double") / F.col("n_b")).alias("conf_b_to_a"),
+            (
+                (F.col("n_both") * F.col("n_orders_total")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+ASSOCIATION_RULES_SQL = """
+WITH basket AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders_total
+      FROM basket),
+singles AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_single
+  FROM basket GROUP BY p_brand
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.brand_a, p.brand_b, p.n_both,
+       sa.n_single AS n_a, sb.n_single AS n_b,
+       CAST(p.n_both AS DOUBLE) / sa.n_single AS conf_a_to_b,
+       CAST(p.n_both AS DOUBLE) / sb.n_single AS conf_b_to_a,
+       CAST(p.n_both * (SELECT n_orders_total FROM n) AS DOUBLE)
+         / (sa.n_single * sb.n_single) AS lift
+FROM pairs p
+JOIN singles sa ON p.brand_a = sa.p_brand
+JOIN singles sb ON p.brand_b = sb.p_brand
+ORDER BY p.brand_a, p.brand_b
+"""

@@ -1529,3 +1529,9 @@ register(
     _ext.triangle_count_nations,
     _ext.TRIANGLE_COUNT_SQL,
 )
+
+# Association rules over the brand baskets (confidence + lift, exact
+# single-division arithmetic).
+register(
+    "association_rules", _ext.association_rules, _ext.ASSOCIATION_RULES_SQL
+)
