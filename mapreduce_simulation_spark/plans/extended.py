@@ -2289,3 +2289,83 @@ JOIN singles sa ON p.brand_a = sa.p_brand
 JOIN singles sb ON p.brand_b = sb.p_brand
 ORDER BY p.brand_a, p.brand_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity audit (constraint checking as a query)
+# ---------------------------------------------------------------------------
+
+def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-count audit of every foreign-key edge in the star schema:
+    rows on the fact side whose key has no match in the dimension. The
+    constraint-checking companion to table_profile_orders (null/distinct
+    profiling) and table_checksum (content drift): run after ingest, expect
+    all zeros, alert otherwise.
+
+    Each edge is one LEFT ANTI join — at scale the dimension side
+    broadcasts (or the join runs on the same co-location the query would
+    use anyway) and the audit touches only the key columns, so the scans
+    are column-pruned to 8 bytes per row. The counts union into one tiny
+    result so a scheduler can gate on a single query.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(fact, fk, dim, pk, edge):
+        n = (
+            fact.select(F.col(fk))
+            .join(dim.select(F.col(pk)), fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return n.select(F.lit(edge).alias("fk_edge"), "n_orphans")
+
+    checks = [
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey -> orders"),
+        orphans(li, "l_partkey", part, "p_partkey", "lineitem.l_partkey -> part"),
+        orphans(li, "l_suppkey", supp, "s_suppkey", "lineitem.l_suppkey -> supplier"),
+        orphans(orders, "o_custkey", cust, "c_custkey", "orders.o_custkey -> customer"),
+        orphans(cust, "c_nationkey", nation, "n_nationkey", "customer.c_nationkey -> nation"),
+        orphans(supp, "s_nationkey", nation, "n_nationkey", "supplier.s_nationkey -> nation"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("fk_edge")
+
+
+REFERENTIAL_AUDIT_SQL = """
+SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+       CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem.l_suppkey -> supplier',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       CAST(count(*) AS BIGINT)
+FROM customer c WHERE NOT EXISTS
+  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'supplier.s_nationkey -> nation',
+       CAST(count(*) AS BIGINT)
+FROM supplier s WHERE NOT EXISTS
+  (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+ORDER BY fk_edge
+"""

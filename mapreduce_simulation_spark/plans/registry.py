@@ -1535,3 +1535,8 @@ register(
 register(
     "association_rules", _ext.association_rules, _ext.ASSOCIATION_RULES_SQL
 )
+
+# Referential-integrity audit: one anti-join orphan count per FK edge.
+register(
+    "referential_audit", _ext.referential_audit, _ext.REFERENTIAL_AUDIT_SQL
+)
