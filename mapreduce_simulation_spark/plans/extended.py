@@ -2369,3 +2369,38 @@ FROM supplier s WHERE NOT EXISTS
   (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
 ORDER BY fk_edge
 """
+
+
+def balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per nation: each customer's
+    percent_rank and cume_dist over account balance — the relative-standing
+    analytics ntile buckets can't express (exact position, not bucket).
+
+    Both are ANSI-defined rationals of rank/count integers — one IEEE
+    division each, identical across engines even under balance ties (ties
+    share a rank, no tie-break needed for the value). One exchange on
+    n_nationkey, the same key every window here uses.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume_dist"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+BALANCE_DISTRIBUTION_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+         AS pct_rank,
+       cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+         AS cume_dist
+FROM customer
+ORDER BY c_custkey
+"""

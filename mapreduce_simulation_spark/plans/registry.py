@@ -1540,3 +1540,10 @@ register(
 register(
     "referential_audit", _ext.referential_audit, _ext.REFERENTIAL_AUDIT_SQL
 )
+
+# Distribution window functions (percent_rank / cume_dist).
+register(
+    "balance_distribution",
+    _ext.balance_distribution,
+    _ext.BALANCE_DISTRIBUTION_SQL,
+)
