@@ -2404,3 +2404,65 @@ SELECT c_custkey, c_nationkey, c_acctbal,
 FROM customer
 ORDER BY c_custkey
 """
+
+
+def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts and probabilities between
+    consecutive order priorities per customer — the sequence-mining
+    companion to the gaps-and-islands/funnel family: one lag window on the
+    per-customer order timeline, one pair aggregation, and a row-normalized
+    probability (single IEEE division of exact counts, identical across
+    engines).
+
+    Scale: the lag runs on the same o_custkey exchange every sequence
+    operator here uses; the transition matrix is |priorities|² rows —
+    constant-size output whatever the order volume.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("to_priority"),
+        F.lag("o_orderpriority", 1).over(w).alias("from_priority"),
+    ).where(F.col("from_priority").isNotNull())
+    counts = seq.groupBy("from_priority", "to_priority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_totals = counts.groupBy("from_priority").agg(
+        F.sum("n").alias("row_total")
+    )
+    return (
+        counts.join(F.broadcast(row_totals), "from_priority")
+        .select(
+            "from_priority",
+            "to_priority",
+            "n",
+            (F.col("n").cast("double") / F.col("row_total")).alias("p"),
+        )
+        .orderBy("from_priority", "to_priority")
+    )
+
+
+PRIORITY_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         o_orderpriority AS to_priority,
+         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+           AS from_priority
+  FROM orders
+),
+counts AS (
+  SELECT from_priority, to_priority, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE from_priority IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT from_priority, CAST(sum(n) AS BIGINT) AS row_total
+  FROM counts GROUP BY from_priority
+)
+SELECT c.from_priority, c.to_priority, c.n,
+       CAST(c.n AS DOUBLE) / t.row_total AS p
+FROM counts c JOIN totals t USING (from_priority)
+ORDER BY c.from_priority, c.to_priority
+"""

@@ -1547,3 +1547,10 @@ register(
     _ext.balance_distribution,
     _ext.BALANCE_DISTRIBUTION_SQL,
 )
+
+# Markov transition matrix over per-customer priority sequences.
+register(
+    "priority_transition_matrix",
+    _ext.priority_transition_matrix,
+    _ext.PRIORITY_TRANSITION_SQL,
+)
