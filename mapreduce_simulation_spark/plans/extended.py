@@ -2466,3 +2466,76 @@ SELECT c.from_priority, c.to_priority, c.n,
 FROM counts c JOIN totals t USING (from_priority)
 ORDER BY c.from_priority, c.to_priority
 """
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention over events: users grouped by first-active
+    day, then for each subsequent day the fraction of the cohort still
+    active — the canonical product-analytics matrix (daily grain because
+    the events table spans one month).
+
+    Days are carried as the integer epoch-day key
+    (unix_micros // 86_400_000_000), so cohort assignment, day offsets, and
+    the retention ratio (one IEEE division of exact distinct counts) are
+    identical across engines — no timestamp arithmetic or rendering in the
+    output at all.
+
+    Scale: two aggregations on user_id (first day, distinct activity) —
+    the same key, one exchange each with map-side partials — then a
+    cohort-key agg whose cardinality is days². The cohort-size join is a
+    broadcast of a days-sized table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    activity = ev.select("user_id", day).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = activity.join(cohorts, "user_id").select(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_index")
+    )
+    # activity is already (user, day)-distinct, so a plain count here IS
+    # the distinct-user count per cell.
+    counts = joined.groupBy("cohort_day", "day_index").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = counts.where(F.col("day_index") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_index",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_day", "day_index")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+),
+counts AS (
+  SELECT c.cohort_day, a.day - c.cohort_day AS day_index,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM activity a JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_day, n_active AS cohort_size
+  FROM counts WHERE day_index = 0
+)
+SELECT co.cohort_day, co.day_index, co.n_active, s.cohort_size,
+       CAST(co.n_active AS DOUBLE) / s.cohort_size AS retention
+FROM counts co JOIN sizes s USING (cohort_day)
+ORDER BY co.cohort_day, co.day_index
+"""

@@ -1554,3 +1554,8 @@ register(
     _ext.priority_transition_matrix,
     _ext.PRIORITY_TRANSITION_SQL,
 )
+
+# Monthly cohort retention (product-analytics matrix, exact integer keys).
+register(
+    "cohort_retention", _ext.cohort_retention, _ext.COHORT_RETENTION_SQL
+)
