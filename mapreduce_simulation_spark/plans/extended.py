@@ -2539,3 +2539,82 @@ SELECT co.cohort_day, co.day_index, co.n_active, s.cohort_size,
 FROM counts co JOIN sizes s USING (cohort_day)
 ORDER BY co.cohort_day, co.day_index
 """
+
+
+RFM_BUCKETS = 5
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order, anchored
+    to the dataset's max order date so the metric is data-derived and
+    reproducible), frequency (order count), monetary (decimal-accumulated
+    spend), each scored into RFM_BUCKETS ntile bands.
+
+    Exactness: recency is integer epoch-day arithmetic; monetary uses
+    decimal accumulation cast to double at the end (order-independent);
+    every ntile orders by (metric, custkey) so band boundaries are
+    tie-broken identically in both engines. One customer-keyed aggregation
+    plus three windows sharing a single global sort domain —
+    at scale the ntile windows run on the aggregated |customers| table,
+    not on orders.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    anchor = orders.agg(F.max(day).alias("anchor_day"))
+    base = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        (F.col("anchor_day") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return (
+        base.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.ntile(RFM_BUCKETS).over(wr).alias("r_score"),
+            F.ntile(RFM_BUCKETS).over(wf).alias("f_score"),
+            F.ntile(RFM_BUCKETS).over(wm).alias("m_score"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+RFM_SEGMENTATION_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders
+  GROUP BY o_custkey
+),
+anchor AS (
+  SELECT max(epoch_us(o_orderdate) // 86400000000) AS anchor_day FROM orders
+)
+SELECT p.o_custkey,
+       CAST(a.anchor_day - p.last_day AS BIGINT) AS recency_days,
+       p.frequency,
+       p.monetary,
+       ntile({RFM_BUCKETS}) OVER (ORDER BY a.anchor_day - p.last_day ASC,
+                                  p.o_custkey ASC) AS r_score,
+       ntile({RFM_BUCKETS}) OVER (ORDER BY p.frequency DESC,
+                                  p.o_custkey ASC) AS f_score,
+       ntile({RFM_BUCKETS}) OVER (ORDER BY p.monetary DESC,
+                                  p.o_custkey ASC) AS m_score
+FROM per_cust p CROSS JOIN anchor a
+ORDER BY p.o_custkey
+"""

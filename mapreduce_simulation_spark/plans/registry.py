@@ -1559,3 +1559,8 @@ register(
 register(
     "cohort_retention", _ext.cohort_retention, _ext.COHORT_RETENTION_SQL
 )
+
+# RFM customer segmentation (recency/frequency/monetary ntile bands).
+register(
+    "rfm_segmentation", _ext.rfm_segmentation, _ext.RFM_SEGMENTATION_SQL
+)
