@@ -47,6 +47,12 @@ _PROMOTE = (
     "streaming_events_hourly",  # Structured Streaming family
     "media_features",           # multimodal family
     "similarity_ivf_topk",      # ANN scale path (IVF), oracle-checked
+    # round-5 cohort: one representative per still-unchecked family
+    "kvtext_source_stats",      # custom Python DataSource (S5 evidence)
+    "recursive_order_chain",    # recursive-CTE / iterative plan family
+    "asof_join_purchases",      # as-of (range) join family
+    "pandas_grouped_agg_median",  # GROUPED_AGG pandas UDF tier
+    "xml_source_customers",     # XML source family
 )
 _DEMOTE = (
     "constant_key_collapse",         # scalar-fn row covered by monthly_revenue
@@ -54,6 +60,15 @@ _DEMOTE = (
     "dedup_connected_components_stars",  # twin of dedup_connected_components
     "embedding_near_dup",            # exhaustive twin of the bucketed variant
     "similarity_ivf_trained_topk",   # no-oracle rows-only entry
+    # round-5 demotions: redundant twins whose oracles hash identically to
+    # (or are keyset-subsets of) entries already driver-green in r4
+    "udtf_word_count",               # identical oracle to word_count
+    "text_dir_word_count",           # identical oracle to word_count
+    "global_sort",                   # identical oracle to word_count (sorted)
+    "grep",                          # identical oracle to pipe_grep
+    "distinct_words",                # keyset of word_count, driver-green r4
+    # pinned to the back so its position never depends on protobuf presence
+    "stateful_user_rollup_tws",
 )
 
 
@@ -714,15 +729,17 @@ from ..streaming.stateful import (  # noqa: E402
 
 register("stateful_user_rollup", _stateful_rollup, _stateful_sql)
 
-from ..streaming.stateful import _HAS_TWS  # noqa: E402
+from ..streaming.stateful import (  # noqa: E402
+    stateful_user_rollup_tws as _stateful_tws,
+)
 
-if _HAS_TWS:
-    from ..streaming.stateful import (  # noqa: E402
-        stateful_user_rollup_tws as _stateful_tws,
-    )
-
-    # Same semantics + oracle on Spark 4's transformWithStateInPandas.
-    register("stateful_user_rollup_tws", _stateful_tws, _stateful_sql)
+# Same semantics + oracle on Spark 4's transformWithStateInPandas.
+# Registered UNCONDITIONALLY so the registry's contents and ordering never
+# depend on the environment (protobuf presence); the builder raises a clear
+# RuntimeError at call time if the TWS state protocol is unavailable, and
+# the _DEMOTE pin keeps it behind the driver's 50-entry hash window either
+# way.
+register("stateful_user_rollup_tws", _stateful_tws, _stateful_sql)
 
 # Stream-stream watermarked join (attribution shape); single-batch staging
 # → emitted set equals the batch join, so the plain SQL join is the oracle.

@@ -199,6 +199,12 @@ def user_rollup_tws(stream: DataFrame) -> DataFrame:
 def stateful_user_rollup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing twin of stateful_user_rollup on the new state API —
     same single-batch staging, same output, same oracle."""
+    if not _HAS_TWS:
+        raise RuntimeError(
+            "stateful_user_rollup_tws needs protobuf (transformWithState "
+            "state protocol); install google.protobuf or use "
+            "stateful_user_rollup, the applyInPandasWithState twin"
+        )
     from ..staging import staging_dir
     from ..tables import load_table
 
