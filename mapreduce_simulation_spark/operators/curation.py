@@ -813,27 +813,27 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     without shuffling document order. Emits per-doc assignment plus the
     sequence's fill statistics.
 
-    Scale: the running sum is a single global-ordered window — the one
-    construction here that genuinely needs a total order (range-partitioned
-    sort, same as global_sort); everything after is a partial agg on seq_id.
-    In production the cumsum runs per shard (partitionBy shard_id) to keep
-    the sort distributed; the global form is the spec.
+    Scale: the running sum needs a total order, but NOT a single-task sort:
+    it runs as the distributed per-shard cumsum
+    (operators/ranking.with_distributed_cumsum) — range-shard on doc_id,
+    shard-local running sum, carried-in prefix totals from a bounded P-row
+    collect — identical arithmetic to the global window, P-way parallel.
+    Everything after is a partial agg on seq_id.
     """
+    from .ranking import with_distributed_cumsum
+
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(tokens(F.col("text"))).cast("long")
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow - 1
-    )
-    with_seq = (
-        docs.select("doc_id", n_tok.alias("n_tokens"))
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.floor(
-                F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-                / PACK_CAPACITY
-            ).alias("seq_id"),
-        )
+    with_seq = with_distributed_cumsum(
+        docs.select("doc_id", n_tok.alias("n_tokens")),
+        [F.asc("doc_id")],
+        "n_tokens",
+        "_cum_before",
+        include_current=False,
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("_cum_before") / PACK_CAPACITY).alias("seq_id"),
     )
     stats = with_seq.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_docs_in_seq"),
@@ -1127,20 +1127,26 @@ def pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (step = total_chars // N). All integer arithmetic → the oracle is
     exact; a document heavier than the step is selected once, not
     multiplied (deterministic, and the right semantics for dedup-style
-    corpus draws). The global cumulative sum needs a total order — the
-    sequence_packing caveat applies: at 100 TB this runs per shard with
-    carried-in prefix totals, identical arithmetic.
+    corpus draws). The running total runs as the distributed per-shard
+    cumsum (operators/ranking.with_distributed_cumsum): range-shard on the
+    hash order, shard-local window, carried-in prefix totals — no
+    single-task global sort.
     """
+    from .ranking import with_distributed_cumsum
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
     keyed = docs.withColumn(
         "hkey", (F.col("doc_id") * F.lit(_PPS_MIX)) % F.lit(1000000007)
     )
-    w = Window.orderBy("hkey", "doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    cum = with_distributed_cumsum(
+        keyed,
+        [F.asc("hkey"), F.asc("doc_id")],
+        "n_chars",
+        "cum_chars",
+        include_current=True,
     )
-    cum = keyed.withColumn("cum_chars", F.sum("n_chars").over(w))
     step = docs.agg(
         F.greatest(
             F.expr(f"CAST(sum(n_chars) AS BIGINT) DIV {PPS_N_SAMPLES}"),

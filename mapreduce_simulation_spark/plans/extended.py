@@ -2550,18 +2550,24 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible), frequency (order count), monetary (decimal-accumulated
     spend), each scored into RFM_BUCKETS ntile bands.
 
-    Exactness: recency is integer epoch-day arithmetic; monetary uses
-    decimal accumulation cast to double at the end (order-independent);
-    every ntile orders by (metric, custkey) so band boundaries are
-    tie-broken identically in both engines. One customer-keyed aggregation
-    plus three windows sharing a single global sort domain —
-    at scale the ntile windows run on the aggregated |customers| table,
-    not on orders.
+    Exactness: recency is integer epoch-day arithmetic, derived
+    timezone-free (``unix_date`` on the DATE part — never an ntz→ltz cast,
+    so no dependence on the session zone); monetary uses decimal
+    accumulation cast to double at the end (order-independent); every band
+    orders by (metric, custkey) so boundaries are tie-broken identically
+    in both engines.
+
+    Scale: each score is a DISTRIBUTED ntile
+    (operators/ranking.with_distributed_ntile) — range-partitioned sort +
+    per-partition local index + broadcast prefix offsets — so the plan has
+    no partition-less window / single-task global sort anywhere; the three
+    bandings run on the aggregated |customers| table, each as a P-way
+    parallel sort (asserted in tests/test_plan_shapes.py).
     """
+    from ..operators.ranking import with_distributed_ntile
+
     orders = load_table(spark, sf_dir, "orders")
-    day = F.expr(
-        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
-    )
+    day = F.expr("unix_date(CAST(o_orderdate AS DATE))").cast("long")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(day).alias("last_day"),
         F.count(F.lit(1)).alias("frequency"),
@@ -2576,21 +2582,33 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    return (
-        base.select(
-            "o_custkey",
-            "recency_days",
-            "frequency",
-            "monetary",
-            F.ntile(RFM_BUCKETS).over(wr).alias("r_score"),
-            F.ntile(RFM_BUCKETS).over(wf).alias("f_score"),
-            F.ntile(RFM_BUCKETS).over(wm).alias("m_score"),
-        )
-        .orderBy("o_custkey")
+    scored = with_distributed_ntile(
+        base,
+        [F.asc("recency_days"), F.asc("o_custkey")],
+        RFM_BUCKETS,
+        "r_score",
     )
+    scored = with_distributed_ntile(
+        scored,
+        [F.desc("frequency"), F.asc("o_custkey")],
+        RFM_BUCKETS,
+        "f_score",
+    )
+    scored = with_distributed_ntile(
+        scored,
+        [F.desc("monetary"), F.asc("o_custkey")],
+        RFM_BUCKETS,
+        "m_score",
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+    ).orderBy("o_custkey")
 
 
 RFM_SEGMENTATION_SQL = f"""

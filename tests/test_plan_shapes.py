@@ -95,6 +95,32 @@ def test_plan_shape(spark, sf_dir, name, max_ex, min_bc, needle):
     assert needle in plan, f"{name}: expected {needle!r} in plan\n{plan[:2000]}"
 
 
+def test_rfm_has_no_window_at_all(spark, sf_dir):
+    """rfm_segmentation's three ntiles use the distributed-rank pattern
+    (range partition + local index + broadcast prefix offsets) — the
+    executed plan must contain NO window node, partitioned or otherwise,
+    hence no single-task global sort."""
+    plan = _plan(spark, sf_dir, "rfm_segmentation")
+    assert _count(plan, r"\bWindow \[") == 0, (
+        f"rfm_segmentation regained a window node\n{plan[:2000]}"
+    )
+
+
+@pytest.mark.parametrize("name", ["sequence_packing", "pps_sample"])
+def test_cumsum_windows_are_shard_partitioned(spark, sf_dir, name):
+    """The running sums run as shard-local windows with carried-in prefix
+    totals: every window spec in the executed plan must be partitioned by
+    the range-shard id (_pid) — a partition-less spec would be the
+    single-task global sort these plans exist to avoid."""
+    plan = _plan(spark, sf_dir, name)
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, f"{name}: expected at least one window spec\n{plan[:2000]}"
+    bad = [s for s in specs if not s.startswith("_pid")]
+    assert not bad, (
+        f"{name}: window spec(s) not partitioned by _pid: {bad}\n{plan[:2000]}"
+    )
+
+
 def test_projection_prunes_scan(spark, sf_dir):
     """A two-column projection must read two columns, not the whole table —
     ReadSchema is the 100 TB scan-cost contract."""

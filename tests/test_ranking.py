@@ -1,0 +1,129 @@
+"""operators/ranking.py — the distributed total-order primitives must be
+value-identical to the partition-less window forms they replace, on inputs
+that exercise ties, skewed range partitions, empty partitions, and the
+n < buckets edge of ntile."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_simulation_spark.operators.ranking import (
+    with_distributed_cumsum,
+    with_distributed_ntile,
+    with_distributed_rank,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long")
+
+
+@pytest.fixture(scope="module")
+def tied(spark):
+    # duplicate v values across the range so tie-breaks matter, plus a
+    # heavy head so range partitions are skewed
+    rows = [(i, (i * 7) % 13) for i in range(200)] + [
+        (200 + i, 0) for i in range(50)
+    ]
+    return _df(spark, rows)
+
+
+def test_rank_matches_global_window(spark, tied):
+    order = [F.asc("v"), F.asc("k")]
+    got = {
+        r["k"]: r["rnk"]
+        for r in with_distributed_rank(tied, order, "rnk", 8).collect()
+    }
+    want = {
+        r["k"]: r["rnk"]
+        for r in tied.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rank_desc_order(spark, tied):
+    order = [F.desc("v"), F.asc("k")]
+    got = {
+        r["k"]: r["rnk"]
+        for r in with_distributed_rank(tied, order, "rnk", 8).collect()
+    }
+    want = {
+        r["k"]: r["rnk"]
+        for r in tied.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("buckets", [1, 3, 5, 7])
+def test_ntile_matches_builtin(spark, tied, buckets):
+    order = [F.asc("v"), F.asc("k")]
+    got = {
+        r["k"]: r["b"]
+        for r in with_distributed_ntile(
+            tied, order, buckets, "b", 8
+        ).collect()
+    }
+    want = {
+        r["k"]: r["b"]
+        for r in tied.withColumn(
+            "b", F.ntile(buckets).over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ntile_fewer_rows_than_buckets(spark):
+    df = _df(spark, [(1, 10), (2, 5), (3, 7)])
+    order = [F.asc("v"), F.asc("k")]
+    got = {
+        r["k"]: r["b"]
+        for r in with_distributed_ntile(df, order, 5, "b", 4).collect()
+    }
+    want = {
+        r["k"]: r["b"]
+        for r in df.withColumn(
+            "b", F.ntile(5).over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("include_current", [True, False])
+def test_cumsum_matches_global_window(spark, tied, include_current):
+    order = [F.asc("v"), F.asc("k")]
+    upper = 0 if include_current else -1
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, upper)
+    got = {
+        r["k"]: r["c"]
+        for r in with_distributed_cumsum(
+            tied, order, "v", "c", include_current, 8
+        ).collect()
+    }
+    want = {
+        r["k"]: r["c"]
+        for r in tied.withColumn(
+            "c", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_empty_input(spark):
+    df = _df(spark, []).where(F.lit(False))
+    assert with_distributed_rank(df, [F.asc("k")], "r", 4).count() == 0
+    assert with_distributed_ntile(df, [F.asc("k")], 3, "b", 4).count() == 0
+    assert (
+        with_distributed_cumsum(df, [F.asc("k")], "v", "c", True, 4).count()
+        == 0
+    )
+
+
+def test_output_keeps_input_columns(spark, tied):
+    out = with_distributed_ntile(tied, [F.asc("v"), F.asc("k")], 4, "b", 8)
+    assert out.columns == ["k", "v", "b"]
