@@ -173,15 +173,24 @@ def grouped_agg_median_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on the group key and hands each group's column to the UDF as a
     pandas Series (no partial aggregation — the UDF is a black box, which
     is exactly the trade to document vs built-in percentile_approx at
-    scale). Median is deterministic for the oracle: the sorted-middle
-    element, or the IEEE midpoint of the two middles — both engines define
-    it identically.
+    scale). Median is computed with DuckDB's own interpolation for
+    even-sized groups — quantile_cont(0.5) = lo + 0.5*(hi-lo) — rather
+    than pandas' (lo+hi)/2: algebraically equal, but the two IEEE
+    evaluation orders can differ in the last ulp, and the oracle hash
+    compares exact stringified doubles.
     """
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def median_udf(v: pd.Series) -> float:
-        return float(v.median())
+        s = v.dropna().sort_values().reset_index(drop=True)
+        n = len(s)
+        if n == 0:
+            return float("nan")
+        if n % 2 == 1:
+            return float(s.iloc[n // 2])
+        lo, hi = float(s.iloc[n // 2 - 1]), float(s.iloc[n // 2])
+        return lo + 0.5 * (hi - lo)
 
     # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
     # aggregates in one agg, so the row count is a pandas UDF too.
