@@ -60,16 +60,27 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_media(payload: bytes, media_type: str, use_fake: bool = False):
-    """Decode a media payload. Real decoders (PIL, torchaudio, ffmpeg) are
-    not available in this environment — STUB: raises unless the
-    deterministic fake decoder is requested (use_fake=True), which returns
-    the raw bytes for feature extraction."""
-    if not use_fake:
-        raise NotImplementedError(
-            "real media decoding requires PIL/torchaudio/ffmpeg; "
-            "pass use_fake=True for the deterministic byte-level fake"
-        )
-    return payload
+    """Decode a media payload.
+
+    Two modalities decode for REAL with stdlib-only parsers (no codec
+    libraries): ``audio/wav`` via the ``wave`` module (:func:`decode_wav` —
+    header fields + PCM frames) and ``image/png`` via ``struct`` + ``zlib``
+    IDAT inflate (:func:`decode_png` — IHDR dimensions + unfiltered
+    scanlines). Compressed video (``video/mp4``) still needs ffmpeg-class
+    codecs absent from this container — that path raises unless the
+    deterministic byte-level fake is requested (use_fake=True), which
+    returns the raw bytes for structural feature extraction."""
+    if use_fake:
+        return payload
+    if media_type == "audio/wav":
+        return decode_wav(payload)
+    if media_type == "image/png":
+        return decode_png(payload)
+    raise NotImplementedError(
+        f"decoding {media_type!r} requires codec libraries (ffmpeg/PIL) "
+        "not present in this container; pass use_fake=True for the "
+        "deterministic byte-level fake"
+    )
 
 
 def extract_feature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,4 +343,244 @@ SELECT doc_id, media_type,
        min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
        count(*) OVER (PARTITION BY fp) AS group_size
 FROM fps
+"""
+
+
+# ---------------------------------------------------------------------------
+# Real decode: RIFF/WAVE via stdlib `wave`, PNG via `struct` + `zlib`.
+#
+# The payloads are synthesized as REAL container bytes (a valid WAV file, a
+# valid PNG file) whose content is a pure function of doc_id — so a DuckDB
+# oracle can compute the expected decoded facts (frame counts, dimensions,
+# sample/pixel sums) analytically, and the ONLY way the Spark side can match
+# it is by genuinely parsing the bytes back out of the container. This
+# closes the "decode is stubbed" gap for two modalities with zero new
+# dependencies; video stays behind the documented NotImplementedError.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+
+def synthesize_wav(doc_id: int) -> bytes:
+    """A complete RIFF/WAVE payload: 16-bit mono PCM at WAV_RATE, with
+    10 + doc_id % 90 frames of sample[i] = (doc_id*31 + i*7) % 2003 - 1001."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    n = 10 + doc_id % 90
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 31 + i * 7) % 2003 - 1001).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_RATE)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE container: header fields via the ``wave`` module,
+    then the PCM frames themselves (level_sum = Σ|sample|)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    with wave_mod.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        samp_width = w.getsampwidth()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if n_channels != 1 or samp_width != 2:
+        raise ValueError(f"expected 16-bit mono, got {n_channels}ch "
+                         f"{8 * samp_width}-bit")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    return {
+        "n_units": n_frames,
+        "sample_rate": rate,
+        "level_sum": int(np.abs(samples).sum()),
+        "width": None,
+        "height": None,
+    }
+
+
+def synthesize_png(doc_id: int) -> bytes:
+    """A complete 8-bit grayscale PNG: (1 + doc_id % 16) × (1 + doc_id % 8)
+    pixels, pixel(x, y) = (doc_id + 3x + 5y) % 251, filter type 0 rows,
+    one zlib-compressed IDAT, CRC-correct chunks."""
+    import struct
+    import zlib
+
+    w = 1 + doc_id % 16
+    h = 1 + doc_id % 8
+    rows = b"".join(
+        b"\x00"
+        + bytes((doc_id + 3 * x + 5 * y) % 251 for x in range(w))
+        for y in range(h)
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Walk the PNG chunk stream: IHDR via ``struct``, IDAT via ``zlib``,
+    then de-filter the scanlines (type 0 only — what our encoder emits) and
+    sum the pixels."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = bit_depth = color_type = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(
+                ">IIBB", data[:10]
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("not a PNG: no IHDR")
+    if bit_depth != 8 or color_type != 0:
+        raise ValueError(
+            f"only 8-bit grayscale supported, got depth={bit_depth} "
+            f"color={color_type}"
+        )
+    rows = zlib.decompress(idat)
+    stride = width + 1
+    total = 0
+    for y in range(height):
+        row = rows[y * stride : (y + 1) * stride]
+        if row[0] != 0:
+            raise ValueError(f"unsupported PNG filter type {row[0]}")
+        total += sum(row[1:])
+    return {
+        "n_units": width * height,
+        "sample_rate": None,
+        "level_sum": total,
+        "width": width,
+        "height": height,
+    }
+
+
+DECODE_SCHEMA = (
+    "doc_id bigint, media_type string, n_units bigint, sample_rate bigint, "
+    "level_sum bigint, width bigint, height bigint"
+)
+
+
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real decode: synthesize genuine WAV/PNG container bytes
+    (one Arrow stage), ship the binary column through a second Arrow stage,
+    and decode it back with the stdlib parsers — emitting only facts that
+    must come from inside the container (frame count, sample rate, IHDR
+    dimensions, Σ|sample| / Σpixel).
+
+    The oracle recomputes every fact analytically from doc_id, so a parser
+    that misread a header or dropped a frame hash-mismatches. Both stages
+    are ``mapInPandas`` over Arrow batches — the binary column crosses the
+    Arrow boundary twice, exercising exactly the plumbing a real
+    image/audio featurizer would use; per-row work is bounded (≤ 99 frames
+    / ≤ 128 px), so the stage parallelizes by row count like any narrow
+    map."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            media = [
+                synthesize_wav(int(d)) if d % 2 == 1 else synthesize_png(int(d))
+                for d in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": [
+                        "audio/wav" if d % 2 == 1 else "image/png"
+                        for d in ids
+                    ],
+                    "media": media,
+                }
+            )
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "media_type": [],
+                "n_units": [],
+                "sample_rate": [],
+                "level_sum": [],
+                "width": [],
+                "height": [],
+            }
+            for did, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["media"]
+            ):
+                facts = decode_media(bytes(payload), mtype)
+                out["doc_id"].append(int(did))
+                out["media_type"].append(mtype)
+                for k in ("n_units", "sample_rate", "level_sum",
+                          "width", "height"):
+                    out[k].append(facts[k])
+            yield pd.DataFrame(out)
+
+    staged = docs.mapInPandas(
+        synth, schema="doc_id bigint, media_type string, media binary"
+    )
+    return staged.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+MEDIA_DECODE_SQL = """
+WITH wav AS (
+  SELECT doc_id, 'audio/wav' AS media_type,
+         CAST(10 + doc_id % 90 AS BIGINT) AS n_units,
+         CAST(8000 AS BIGINT) AS sample_rate,
+         CAST(list_sum([abs((doc_id * 31 + i * 7) % 2003 - 1001)
+                        for i in range(10 + doc_id % 90)]) AS BIGINT)
+           AS level_sum,
+         CAST(NULL AS BIGINT) AS width,
+         CAST(NULL AS BIGINT) AS height
+  FROM documents WHERE doc_id % 2 = 1
+),
+png AS (
+  SELECT doc_id, 'image/png' AS media_type,
+         CAST((1 + doc_id % 16) * (1 + doc_id % 8) AS BIGINT) AS n_units,
+         CAST(NULL AS BIGINT) AS sample_rate,
+         CAST(list_sum([(doc_id + 3 * (i % (1 + doc_id % 16))
+                         + 5 * (i // (1 + doc_id % 16))) % 251
+                        for i in range((1 + doc_id % 16)
+                                       * (1 + doc_id % 8))]) AS BIGINT)
+           AS level_sum,
+         CAST(1 + doc_id % 16 AS BIGINT) AS width,
+         CAST(1 + doc_id % 8 AS BIGINT) AS height
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT * FROM wav UNION ALL SELECT * FROM png
 """

@@ -712,6 +712,13 @@ register("media_dedup", _mm.media_dedup, _mm.MEDIA_DEDUP_SQL)
 register("media_resize", _mm.resize_media, _mm.RESIZE_MEDIA_SQL)
 register("media_frame_sample", _mm.frame_sample, _mm.FRAME_SAMPLE_SQL)
 
+# REAL decode (no codec libs): genuine WAV/PNG container bytes synthesized
+# from doc_id, round-tripped through two Arrow stages, parsed back with
+# stdlib wave/struct+zlib; the oracle recomputes frame counts, IHDR
+# dimensions, and sample/pixel sums analytically — only a correct parser
+# can match it.
+register("media_decode", _mm.media_decode, _mm.MEDIA_DECODE_SQL)
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (incremental twin of events_daily, drained to batch)
 # ---------------------------------------------------------------------------

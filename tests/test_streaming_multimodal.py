@@ -130,10 +130,59 @@ def test_media_feature_bins_shape_and_consistency(spark, sf_dir):
         assert r.total == sizes[r.doc_id]
 
 
-def test_decode_media_stub_contract():
+def test_decode_media_contract():
+    # video still needs real codecs — documented NotImplementedError
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"xx", "image/png")
+        multimodal.decode_media(b"xx", "video/mp4")
+    # the byte-level fake stays available for structural feature paths
     assert multimodal.decode_media(b"xx", "image/png", use_fake=True) == b"xx"
+    # wav/png now decode for real — garbage bytes must fail loudly
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"not a png at all", "image/png")
+    with pytest.raises(Exception):
+        multimodal.decode_media(b"not a wav at all", "audio/wav")
+
+
+def test_wav_roundtrip_through_stdlib_wave():
+    for doc_id in (1, 17, 89, 1003):
+        payload = multimodal.synthesize_wav(doc_id)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        facts = multimodal.decode_media(payload, "audio/wav")
+        n = 10 + doc_id % 90
+        assert facts["n_units"] == n
+        assert facts["sample_rate"] == multimodal.WAV_RATE
+        assert facts["level_sum"] == sum(
+            abs((doc_id * 31 + i * 7) % 2003 - 1001) for i in range(n)
+        )
+
+
+def test_png_roundtrip_through_struct_zlib():
+    for doc_id in (0, 2, 16, 254):
+        payload = multimodal.synthesize_png(doc_id)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        facts = multimodal.decode_media(payload, "image/png")
+        w, h = 1 + doc_id % 16, 1 + doc_id % 8
+        assert (facts["width"], facts["height"]) == (w, h)
+        assert facts["level_sum"] == sum(
+            (doc_id + 3 * x + 5 * y) % 251
+            for x in range(w)
+            for y in range(h)
+        )
+
+
+def test_media_decode_through_arrow_stages(spark, sf_dir):
+    """The registered query: WAV sample counts and PNG dimensions must
+    survive the synthesize→Arrow→decode round trip for every document."""
+    rows = multimodal.media_decode(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.media_type == "audio/wav":
+            assert r.n_units == 10 + r.doc_id % 90
+            assert r.sample_rate == multimodal.WAV_RATE
+        else:
+            assert r.width == 1 + r.doc_id % 16
+            assert r.height == 1 + r.doc_id % 8
+            assert r.n_units == r.width * r.height
 
 
 def test_media_metadata_prunes_binary_column(spark, sf_dir, tmp_path):
