@@ -40,6 +40,15 @@ HEADLINE = [
     "similarity_ivf_topk",
     "salted_supplier_revenue",
     "promo_revenue_ratio",
+    # round-5 additions: the heavyweight iterative / pairwise operators, so
+    # their cost is tracked and regressions are visible round-over-round
+    "bpe_learn_merges",
+    "pagerank_order_chain",
+    "fuzzy_name_pairs",
+    "dedup_connected_components",
+    # and the distributed-total-order rewrites (rank/ntile/cumsum shapes)
+    "rfm_segmentation",
+    "sequence_packing",
     # stateful_user_rollup intentionally NOT here: its wall time is fixed
     # streaming-machinery cost (stage write, checkpoint dir, state-store
     # init), not data throughput — it would dominate the total without
@@ -104,6 +113,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Cross-round comparability guard: "value" sums only the queries
+        # that succeeded, so a round with failures would otherwise read as
+        # a speedup. n_ok/n_expected make partial totals self-describing;
+        # compare rounds on the intersection of succeeded queries.
+        "n_ok": len(timings),
+        "n_expected": len([n for n in HEADLINE if n in qs]),
     }
     if errors:
         result["errors"] = errors

@@ -72,10 +72,16 @@ def main() -> int:
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
 
+        from mapreduce_simulation_spark.streaming.stateful import _HAS_TWS
+
         oracles = registry.oracle_sql()
         queries = registry.queries()
         bad = 0
+        warned = 0
         for name in sorted(oracles):
+            if name == "stateful_user_rollup_tws" and not _HAS_TWS:
+                print(f"SKIP {name}: transformWithState needs protobuf")
+                continue
             try:
                 spdf = queries[name](spark, sf_dir).toPandas()
                 dkdf = duck.execute(oracles[name]).df()
@@ -94,6 +100,16 @@ def main() -> int:
                     if not _stringify_matches(spdf[col], dkdf[col]):
                         print(f"MISM {name}.{col}: spark={a} duck={b}")
                         bad += 1
+                    else:
+                        # Values coincide at THIS sf, but the dtype pair is a
+                        # latent hazard (e.g. a nullable int with no nulls
+                        # here widens to float64 at the driver's sf). Keep it
+                        # visible without failing the audit.
+                        print(
+                            f"WARN {name}.{col}: spark={a} duck={b} "
+                            f"(values coincide at this sf — latent)"
+                        )
+                        warned += 1
                 elif a == "object" and b == "object":
                     ta = _first_nonnull_type(spdf[col])
                     tb = _first_nonnull_type(dkdf[col])
@@ -108,8 +124,8 @@ def main() -> int:
                             f"duck value type={tb}"
                         )
                         bad += 1
-        print(f"{'FAIL' if bad else 'OK'}: {bad} dtype hazards across "
-              f"{len(oracles)} oracles")
+        print(f"{'FAIL' if bad else 'OK'}: {bad} dtype hazards "
+              f"({warned} latent warnings) across {len(oracles)} oracles")
         return 1 if bad else 0
     finally:
         spark.stop()
