@@ -303,16 +303,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # saturated-cluster scale the trade flips; cache/checkpoint here is a
     # deployment knob, not a plan-shape change.
     sig = minhash_signatures(docs, with_sizes=True)
+    # Band key = ONE xxhash64 long over the band's signature rows, not a
+    # concatenated string: the banded shuffle then carries 8 fixed-width
+    # longs per doc instead of 8 variable-length strings, and the self-join
+    # compares longs. A 64-bit collision can only ADD a candidate pair,
+    # which the exact-jaccard verification below filters out — correctness
+    # is collision-immune by construction (asserted identical at sf0.01 in
+    # tests). Measured at sf0.1/local[32]: 1.50 s → 1.35 s best-of-4
+    # (cold first run 2.16 s → 1.60 s).
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":",
+                F.xxhash64(
                     *[
                         F.col(f"m{b * H.ROWS_PER_BAND + r}")
                         for r in range(H.ROWS_PER_BAND)
-                    ],
+                    ]
                 ).alias("key"),
             )
             for b in range(H.N_BANDS)
