@@ -40,20 +40,25 @@ HEADLINE = [
     "similarity_ivf_topk",
     "salted_supplier_revenue",
     "promo_revenue_ratio",
-    # round-5 additions: the heavyweight iterative / pairwise operators, so
-    # their cost is tracked and regressions are visible round-over-round
-    "bpe_learn_merges",
-    "pagerank_order_chain",
-    "fuzzy_name_pairs",
-    "dedup_connected_components",
-    # and the distributed-total-order rewrites (rank/ntile/cumsum shapes)
-    "rfm_segmentation",
-    "sequence_packing",
     # stateful_user_rollup intentionally NOT here: its wall time is fixed
     # streaming-machinery cost (stage write, checkpoint dir, state-store
     # init), not data throughput — it would dominate the total without
     # measuring anything that scales. The driver's correctness gate still
     # runs it with every registered query.
+]
+
+# Tracked since round 5 but kept OUT of "value" so headline_queries_total
+# stays apples-to-apples across rounds (same 16-query set since r1): the
+# heavyweight iterative / pairwise operators and the distributed
+# total-order rewrites. Their timings land in "extended" /
+# "extended_total".
+EXTENDED = [
+    "bpe_learn_merges",
+    "pagerank_order_chain",
+    "fuzzy_name_pairs",
+    "dedup_connected_components",
+    "rfm_segmentation",
+    "sequence_packing",
 ]
 
 
@@ -93,18 +98,24 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - survive to measure the rest
             print(f"warmup {name} failed: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        t0 = time.perf_counter()
-        try:
-            qs[name](spark, SF_DIR).count()
-        except Exception as exc:  # noqa: BLE001 - one bad query ≠ no bench
-            errors[name] = str(exc).split("\n")[0][:200]
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+
+    def run(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            if name not in qs:
+                continue
+            t0 = time.perf_counter()
+            try:
+                qs[name](spark, SF_DIR).count()
+            except Exception as exc:  # noqa: BLE001 - one bad query ≠ no bench
+                errors[name] = str(exc).split("\n")[0][:200]
+                continue
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timings = run(HEADLINE)
+    extended = run(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -113,12 +124,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # Cross-round comparability guard: "value" sums only the queries
-        # that succeeded, so a round with failures would otherwise read as
-        # a speedup. n_ok/n_expected make partial totals self-describing;
-        # compare rounds on the intersection of succeeded queries.
+        # Cross-round comparability guards: "value" sums the SAME 16-query
+        # set as every previous round, and only the ones that succeeded —
+        # n_ok/n_expected make partial totals self-describing (a round
+        # with failures would otherwise read as a speedup). The round-5+
+        # heavyweights are reported separately in "extended" so they are
+        # tracked without skewing the cross-round total; compare rounds on
+        # the intersection of succeeded queries.
         "n_ok": len(timings),
         "n_expected": len([n for n in HEADLINE if n in qs]),
+        "extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
     }
     if errors:
         result["errors"] = errors
