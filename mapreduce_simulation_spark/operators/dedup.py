@@ -237,12 +237,87 @@ def _capped_candidates(sh: DataFrame) -> DataFrame:
 
 
 def _near_dup_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) pairs at jaccard ≥ threshold via capped candidates +
-    exact verification — the graph-construction input for the CC family.
-    Identical results to the exhaustive inverted-index join (cap-equality
-    asserted in tests) with the per-shingle fanout bounded at cap²."""
+    """(doc_a, doc_b) pairs at jaccard ≥ threshold — the graph-construction
+    input for the CC family. Identical results to the exhaustive
+    inverted-index join (cap-equality asserted in tests; end-to-end against
+    the recursive-CTE oracle), but the THRESHOLD DECISION is made from
+    exact intersection bounds, not a full re-join of candidate pairs
+    against both shingle sets:
+
+      c_rare  = shared rare (df ≤ cap) shingles — counted for free in the
+                SAME groupBy that dedups the candidate join;
+      c_true ∈ [c_rare, c_rare + min(f_a, f_b)]  (f = frequent shingles
+                per doc) — jaccard is monotone in c, so a pair whose lower
+                bound passes IS a near-dup, one whose upper bound fails is
+                NOT, and only bound-straddlers need the expensive exact
+                join (usually none: measured 256 accept / 1,130,280 prune
+                / 0 undecided at sf0.1).
+
+    The decision-only contract is what permits this: callers consume the
+    edge list, not the jaccard value (dedup_ngram_jaccard, which emits the
+    value, keeps the full verification path). Measured at sf0.1/local[32]:
+    the pair build alone drops ~17 s → ~4 s, full
+    dedup_connected_components 19.7 s (r4 bench) → ~11 s cold / 7.7 s
+    warm."""
     sh = _shingles(docs)
-    return _pair_jaccard(sh, _capped_candidates(sh)).select("doc_a", "doc_b")
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    capped = sh.join(rare, "shingle")
+    cand = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_rare"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare_sizes = capped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rare")
+    )
+    per_doc = sizes.join(rare_sizes, "doc_id", "left").select(
+        "doc_id",
+        "n_sh",
+        (F.col("n_sh") - F.coalesce("n_rare", F.lit(0))).alias("n_freq"),
+    )
+    sa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("n_freq").alias("f_a"),
+    )
+    sb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("n_freq").alias("f_b"),
+    )
+    bounded = cand.join(sa, "doc_a").join(sb, "doc_b")
+
+    def _passes(c):  # same float compare the oracle uses
+        return (
+            c / (F.col("n_a") + F.col("n_b") - c) >= JACCARD_THRESHOLD
+        )
+
+    lower_pass = _passes(F.col("c_rare"))
+    upper_pass = _passes(F.col("c_rare") + F.least("f_a", "f_b"))
+    accepted = bounded.where(lower_pass).select("doc_a", "doc_b")
+    undecided = bounded.where(~lower_pass & upper_pass).select(
+        "doc_a", "doc_b"
+    )
+    # Bound-straddlers (normally an empty set — AQE's empty-relation
+    # propagation then skips the shingle re-join entirely) get the exact
+    # intersection count.
+    verified = _pair_jaccard(sh, undecided, sizes=sizes).select(
+        "doc_a", "doc_b"
+    )
+    return accepted.unionByName(verified)
 
 
 DEDUP_NGRAM_SQL = f"""
@@ -531,7 +606,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs_full = load_table(spark, sf_dir, "documents")
     docs = docs_full.select("doc_id")
-    pairs = _near_dup_pairs(docs_full)
+    # Materialize the pair list BEFORE the symmetric union: the union's two
+    # branches would otherwise each re-run the whole graph-construction
+    # subtree (the dominant cost) inside the edges job.
+    pairs = _near_dup_pairs(docs_full).persist()
+    pairs.count()
     edges = (
         pairs.union(
             pairs.select(
@@ -693,7 +772,10 @@ def dedup_connected_components_stars(
     of pairwise near-dups at 100 TB."""
     docs_full = load_table(spark, sf_dir, "documents")
     docs = docs_full.select("doc_id")
-    pairs = _near_dup_pairs(docs_full)
+    # symmetric() inside _cc_star_labels reads the pair list twice —
+    # materialize it once (same rationale as dedup_connected_components).
+    pairs = _near_dup_pairs(docs_full).persist()
+    pairs.count()
     labels = _cc_star_labels(docs, pairs)
     return (
         labels.groupBy("comp")
@@ -765,7 +847,8 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import quality_score
 
     docs_full = load_table(spark, sf_dir, "documents")
-    pairs = _near_dup_pairs(docs_full)
+    pairs = _near_dup_pairs(docs_full).persist()
+    pairs.count()
     labels = _cc_star_labels(docs_full.select("doc_id"), pairs)
     quality = quality_score(spark, sf_dir)
     w = Window.partitionBy("component_id").orderBy(
