@@ -385,7 +385,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which the exact-jaccard verification below filters out — correctness
     # is collision-immune by construction (asserted identical at sf0.01 in
     # tests). Measured at sf0.1/local[32]: 1.50 s → 1.35 s best-of-4
-    # (cold first run 2.16 s → 1.60 s).
+    # (cold first run 2.16 s → 1.60 s); a later remeasure on a busier
+    # machine saw 1.72 s best / 2.25 s cold — absolute numbers here move
+    # with host load, the long-key-vs-string delta is the stable part.
+    # (A fully-narrow formulation — token-hash array behind a Generate
+    # barrier, per-doc array_min signatures, ZERO shuffles to the band
+    # keys — was prototyped and is SLOWER end-to-end: 2.14 s vs 1.72 s
+    # best, because without exchanges there is nothing for AQE to reuse
+    # and the interpreted hash pipeline re-runs once per subtree branch.
+    # The exchanges below double as shared materialization points.)
     bands = F.array(
         *[
             F.struct(
@@ -593,12 +601,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine must support beyond single-pass SQL.
 
     Execution notes:
-      - the edge list IS persisted — iterative reuse is the one case where
-        materialization beats recompute (every iteration would otherwise
-        re-run the whole jaccard join);
-      - each iteration is one join + one partial-aggregated groupBy on
-        doc_id; rounds needed = graph diameter (near-dup clusters are
-        shallow — a handful);
+      - the pair/edge lists are materialized with ``localCheckpoint`` (NOT
+        ``persist``): a ``union`` whose branches sit on a cached AQE frame
+        bypasses the cache and re-runs the subtree — measured 7.2 s for the
+        symmetric union over a persisted 256-row pair list vs 0.76 s over
+        its checkpoint at sf0.1/local[32]. Checkpointing physically
+        truncates the plan, so every downstream job starts from the
+        materialized rows;
+      - the iteration state covers ONLY nodes with at least one near-dup
+        edge; singletons (the overwhelming corpus majority — 4523 of 5000
+        docs at sf0.1) never enter the loop and are appended once at the
+        end via an anti-join. At 100 TB the per-round shuffle is then
+        proportional to the near-dup graph, not the corpus;
+      - each iteration is one join + one grouped min + a narrow least();
+        no union touches the loop state, so each round reads the previous
+        round's checkpoint directly. Rounds needed = graph diameter
+        (near-dup clusters are shallow — a handful);
       - convergence is checked with a count of changed labels (an O(1)
         driver scalar, not a data collect). The fixpoint is unique
         (min-label), so iteration order cannot change the result — which
@@ -606,11 +624,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs_full = load_table(spark, sf_dir, "documents")
     docs = docs_full.select("doc_id")
-    # Materialize the pair list BEFORE the symmetric union: the union's two
-    # branches would otherwise each re-run the whole graph-construction
-    # subtree (the dominant cost) inside the edges job.
-    pairs = _near_dup_pairs(docs_full).persist()
-    pairs.count()
+    pairs = _near_dup_pairs(docs_full).localCheckpoint()
     edges = (
         pairs.union(
             pairs.select(
@@ -618,31 +632,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).persist()
-    labels.count()  # materialize the starting state
+    touched = edges.select("doc_a").distinct()
+    labels = touched.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("comp")
+    ).localCheckpoint()
     changed = -1
     for _ in range(MAX_CC_ITERATIONS):
-        neighbor_min = (
+        nbmin = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
-            .select(F.col("doc_a").alias("doc_id"), "comp")
+            .groupBy("doc_a")
+            .agg(F.min("comp").alias("nb"))
+            .withColumnRenamed("doc_a", "doc_id")
         )
-        new_labels = (
-            labels.select("doc_id", "comp")
-            .union(neighbor_min)
-            .groupBy("doc_id")
-            .agg(F.min("comp").alias("comp"))
-            .persist()
+        stepped = (
+            labels.join(nbmin, "doc_id", "left")
+            .select(
+                "doc_id",
+                "comp",
+                F.least("comp", F.coalesce("nb", "comp")).alias("ncomp"),
+            )
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.where(F.col("ncomp") != F.col("comp")).count()
+        labels = stepped.select("doc_id", F.col("ncomp").alias("comp"))
         if changed == 0:
             break
     if changed != 0:
@@ -655,10 +669,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{MAX_CC_ITERATIONS} iterations ({changed} labels still "
             f"changing); the near-dup graph diameter exceeds the cap"
         )
-    result = (
-        labels.groupBy("comp")
+    singles = docs.join(
+        touched.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("comp"))
+    all_labels = labels.unionByName(singles)
+    return (
+        all_labels.groupBy("comp")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .join(labels, "comp")
+        .join(all_labels, "comp")
         .select(
             "doc_id",
             F.col("comp").alias("component_id"),
@@ -666,11 +684,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-    # Hand back an unpersisted-on-GC plan; the loop's cached state is tiny
-    # (one row per doc) and evicted LRU — explicit cleanup would kill the
-    # lineage the returned DataFrame still needs.
-    edges.unpersist()
-    return result
 
 
 CC_STAR_MAX_ROUNDS = 12
@@ -772,10 +785,11 @@ def dedup_connected_components_stars(
     of pairwise near-dups at 100 TB."""
     docs_full = load_table(spark, sf_dir, "documents")
     docs = docs_full.select("doc_id")
-    # symmetric() inside _cc_star_labels reads the pair list twice —
-    # materialize it once (same rationale as dedup_connected_components).
-    pairs = _near_dup_pairs(docs_full).persist()
-    pairs.count()
+    # symmetric() inside _cc_star_labels unions over the pair list —
+    # checkpoint, don't persist: a union over a cached AQE frame bypasses
+    # the cache and re-runs the graph build (see
+    # dedup_connected_components).
+    pairs = _near_dup_pairs(docs_full).localCheckpoint()
     labels = _cc_star_labels(docs, pairs)
     return (
         labels.groupBy("comp")
@@ -847,8 +861,9 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import quality_score
 
     docs_full = load_table(spark, sf_dir, "documents")
-    pairs = _near_dup_pairs(docs_full).persist()
-    pairs.count()
+    # Checkpoint, don't persist: _cc_star_labels unions over the pair
+    # list, and a union over a cached AQE frame re-runs the graph build.
+    pairs = _near_dup_pairs(docs_full).localCheckpoint()
     labels = _cc_star_labels(docs_full.select("doc_id"), pairs)
     quality = quality_score(spark, sf_dir)
     w = Window.partitionBy("component_id").orderBy(
