@@ -1185,3 +1185,115 @@ FROM cum CROSS JOIN c
 WHERE (cum_chars - n_chars) // step < cum_chars // step
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap (web-corpus curation: bound any one source's share)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 10
+
+
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most DOMAIN_CAP documents per source, chosen by the fixed
+    multiplicative-hash order (the same deterministic shuffle key as
+    pps_sample) — the per-domain cap every web-scale corpus applies so a
+    single crawl domain cannot dominate the training mix (cf. RefinedWeb /
+    CCNet-style per-domain limits).
+
+    Scale: ONE hash-partitioned window keyed by source — per-domain ranks
+    run in parallel across domains, state per task is one counter. A
+    pathologically hot domain concentrates its rows in one partition; the
+    lever is pre-filtering by a per-domain count (broadcast the >cap domain
+    list) so ranked rows are only shuffled for domains that can exceed the
+    cap — the rank itself never needs the full corpus order.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    keyed = docs.withColumn(
+        "hkey", (F.col("doc_id") * F.lit(_PPS_MIX)) % F.lit(1000000007)
+    )
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= DOMAIN_CAP)
+        .select("doc_id", "source", "rk")
+        .orderBy("doc_id")
+    )
+
+
+DOMAIN_CAP_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         (doc_id * {_PPS_MIX}) % 1000000007 AS hkey
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY hkey, doc_id) AS INTEGER) AS rk
+  FROM keyed
+)
+SELECT doc_id, source, rk FROM ranked
+WHERE rk <= {DOMAIN_CAP}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-order shuffle: deterministic global permutation + shard labels
+# ---------------------------------------------------------------------------
+
+N_TRAIN_SHARDS = 8
+
+
+def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a position in a deterministic pseudo-random
+    global order plus a round-robin shard label — the "shuffle the corpus
+    before training" step, reproducible on any cluster layout because the
+    order is a fixed multiplicative hash, not an RNG.
+
+    Scale: the global position comes from
+    operators/ranking.with_distributed_rank — range partition on the hash
+    key, per-partition local index, broadcast P-row prefix offsets — so
+    there is NO single-task global sort anywhere; round-robin sharding off
+    the position then balances both document count and (in expectation)
+    bytes per shard.
+    """
+    from .ranking import with_distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    keyed = docs.withColumn(
+        "hkey", (F.col("doc_id") * F.lit(_PPS_MIX)) % F.lit(1000000007)
+    )
+    ranked = with_distributed_rank(
+        keyed, [F.asc("hkey"), F.asc("doc_id")], "pos"
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "pos",
+            ((F.col("pos") - 1) % N_TRAIN_SHARDS).alias("shard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRAINING_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         (doc_id * {_PPS_MIX}) % 1000000007 AS hkey
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS pos
+  FROM keyed
+)
+SELECT doc_id, pos, (pos - 1) % {N_TRAIN_SHARDS} AS shard
+FROM ranked
+ORDER BY doc_id
+"""

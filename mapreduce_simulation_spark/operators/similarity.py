@@ -200,13 +200,15 @@ ORDER BY vec_a, vec_b
 """
 
 
-def _hyperplanes(n: int = N_HYPERPLANES) -> list[list[float]]:
+def _hyperplanes(
+    n: int = N_HYPERPLANES, seed: int = 1234567
+) -> list[list[float]]:
     """Fixed deterministic pseudo-random hyperplanes (no RNG: linear
     congruential sequence on frozen constants, centered to [-0.5, 0.5)).
     Every value is a dyadic rational (state / 2^31 - 0.5) so an oracle
     regenerating the sequence in SQL reproduces each double exactly."""
     planes = []
-    state = 1234567
+    state = seed
     for _ in range(n):
         row = []
         for _ in range(EMBED_DIM):
@@ -913,3 +915,142 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: coarse cells, within-cell cosine pruning)
+# ---------------------------------------------------------------------------
+
+# 6 sign bits → 64 cells. At 100 TB the plane count grows with
+# log2(corpus / target_cell_size) so cells stay bounded, or the hyperplane
+# cells are swapped for a trained k-means codebook (the ivf_trained path) —
+# the within-cell stage is unchanged either way.
+SEM_PLANES = 6
+SEM_SEED = 7654321  # distinct LCG stream from the pair-LSH planes
+SEM_TAU = COSINE_THRESHOLD
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level semantic dedup in the spirit of SemDeDup (Abbas et
+    al. 2023, arXiv:2303.09540): bucket vectors into coarse cells, then
+    inside each cell drop every vector whose cosine to a LOWER-id same-cell
+    vector reaches SEM_TAU — the kept set is the deterministic greedy-by-id
+    representative of each semantic duplicate group.
+
+    Output: (vec_id, cell, kept) for the whole corpus.
+
+    Plan shape (the part that survives 100 TB):
+      1. cell assignment — 6 hyperplane sign bits packed into one int,
+         pure narrow JVM expressions over the scan;
+      2. candidate pairs — ids-only self-equi-join on cell (never corpus²:
+         fanout is bounded by cell population, the SemDeDup trade where
+         cross-cell duplicates are accepted misses);
+      3. verification — vectors fetched by equi-join for candidate pairs
+         only, exact fold cosine, DISTINCT dropped ids;
+      4. kept flag — one left join back to the cell table.
+
+    Deterministic procedure end-to-end (LCG planes, greedy-by-id rule), so
+    the DuckDB oracle replays it bit-for-bit."""
+    corpus = _corpus_with_norm(spark, sf_dir)
+    planes = _hyperplanes(SEM_PLANES, seed=SEM_SEED)
+    cell = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        pl = F.array(*[F.lit(x) for x in plane])
+        cell = cell + F.when(
+            _dot(F.col("v"), pl) > 0, F.lit(1 << j)
+        ).otherwise(0)
+    cells = corpus.withColumn("cell", cell)
+    ids = cells.select("vec_id", "cell")
+    cand = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+    )
+    ca = cells.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    cb = cells.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    dropped = (
+        cand.join(ca, "vec_a")
+        .join(cb, "vec_b")
+        .where(cos >= SEM_TAU)
+        .select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        ids.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE lcg(i, state) AS (
+  SELECT 1, (CAST({SEM_SEED} AS BIGINT) * 1103515245 + 12345) % 2147483648
+  UNION ALL
+  SELECT i + 1, (state * 1103515245 + 12345) % 2147483648
+  FROM lcg WHERE i < {SEM_PLANES * EMBED_DIM}
+),
+planes AS (
+  SELECT (i - 1) // {EMBED_DIM} AS p,
+         list(state / 2147483648.0 - 0.5 ORDER BY i) AS plane
+  FROM lcg GROUP BY 1
+),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+),
+bits AS (
+  SELECT n.vec_id,
+         CASE WHEN {_DOT_SQL_TMPL.format(a='n.v', b='pl.plane')} > 0
+              THEN 1 << pl.p ELSE 0 END AS bit
+  FROM n CROSS JOIN planes pl
+),
+cells AS (
+  SELECT vec_id, CAST(sum(bit) AS BIGINT) AS cell FROM bits GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+),
+dropped AS (
+  SELECT DISTINCT c.vec_a AS vec_id
+  FROM cand c
+  JOIN n na ON na.vec_id = c.vec_a
+  JOIN n nb ON nb.vec_id = c.vec_b
+  WHERE round({_DOT_SQL_TMPL.format(a='na.v', b='nb.v')}
+              / (na.nrm * nb.nrm), 6) >= {SEM_TAU}
+)
+SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
+FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+ORDER BY c.vec_id
+"""

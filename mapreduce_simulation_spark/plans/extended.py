@@ -2636,3 +2636,61 @@ SELECT p.o_custkey,
 FROM per_cust p CROSS JOIN anchor a
 ORDER BY p.o_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profile: the diagnostic that decides when the salting path fires
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_KEYS = 10
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-key diagnostics over lineitem's supplier key: the top-10 keys
+    by row count, each with its share of all rows and its ratio to the
+    mean per-key count. This is the profiling step that decides whether a
+    join/agg needs the skew treatment (salting, AQE skew-join) the engine
+    already implements in salted_supplier_revenue — made first-class so a
+    pipeline can gate on it.
+
+    All statistics derive from integer counts (share/skew are single
+    divisions of int64 aggregates, rounded at the end), so the oracle is
+    exact. Plan: one 8-byte-key agg, a broadcast 1-row totals join, and a
+    TakeOrdered top-k — nothing scales with anything but |keys|.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "l_suppkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("n_keys") / F.col("total"), 6
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("l_suppkey"))
+        .limit(SKEW_TOP_KEYS)
+    )
+
+
+KEY_SKEW_SQL = f"""
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+),
+totals AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         count(*) AS n_keys
+  FROM counts
+)
+SELECT l_suppkey, cnt,
+       round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+       round(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS skew_ratio
+FROM counts CROSS JOIN totals
+ORDER BY cnt DESC, l_suppkey ASC
+LIMIT {SKEW_TOP_KEYS}
+"""

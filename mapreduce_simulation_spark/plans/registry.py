@@ -1588,3 +1588,25 @@ register(
 register(
     "rfm_segmentation", _ext.rfm_segmentation, _ext.RFM_SEGMENTATION_SQL
 )
+
+# Semantic dedup over embeddings (SemDeDup-style cells + cosine pruning).
+register(
+    "semantic_dedup", similarity.semantic_dedup, similarity.SEMANTIC_DEDUP_SQL
+)
+
+# Per-domain document cap (web-corpus curation).
+register(
+    "domain_cap_sample",
+    curation.domain_cap_sample,
+    curation.DOMAIN_CAP_SQL,
+)
+
+# Deterministic training-order shuffle + shard assignment.
+register(
+    "training_shuffle",
+    curation.training_shuffle,
+    curation.TRAINING_SHUFFLE_SQL,
+)
+
+# Heavy-key diagnostics feeding the salting/skew-join decision.
+register("key_skew_profile", _ext.key_skew_profile, _ext.KEY_SKEW_SQL)

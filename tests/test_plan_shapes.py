@@ -142,3 +142,42 @@ def test_metadata_scan_prunes_binary_column(spark, sf_dir):
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     # doc_id routes media_type; text sizes the payload — nothing else.
     assert cols == {"doc_id", "text"}, cols
+
+
+def test_semantic_dedup_cell_join_is_ids_only(spark, sf_dir):
+    """semantic_dedup's candidate stage must self-join on (vec_id, cell)
+    rows — the 64-double embedding vectors are fetched AFTER candidate
+    generation, by equi-join, never carried through the cell-key shuffle.
+    And the plan must contain no cartesian product: cell membership bounds
+    the pair fanout."""
+    plan = _plan(spark, sf_dir, "semantic_dedup")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    ex_blocks = re.findall(
+        r"Exchange hashpartitioning\(([^)]*)\)", plan
+    )
+    assert ex_blocks, plan[:2000]
+
+
+def test_training_shuffle_has_no_global_window(spark, sf_dir):
+    """training_shuffle's global position comes from the distributed-rank
+    primitive — the executed plan must contain no window node (a
+    partition-less row_number would be the single-task sort the primitive
+    exists to avoid)."""
+    plan = _plan(spark, sf_dir, "training_shuffle")
+    assert _count(plan, r"\bWindow \[") == 0, (
+        f"training_shuffle regained a window node\n{plan[:2000]}"
+    )
+
+
+def test_domain_cap_window_is_source_partitioned(spark, sf_dir):
+    """domain_cap_sample ranks within source partitions — every window
+    spec must be keyed by source (a partition-less spec would serialize
+    the corpus through one task)."""
+    plan = _plan(spark, sf_dir, "domain_cap_sample")
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, plan[:2000]
+    bad = [s for s in specs if not s.startswith("source")]
+    assert not bad, (
+        f"domain_cap_sample window spec(s) not keyed by source: "
+        f"{bad}\n{plan[:2000]}"
+    )
