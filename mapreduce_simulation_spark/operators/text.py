@@ -402,3 +402,111 @@ ORDER BY r.word
 
 
 CMS_WORD_FREQ_SQL = _build_cms_sql()
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (CCNet-style corpus quality filter)
+# ---------------------------------------------------------------------------
+
+def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under an add-one-
+    smoothed bigram language model trained on the corpus itself — the
+    LM-based quality filter (CCNet / Wikipedia-LM style) that catches
+    gibberish surface heuristics miss: p(w2|w1) = (c12 + 1) / (c1 + V).
+    Lower avg_nll ⇒ more fluent under the corpus LM. (Perplexity is
+    exp(avg_nll) — monotone, so the score is reported in nll space and
+    the libm `exp` divergence risk is avoided.)
+
+    Cross-engine exactness discipline (the tfidf comment explains why ln
+    is normally banned here): ln is applied to a ratio of small integers
+    and ROUNDED TO 6 DECIMALS per term before any aggregation — a 1-ulp
+    libm disagreement between Java's Math.log and DuckDB's ln flips a
+    round-6 value only when the true ln sits within ~1e-16 of a rounding
+    boundary. The per-doc sum is an order-pinned strict fold over the
+    position-sorted term list (the dot-product pattern from
+    operators/similarity.py), so float addition order is identical on
+    both engines.
+
+    Scale: the LM tables are type tables (|vocab| and |bigram types|,
+    sublinear in corpus); c1 and V broadcast, the bigram-count join keys
+    on the word pair. Per-doc collect_list is bounded by document length,
+    never corpus-wide.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w1")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.withColumn("w2", F.lead("w1", 1).over(w)).where(
+        F.col("w2").isNotNull()
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = tok.agg(F.countDistinct("w1").alias("v"))
+    nll = -F.round(
+        F.log(
+            (F.col("c12") + F.lit(1)).cast("double")
+            / (F.col("c1") + F.col("v"))
+        ),
+        6,
+    )
+    terms = (
+        big.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "pos", nll.alias("nll"))
+    )
+    summed = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "nll"))),
+            lambda s: s["nll"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(summed / F.count(F.lit(1)), 6).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_PERPLEXITY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w1,
+         generate_subscripts(list_filter(str_split_regex(lower(text), '\s+'),
+                                         x -> x <> ''), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id, pos, w1,
+         lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+big2 AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big2 GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM tok GROUP BY w1),
+v AS (SELECT count(DISTINCT w1) AS v FROM tok),
+terms AS (
+  SELECT b.doc_id, b.pos,
+         -round(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6) AS nll
+  FROM big2 b
+  JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+  JOIN c1 ON c1.w1 = b.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(list_reduce(list_prepend(0.0, list(nll ORDER BY pos)),
+                         (a, b) -> a + b) / count(*), 6) AS avg_nll
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+"""

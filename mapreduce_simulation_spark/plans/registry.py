@@ -1610,3 +1610,8 @@ register(
 
 # Heavy-key diagnostics feeding the salting/skew-join decision.
 register("key_skew_profile", _ext.key_skew_profile, _ext.KEY_SKEW_SQL)
+
+# Bigram-LM perplexity quality filter (CCNet-style).
+register(
+    "lm_perplexity_score", text.lm_perplexity_score, text.LM_PERPLEXITY_SQL
+)
