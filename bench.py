@@ -59,6 +59,10 @@ EXTENDED = [
     "dedup_connected_components",
     "rfm_segmentation",
     "sequence_packing",
+    "semantic_dedup",
+    "lm_perplexity_score",
+    "training_shuffle",
+    "dsir_importance",
 ]
 
 

@@ -1297,3 +1297,147 @@ SELECT doc_id, pos, (pos - 1) % {N_TRAIN_SHARDS} AS shard
 FROM ranked
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (data selection for a target domain)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document log importance weight for data selection, in the spirit
+    of DSIR (Xie et al. 2023, arXiv:2302.03169): hash every bigram into
+    DSIR_BUCKETS buckets, fit add-one-smoothed bucket distributions for
+    the target domain (lang = 'en' documents) and the raw corpus, and
+    score each document by the sum of per-bigram log probability ratios
+    ln(p_target(b) / p_raw(b)). High weight ⇒ the document looks like the
+    target domain; sampling ∝ weight is the DSIR selection step.
+
+    Exactness: bucket ids come from the shared cross-engine polynomial
+    hash; the ratio is a quotient of exact int64 products, ln is rounded
+    to 6 decimals per DISTINCT bucket before any aggregation, and the
+    per-doc sum is an order-pinned strict fold over position-sorted terms
+    (the lm_perplexity_score discipline).
+
+    Scale: both bucket tables are DSIR_BUCKETS rows — broadcast; the whole
+    plan is a narrow map over the corpus plus one per-doc aggregation. No
+    join ever shuffles corpus text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("w2", F.lead("w1", 1).over(w))
+        .where(F.col("w2").isNotNull())
+        .withColumn(
+            "bucket",
+            H.char_hash(F.concat_ws(" ", "w1", "w2")) % DSIR_BUCKETS,
+        )
+    )
+    ct = (
+        big.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    cr = big.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tt = big.where(F.col("lang") == DSIR_TARGET_LANG).agg(
+        F.count(F.lit(1)).alias("tt")
+    )
+    tr = big.agg(F.count(F.lit(1)).alias("tr"))
+    wtab = (
+        cr.join(ct, "bucket", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.col("ct") + F.lit(1))
+                        * (F.col("tr") + F.lit(DSIR_BUCKETS))
+                    ).cast("double")
+                    / (
+                        (F.col("cr") + F.lit(1))
+                        * (F.col("tt") + F.lit(DSIR_BUCKETS))
+                    )
+                ),
+                6,
+            ).alias("logw"),
+        )
+    )
+    terms = big.join(F.broadcast(wtab), "bucket").select(
+        "doc_id", "pos", "logw"
+    )
+    summed = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "logw"))),
+            lambda s: s["logw"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(summed, 6).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_IMPORTANCE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w1,
+         generate_subscripts(list_filter(str_split_regex(lower(text), '\s+'),
+                                         x -> x <> ''), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id, lang, pos, w1,
+         lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+big2 AS (
+  SELECT doc_id, lang, pos,
+         {{bucket_hash}} % {DSIR_BUCKETS} AS bucket
+  FROM big WHERE w2 IS NOT NULL
+),
+ct AS (SELECT bucket, count(*) AS ct FROM big2
+       WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+cr AS (SELECT bucket, count(*) AS cr FROM big2 GROUP BY bucket),
+tt AS (SELECT count(*) AS tt FROM big2 WHERE lang = '{DSIR_TARGET_LANG}'),
+tr AS (SELECT count(*) AS tr FROM big2),
+wtab AS (
+  SELECT cr.bucket,
+         round(ln(CAST((coalesce(ct.ct, 0) + 1)
+                       * (tr.tr + {DSIR_BUCKETS}) AS DOUBLE)
+                  / ((cr.cr + 1) * (tt.tt + {DSIR_BUCKETS}))), 6) AS logw
+  FROM cr LEFT JOIN ct ON ct.bucket = cr.bucket
+  CROSS JOIN tt CROSS JOIN tr
+),
+terms AS (
+  SELECT b.doc_id, b.pos, w.logw
+  FROM big2 b JOIN wtab w ON w.bucket = b.bucket
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(list_reduce(list_prepend(0.0, list(logw ORDER BY pos)),
+                         (a, b) -> a + b), 6) AS log_weight
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+DSIR_IMPORTANCE_SQL = DSIR_IMPORTANCE_SQL.format(
+    bucket_hash=H.char_hash_sql("w1 || ' ' || w2")
+)

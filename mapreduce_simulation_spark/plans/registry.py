@@ -1615,3 +1615,8 @@ register("key_skew_profile", _ext.key_skew_profile, _ext.KEY_SKEW_SQL)
 register(
     "lm_perplexity_score", text.lm_perplexity_score, text.LM_PERPLEXITY_SQL
 )
+
+# DSIR-style hashed-ngram importance weighting (target-domain selection).
+register(
+    "dsir_importance", curation.dsir_importance, curation.DSIR_IMPORTANCE_SQL
+)
