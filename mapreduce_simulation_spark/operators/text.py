@@ -417,6 +417,13 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp(avg_nll) — monotone, so the score is reported in nll space and
     the libm `exp` divergence risk is avoided.)
 
+    Deliberate sibling of curation.bigram_perplexity, which scores MLE
+    probabilities with a min-count LM and a fixed OOV bit floor: Laplace
+    smoothing needs no OOV branch (every bigram gets mass), at the cost
+    of carrying V into every term — the two ends of the standard
+    smoothing trade, and a second, stricter summation discipline (see
+    below) for the float-exactness story.
+
     Cross-engine exactness discipline (the tfidf comment explains why ln
     is normally banned here): ln is applied to a ratio of small integers
     and ROUNDED TO 6 DECIMALS per term before any aggregation — a 1-ulp
