@@ -311,11 +311,56 @@ def _near_dup_pairs(docs: DataFrame) -> DataFrame:
     undecided = bounded.where(~lower_pass & upper_pass).select(
         "doc_a", "doc_b"
     )
+    # Completeness branch — what makes the rare-shingle candidate index a
+    # THEOREM, not a heuristic: a pair sharing NO rare shingle can reach
+    # jaccard ≥ t only if min(f_a, f_b) ≥ t/(1+t)·(n_a+n_b), so both docs
+    # must individually satisfy (1+t)·f_d ≥ t·n_d ("risky": most of the
+    # doc is hot shingles). Candidates for risky docs are generated from
+    # the FREQUENT shingles and exactly verified. Empty at every tested
+    # SF (0 risky docs at sf0.1 — boilerplate-dominated documents don't
+    # occur in this corpus), so AQE's empty-relation propagation erases
+    # the branch at runtime; when data does degenerate, the worst case is
+    # the exhaustive join restricted to the risky subset.
+    risky_ids = per_doc.where(
+        (1.0 + JACCARD_THRESHOLD) * F.col("n_freq")
+        >= JACCARD_THRESHOLD * F.col("n_sh")
+    ).select("doc_id")
+    # Join order matters for the empty common case: restricting to risky
+    # docs FIRST (a broadcast of a normally-empty id set) keeps the branch
+    # shuffle-free — anti-joining the full shingle table against `rare`
+    # first would execute a corpus-scale shuffle join before AQE ever
+    # learns the branch is dead (measured: ~1-3 s of wasted work per
+    # call). The broadcast is safe in the regime this operator targets
+    # (risky docs ≈ 0); a corpus degenerate enough to make the risky set
+    # unbroadcastable is already paying the restricted-exhaustive
+    # fallback, where dropping the hint is the right manual override.
+    freq_risky = sh.join(F.broadcast(risky_ids), "doc_id").join(
+        rare, "shingle", "left_anti"
+    )
+    extra = (
+        freq_risky.alias("fa")
+        .join(
+            freq_risky.alias("fb"),
+            (F.col("fa.shingle") == F.col("fb.shingle"))
+            & (F.col("fa.doc_id") < F.col("fb.doc_id")),
+        )
+        .select(
+            F.col("fa.doc_id").alias("doc_a"),
+            F.col("fb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .join(
+            cand.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+        )
+    )
     # Bound-straddlers (normally an empty set — AQE's empty-relation
-    # propagation then skips the shingle re-join entirely) get the exact
-    # intersection count.
-    verified = _pair_jaccard(sh, undecided, sizes=sizes).select(
-        "doc_a", "doc_b"
+    # propagation then skips the shingle re-join entirely) and the
+    # completeness-branch pairs get the exact intersection count; only
+    # those truly at or above the threshold become edges.
+    verified = (
+        _pair_jaccard(sh, undecided.unionByName(extra), sizes=sizes)
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
     )
     return accepted.unionByName(verified)
 

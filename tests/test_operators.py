@@ -748,3 +748,33 @@ def test_cms_estimates_one_sided_and_bounded(spark, sf_dir):
     # 31 words into 512 buckets x 4 rows: expect exactness; if this ever
     # fails after a vocab change, drop to the epsilon-bound assertion above.
     assert all(r.est_n == r.true_n for r in rows)
+
+
+def test_near_dup_pairs_complete_on_hot_shingle_duplicates(spark):
+    """The completeness branch of _near_dup_pairs, exercised: a corpus
+    where two identical documents share ONLY frequent (df > cap) shingles
+    — the rare-shingle candidate index alone would miss the pair; the
+    risky-doc branch must recover it. Also checks the threshold filter on
+    the verification path: a sub-threshold pair must NOT leak out."""
+    import pyspark.sql.functions as SF
+
+    hot = " ".join(f"w{i}" for i in range(8))  # 6 shingles, all hot
+    rows = [(i, hot) for i in range(dedup.SHINGLE_DF_CAP + 3)]
+    # two extra identical docs made ONLY of the hot text → every shingle
+    # they contain has df = cap+5 > cap; jaccard(dup1, dup2) = 1.0
+    dup_a, dup_b = 900, 901
+    rows += [(dup_a, hot), (dup_b, hot)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup._near_dup_pairs(docs).collect()
+    }
+    sh = dedup._shingles(docs)
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in dedup._pair_jaccard(sh, None)
+        .where(SF.col("jaccard") >= dedup.JACCARD_THRESHOLD)
+        .collect()
+    }
+    assert (dup_a, dup_b) in want  # sanity: the adversarial pair is real
+    assert got == want
