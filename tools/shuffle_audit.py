@@ -49,8 +49,13 @@ def fmt_bytes(n: int) -> str:
 
 
 def _measure(spark, base, app_id, qs, sf_dir: str) -> dict[str, tuple[int, int, int]]:
+    names = (
+        os.environ["SHUFFLE_AUDIT_QUERIES"].split(",")
+        if "SHUFFLE_AUDIT_QUERIES" in os.environ
+        else HEADLINE
+    )
     out = {}
-    for name in HEADLINE:
+    for name in names:
         if name not in qs:
             continue
         before = stage_totals(base, app_id)
