@@ -1620,3 +1620,10 @@ register(
 register(
     "dsir_importance", curation.dsir_importance, curation.DSIR_IMPORTANCE_SQL
 )
+
+# Stride-1 exact duplicated-substring spans (Lee et al. 2021 style).
+register(
+    "substring_dedup_spans",
+    curation.substring_dedup_spans,
+    curation.SUBSTRING_DEDUP_SQL,
+)

@@ -778,3 +778,58 @@ def test_near_dup_pairs_complete_on_hot_shingle_duplicates(spark):
     }
     assert (dup_a, dup_b) in want  # sanity: the adversarial pair is real
     assert got == want
+
+
+def test_substring_spans_equal_stringwise_truth(spark, sf_dir):
+    """substring_dedup_spans computes duplicate evidence from gram HASHES
+    with candidate verification on the literal window strings — its output
+    must equal the ground truth computed with windows as raw strings and
+    no hashing anywhere (collision-induced false spans must not survive,
+    and no true span may be lost)."""
+    from pyspark.sql.window import Window as W
+    import pyspark.sql.functions as SF
+    from mapreduce_simulation_spark.operators import curation
+    from mapreduce_simulation_spark.operators.text import tokens as toks_fn
+    from mapreduce_simulation_spark.tables import load_table as lt
+
+    K = curation.SUBSTR_K
+    docs = lt(spark, sf_dir, "documents")
+    toks = toks_fn(SF.col("text"))
+    n = SF.size(toks)
+    wins = SF.transform(
+        SF.sequence(SF.lit(0), n - K),
+        lambda p: SF.array_join(SF.slice(toks, p + 1, K), " "),
+    )
+    g = docs.where(n >= K).select(
+        "doc_id", SF.posexplode(wins).alias("p", "win")
+    )
+    dup = (
+        g.withColumn("cnt", SF.count(SF.lit(1)).over(W.partitionBy("win")))
+        .where(SF.col("cnt") >= 2)
+    )
+    wd = W.partitionBy("doc_id").orderBy("p")
+    isl = dup.withColumn(
+        "new_isl",
+        SF.when(
+            SF.col("p")
+            > SF.coalesce(SF.lag("p", 1).over(wd), SF.lit(-(10**9))) + K,
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        SF.sum("new_isl").over(wd.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    truth = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in isl.groupBy("doc_id", "island")
+        .agg(
+            SF.min("p").alias("span_start"),
+            (SF.max("p") + K - 1).alias("span_end"),
+        )
+        .collect()
+    }
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in curation.substring_dedup_spans(spark, sf_dir).collect()
+    }
+    assert got == truth
