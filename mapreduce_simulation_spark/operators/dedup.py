@@ -201,11 +201,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fanout at cap² rows — one viral shingle can no longer produce a
     quadratic partition). Verification then computes the TRUE jaccard over
     the full, uncapped shingle table for just those candidates, so scores
-    are exact. A pair is lost only if every shared shingle is hotter than
-    the cap; at jaccard ≥ 0.5 a pair shares at least half its shingles, so
-    any cap above the corpus' common-shingle support leaves results
-    identical to the exhaustive join (measured max common-shingle min-DF at
-    sf0.01 is 3; test_operators asserts equality with the uncapped join)."""
+    are exact. Completeness is a theorem, not a data property: pairs whose
+    shared shingles are all hotter than the cap can only exist between
+    docs that are mostly hot shingles, and those "risky" docs get
+    candidates from the frequent shingles too (see _capped_candidates;
+    the branch is empty on every tested corpus — measured max
+    common-shingle min-DF at sf0.01 is 3 — and test_operators asserts
+    equality with the uncapped join, including on an adversarial
+    all-hot-shingle corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
     return _pair_jaccard(sh, _capped_candidates(sh)).orderBy("doc_a", "doc_b")
@@ -213,8 +216,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _capped_candidates(sh: DataFrame) -> DataFrame:
     """Distinct (doc_a, doc_b) candidates sharing ≥1 shingle with document
-    frequency ≤ SHINGLE_DF_CAP — the bounded-fanout inverted-index join
-    (see dedup_ngram_jaccard's docstring for the no-loss argument)."""
+    frequency ≤ SHINGLE_DF_CAP, PLUS the completeness branch that makes
+    the cap a theorem rather than a heuristic: a qualifying pair sharing
+    no rare shingle requires min(f_a, f_b) ≥ t/(1+t)·(n_a+n_b), so both
+    docs must individually be mostly hot shingles ("risky",
+    (1+t)·f_d ≥ t·n_d) — those docs also get candidates from the frequent
+    shingles. The branch is empty on every tested corpus (0 risky docs at
+    sf0.1) and ordered so AQE's empty-relation propagation erases it;
+    downstream exact verification makes any candidate surplus harmless."""
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -222,7 +231,7 @@ def _capped_candidates(sh: DataFrame) -> DataFrame:
         .select("shingle")
     )
     capped = sh.join(rare, "shingle")
-    return (
+    base = (
         capped.alias("a")
         .join(
             capped.alias("b"),
@@ -232,8 +241,36 @@ def _capped_candidates(sh: DataFrame) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare_sizes = capped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rare")
+    )
+    risky_ids = (
+        sizes.join(rare_sizes, "doc_id", "left")
+        .where(
+            (1.0 + JACCARD_THRESHOLD)
+            * (F.col("n_sh") - F.coalesce("n_rare", F.lit(0)))
+            >= JACCARD_THRESHOLD * F.col("n_sh")
+        )
+        .select("doc_id")
+    )
+    freq_risky = sh.join(F.broadcast(risky_ids), "doc_id").join(
+        rare, "shingle", "left_anti"
+    )
+    extra = (
+        freq_risky.alias("fa")
+        .join(
+            freq_risky.alias("fb"),
+            (F.col("fa.shingle") == F.col("fb.shingle"))
+            & (F.col("fa.doc_id") < F.col("fb.doc_id")),
+        )
+        .select(
+            F.col("fa.doc_id").alias("doc_a"),
+            F.col("fb.doc_id").alias("doc_b"),
+        )
+    )
+    return base.unionByName(extra).distinct()
 
 
 def _near_dup_pairs(docs: DataFrame) -> DataFrame:

@@ -833,3 +833,22 @@ def test_substring_spans_equal_stringwise_truth(spark, sf_dir):
         for r in curation.substring_dedup_spans(spark, sf_dir).collect()
     }
     assert got == truth
+
+
+def test_capped_candidates_complete_on_hot_shingle_corpus(spark):
+    """_capped_candidates (the dedup_ngram_jaccard candidate stage) must
+    also recover pairs whose shared shingles are all hot — same adversarial
+    corpus as the _near_dup_pairs completeness test."""
+    hot = " ".join(f"w{i}" for i in range(8))
+    rows = [(i, hot) for i in range(dedup.SHINGLE_DF_CAP + 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup._shingles(docs)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup._pair_jaccard(sh, dedup._capped_candidates(sh))
+        .collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b) for r in dedup._pair_jaccard(sh, None).collect()
+    }
+    assert want and got == want
