@@ -63,13 +63,28 @@ EXTENDED = [
     "lm_perplexity_score",
     "training_shuffle",
     "dsir_importance",
+    "substring_dedup_spans",
 ]
+
+
+def _cpu_calibration() -> float:
+    """Fixed single-thread Python loop — a host-speed yardstick recorded
+    with every run. Bench totals move with the (virtualized, shared) host:
+    the same commit measured 10.8 s and 18.8 s total within one hour on one
+    round-5 host. Cross-round comparisons should be read relative to this
+    number (and spark_calib_sec for JVM-side speed), not as absolutes."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
     import __spark_entry__ as e
     from mapreduce_simulation_spark.session import build_session
 
+    cpu_calib = _cpu_calibration()
     spark = build_session("bench")
     qs = e.queries()
     m = re.search(r"sf([\d.]+)", SF_DIR)
@@ -118,6 +133,11 @@ def main() -> None:
             out[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    # JVM-side yardstick: one fixed small query, timed after warm-up.
+    t0 = time.perf_counter()
+    qs["pricing_summary"](spark, "/root/testdata/sf0.001").count()
+    spark_calib = round(time.perf_counter() - t0, 3)
+
     timings = run(HEADLINE)
     extended = run(EXTENDED)
 
@@ -139,6 +159,8 @@ def main() -> None:
         "n_expected": len([n for n in HEADLINE if n in qs]),
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
+        "cpu_calib_sec": cpu_calib,
+        "spark_calib_sec": spark_calib,
     }
     if errors:
         result["errors"] = errors
