@@ -1627,3 +1627,33 @@ register(
     curation.substring_dedup_spans,
     curation.SUBSTRING_DEDUP_SQL,
 )
+
+# Streaming upsert sink (foreachBatch MERGE / SCD1): per-user profile
+# maintained incrementally; all merge ops associative, so the final state
+# equals the one-shot batch aggregate — the exact oracle below.
+from ..streaming.events import (  # noqa: E402
+    streaming_upsert_profiles as _stream_upsert,
+)
+
+register(
+    "streaming_upsert_profiles",
+    _stream_upsert,
+    """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+agg AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT a.user_id, a.n_events, a.total_value,
+       epoch_us(r.ts) AS last_ts_us,
+       r.event_type AS last_event_type
+FROM agg a JOIN ranked r ON r.user_id = a.user_id AND r.rn = 1
+ORDER BY a.user_id
+""",
+)

@@ -370,3 +370,98 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("stream_static_enrich")
+
+
+def streaming_upsert_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert sink (foreachBatch MERGE / SCD-type-1): maintain a
+    per-user profile — event count, decimal-accumulated total value, and
+    the latest event's type/timestamp — by merging each micro-batch's partial
+    aggregate into the running target table inside ``foreachBatch``. This
+    is the sink-side pattern the rest of the streaming family doesn't
+    cover: idempotent MERGE into a mutable target (on a lakehouse this is
+    `MERGE INTO`; here the target is a checkpointed DataFrame swapped per
+    batch, which keeps the merge itself distributed).
+
+    Every merge operation is associative and commutative-safe across
+    batch boundaries (sum, decimal sum, max of a (ts, event_id) struct
+    with the event type carried alongside), so the final state equals the
+    one-shot batch aggregate — which is the exact DuckDB oracle.
+    """
+    from ..staging import staging_dir
+    from ..tables import load_table
+
+    stage = staging_dir("events_upsert_")
+    load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = read_event_stream(spark, stage)
+
+    state: dict[str, DataFrame | None] = {"target": None}
+
+    def _batch_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.max(
+                F.struct(
+                    F.col("ts"), F.col("event_id"), F.col("event_type")
+                )
+            ).alias("last"),
+        )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        agg = _batch_agg(batch_df)
+        cur = state["target"]
+        if cur is None:
+            state["target"] = agg.localCheckpoint()
+            return
+        a = cur.alias("a")
+        b = agg.alias("b")
+        merged = (
+            a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+            .select(
+                F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias(
+                    "user_id"
+                ),
+                (
+                    F.coalesce(F.col("a.n_events"), F.lit(0))
+                    + F.coalesce(F.col("b.n_events"), F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce(
+                        F.col("a.total_value"),
+                        F.lit(0).cast("decimal(18,2)"),
+                    )
+                    + F.coalesce(
+                        F.col("b.total_value"),
+                        F.lit(0).cast("decimal(18,2)"),
+                    )
+                ).alias("total_value"),
+                F.when(
+                    F.col("a.last").isNull(), F.col("b.last")
+                )
+                .when(F.col("b.last").isNull(), F.col("a.last"))
+                .otherwise(F.greatest(F.col("a.last"), F.col("b.last")))
+                .alias("last"),
+            )
+        )
+        state["target"] = merged.localCheckpoint()
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", staging_dir("events_upsert_ckpt_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    target = state["target"]
+    assert target is not None, "stream produced no batches"
+    return target.select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.unix_micros(F.col("last.ts")).alias("last_ts_us"),
+        F.col("last.event_type").alias("last_event_type"),
+    ).orderBy("user_id")
