@@ -881,20 +881,25 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically), then encode each document's first ENCODE_MAX_POS
     tokens as (doc_id, pos, token_id) rows.
 
-    Scale: the vocabulary is type-count-sized (≪ corpus) — its global
-    frequency ranking is one single-partition window over the vocab
-    table only, never the token stream; the encode join broadcasts the
-    id table against the token scan. Output rows are exploded (not an
-    array column) so they stay hash-checkable and streamable."""
+    Scale: the vocabulary is type-count-sized (≪ corpus) — but at web
+    scale a vocab still runs to 10⁶⁺ types, so its global frequency
+    ranking uses the distributed-rank primitive (range partition +
+    per-partition local index + broadcast prefix offsets,
+    operators/ranking.py) rather than a partition-less window; the
+    token stream is never globally sorted, and the encode join
+    broadcasts the id table against the token scan. Output rows are
+    exploded (not an array column) so they stay hash-checkable and
+    streamable."""
+    from .ranking import with_distributed_rank
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    wv = Window.orderBy(F.desc("cnt"), F.asc("tok"))
-    ids = vocab.select(
-        "tok", F.row_number().over(wv).cast("long").alias("token_id")
-    )
+    ids = with_distributed_rank(
+        vocab, [F.desc("cnt"), F.asc("tok")], "token_id"
+    ).select("tok", F.col("token_id").cast("long").alias("token_id"))
     return (
         tok.where(F.col("pos") < ENCODE_MAX_POS)
         .join(F.broadcast(ids), "tok")
