@@ -1049,3 +1049,121 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.row_number().over(w) == 1)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs an existing reference corpus
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an INCOMING batch against an ALREADY-INGESTED reference corpus
+    — the asymmetric shape every production pipeline actually runs (a new
+    crawl is deduped against the training set, not against itself). The
+    deterministic split here: even doc_ids are the reference corpus, odd
+    ids the incoming batch. Each new document gets a verdict:
+
+      exact_dup  its content fingerprint matches some reference doc;
+      near_dup   3-gram jaccard ≥ 0.5 with some reference doc;
+      clean      neither.
+
+    plus matched_ref = the smallest matching reference id (exact match
+    preferred), NULL for clean.
+
+    Scale: the exact pass is an 8-byte fingerprint equi-join (the
+    reference side's fingerprint index is what a real pipeline keeps
+    materialized between ingests). The near pass reuses the provably
+    complete bounded pair builder and keeps only batch↔reference
+    crossings; at 100 TB the restriction moves INTO the candidate join
+    (index side = reference shingles, probe side = batch shingles), so
+    batch↔batch and reference↔reference pair work never happens — the
+    symmetric builder is reused here because at test scale the shared
+    subtree costs less than a second asymmetric code path.
+    """
+    docs_full = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 2 == 1
+    fp = H.char_hash(F.col("text")).alias("fp")
+    new_fp = docs_full.where(is_new).select(
+        F.col("doc_id").alias("new_id"), fp
+    )
+    ref_fp = docs_full.where(~is_new).select(
+        F.col("doc_id").alias("ref_id"), fp
+    )
+    exact = (
+        new_fp.join(ref_fp, "fp")
+        .groupBy("new_id")
+        .agg(F.min("ref_id").alias("exact_ref"))
+    )
+    pairs = _near_dup_pairs(docs_full)
+    crossing = pairs.where(
+        (F.col("doc_a") % 2) != (F.col("doc_b") % 2)
+    ).select(
+        F.when(F.col("doc_a") % 2 == 1, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("new_id"),
+        F.when(F.col("doc_a") % 2 == 0, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("ref_id"),
+    )
+    near = crossing.groupBy("new_id").agg(F.min("ref_id").alias("near_ref"))
+    return (
+        docs_full.where(is_new)
+        .select(F.col("doc_id").alias("new_id"))
+        .join(exact, "new_id", "left")
+        .join(near, "new_id", "left")
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.when(F.col("exact_ref").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_ref").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("clean"))
+            .alias("verdict"),
+            F.coalesce("exact_ref", "near_ref").alias("matched_ref"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        >= {JACCARD_THRESHOLD}
+),
+fps AS (
+  SELECT doc_id, {H.char_hash_sql('text')} AS fp FROM documents
+),
+exact AS (
+  SELECT n.doc_id AS new_id, min(r.doc_id) AS exact_ref
+  FROM fps n JOIN fps r ON n.fp = r.fp
+  WHERE n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+  GROUP BY 1
+),
+crossing AS (
+  SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS new_id,
+         CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS ref_id
+  FROM pairs
+  WHERE doc_a % 2 <> doc_b % 2
+),
+near AS (
+  SELECT new_id, min(ref_id) AS near_ref FROM crossing GROUP BY new_id
+)
+SELECT d.doc_id,
+       CASE WHEN e.exact_ref IS NOT NULL THEN 'exact_dup'
+            WHEN n.near_ref IS NOT NULL THEN 'near_dup'
+            ELSE 'clean' END AS verdict,
+       coalesce(e.exact_ref, n.near_ref) AS matched_ref
+FROM documents d
+LEFT JOIN exact e ON e.new_id = d.doc_id
+LEFT JOIN near n ON n.new_id = d.doc_id
+WHERE d.doc_id % 2 = 1
+ORDER BY d.doc_id
+"""

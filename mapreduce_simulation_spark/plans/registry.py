@@ -1657,3 +1657,8 @@ FROM agg a JOIN ranked r ON r.user_id = a.user_id AND r.rn = 1
 ORDER BY a.user_id
 """,
 )
+
+# Incremental dedup: new batch vs reference corpus (asymmetric pipeline).
+register(
+    "incremental_dedup", dedup.incremental_dedup, dedup.INCREMENTAL_DEDUP_SQL
+)
