@@ -1613,3 +1613,97 @@ ORDER BY doc_id, span_start
 SUBSTRING_DEDUP_SQL = SUBSTRING_DEDUP_SQL.format(
     tok_hash=H.char_hash_sql("t")
 )
+
+
+# ---------------------------------------------------------------------------
+# Temperature sampling (multilingual-style mixture rebalancing)
+# ---------------------------------------------------------------------------
+
+TEMP_TARGET = 200  # documents drawn across all sources
+
+
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling at α = 0.5: per-source quotas
+    ∝ n_s^α flatten the source distribution (the standard multilingual /
+    multi-corpus rebalancing — small sources are upsampled relative to
+    their raw share, cf. the temperature-sampled mixtures of mBERT/mT5
+    and UniMax-style corpus balancing), then each source contributes its
+    quota by the fixed multiplicative-hash order.
+
+    α is pinned to 0.5 because sqrt is CORRECTLY ROUNDED under IEEE-754
+    on both engines — an arbitrary pow(n, α) would inherit libm's 1-ulp
+    wobble. The weight normalizer Σ√n_s is an order-pinned fold over the
+    source-sorted weight list (20 rows), and quotas are floor(T·w/W) —
+    single IEEE divisions, bit-identical cross-engine.
+
+    Scale: the weight/quota table is |sources| rows (broadcast); the only
+    corpus-scale work is the per-source rank — hash-partitioned by
+    source, the domain_cap_sample shape.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = F.sqrt(F.col("n_s").cast("double"))
+    weights = counts.select("source", "n_s", w.alias("w"))
+    total_w = weights.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "w"))),
+                lambda s: s["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("total_w")
+    )
+    quotas = weights.crossJoin(F.broadcast(total_w)).select(
+        "source",
+        F.floor(
+            F.lit(TEMP_TARGET) * F.col("w") / F.col("total_w")
+        ).alias("quota"),
+    )
+    keyed = docs.withColumn(
+        "hkey", (F.col("doc_id") * F.lit(_PPS_MIX)) % F.lit(1000000007)
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy("hkey", "doc_id")
+    )
+    return (
+        keyed.withColumn("rk", rk)
+        .join(F.broadcast(quotas), "source")
+        .where(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "source", "quota")
+        .orderBy("doc_id")
+    )
+
+
+TEMPERATURE_SAMPLE_SQL = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+),
+weights AS (
+  SELECT source, n_s, sqrt(CAST(n_s AS DOUBLE)) AS w FROM counts
+),
+total AS (
+  SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                     (a, b) -> a + b) AS total_w
+  FROM weights
+),
+quotas AS (
+  SELECT source, CAST(floor({TEMP_TARGET} * w / total_w) AS BIGINT) AS quota
+  FROM weights CROSS JOIN total
+),
+keyed AS (
+  SELECT doc_id, source,
+         (doc_id * {_PPS_MIX}) % 1000000007 AS hkey
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY hkey, doc_id) AS rk
+  FROM keyed
+)
+SELECT r.doc_id, r.source, q.quota
+FROM ranked r JOIN quotas q ON q.source = r.source
+WHERE r.rk <= q.quota
+ORDER BY r.doc_id
+"""

@@ -1662,3 +1662,10 @@ ORDER BY a.user_id
 register(
     "incremental_dedup", dedup.incremental_dedup, dedup.INCREMENTAL_DEDUP_SQL
 )
+
+# Temperature (alpha=0.5) mixture sampling across sources.
+register(
+    "temperature_sample",
+    curation.temperature_sample,
+    curation.TEMPERATURE_SAMPLE_SQL,
+)
