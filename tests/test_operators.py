@@ -852,3 +852,85 @@ def test_capped_candidates_complete_on_hot_shingle_corpus(spark):
         (r.doc_a, r.doc_b) for r in dedup._pair_jaccard(sh, None).collect()
     }
     assert want and got == want
+
+
+def test_substring_spans_invariants(spark, sf_dir):
+    """Merged duplicate spans must be ≥ K tokens, in-bounds, and truly
+    maximal: consecutive spans of one doc are separated by at least one
+    clean token (adjacent evidence would have merged)."""
+    from mapreduce_simulation_spark.operators import curation
+
+    K = curation.SUBSTR_K
+    rows = curation.substring_dedup_spans(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.span_tokens >= K
+        assert r.span_end - r.span_start + 1 == r.span_tokens
+        assert r.span_start >= 0
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.span_start)
+        for prev, nxt in zip(rs, rs[1:]):
+            assert nxt.span_start >= prev.span_end + 2, (prev, nxt)
+
+
+def test_incremental_dedup_invariants(spark, sf_dir):
+    """Verdict invariants: matched refs are reference-side (even ids);
+    exact_dup rows really share their content fingerprint with the
+    matched ref; clean rows carry no ref."""
+    import pyspark.sql.functions as SF
+    from mapreduce_simulation_spark.functions.hashing import char_hash
+    from mapreduce_simulation_spark.tables import load_table as lt
+
+    out = dedup.incremental_dedup(spark, sf_dir)
+    rows = out.collect()
+    assert all(r.doc_id % 2 == 1 for r in rows)
+    for r in rows:
+        if r.verdict == "clean":
+            assert r.matched_ref is None
+        else:
+            assert r.matched_ref is not None and r.matched_ref % 2 == 0
+    fps = {
+        r.doc_id: r.fp
+        for r in lt(spark, sf_dir, "documents")
+        .select("doc_id", char_hash(SF.col("text")).alias("fp"))
+        .collect()
+    }
+    # sf0.001 has near-dup crossings but no cross-parity exact dups —
+    # require SOME duplicate signal, and fp-verify any exacts that exist.
+    assert any(r.verdict != "clean" for r in rows)
+    for r in rows:
+        if r.verdict == "exact_dup":
+            assert fps[r.doc_id] == fps[r.matched_ref]
+
+
+def test_temperature_sample_quota_invariants(spark, sf_dir):
+    """Per-source draw counts must hit min(quota, n_s) exactly, and the
+    total must not exceed the target."""
+    from mapreduce_simulation_spark.operators import curation
+
+    rows = curation.temperature_sample(spark, sf_dir).collect()
+    per_src: dict[str, int] = {}
+    quota: dict[str, int] = {}
+    for r in rows:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+        quota[r.source] = r.quota
+    assert sum(per_src.values()) <= curation.TEMP_TARGET
+    for s, n in per_src.items():
+        assert n <= quota[s]
+
+
+def test_semantic_dedup_keeps_cell_minimum(spark, sf_dir):
+    """Within every cell the smallest vec_id must be kept (nothing below
+    it exists to drop it), and at least one drop must occur at this SF."""
+    from mapreduce_simulation_spark.operators import similarity
+
+    rows = similarity.semantic_dedup(spark, sf_dir).collect()
+    min_per_cell: dict[int, int] = {}
+    for r in rows:
+        if r.cell not in min_per_cell or r.vec_id < min_per_cell[r.cell]:
+            min_per_cell[r.cell] = r.vec_id
+    kept = {r.vec_id: r.kept for r in rows}
+    for cell_min in min_per_cell.values():
+        assert kept[cell_min]
+    assert any(not k for k in kept.values())
