@@ -54,6 +54,15 @@ _PROMOTE = (
     "pandas_grouped_agg_median",  # GROUPED_AGG pandas UDF tier
     "xml_source_customers",     # XML source family
 )
+# Round-6 rotation candidates (for the next window swap, NOT applied now —
+# the current window is frozen by test_schema_contract and r5-gated):
+# promote one representative per family that gained operators this round —
+# streaming_upsert_profiles (foreachBatch sink), substring_dedup_spans
+# (stride-1 substring dedup), semantic_dedup (embedding-cell dedup),
+# dsir_importance (data selection), incremental_dedup (batch-vs-corpus) —
+# demoting in exchange: identity_projection, left_outer_order_counts,
+# set_ops_segments, monthly_revenue, broadcast_dim_join (all
+# single-mechanism rows whose families already have driver-green twins).
 _DEMOTE = (
     "constant_key_collapse",         # scalar-fn row covered by monthly_revenue
     "union_sources",                 # covered by set_ops/schema_evolution_union
