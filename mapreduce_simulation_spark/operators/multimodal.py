@@ -584,3 +584,207 @@ png AS (
 )
 SELECT * FROM wav UNION ALL SELECT * FROM png
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup: average-hash over decoded PNG pixels
+# ---------------------------------------------------------------------------
+
+AHASH_GRID = 8  # 8×8 sample grid → 64-bit signature, held as 4×16-bit bands
+AHASH_HAMMING_MAX = 3  # ≤3 flips over 4 bands ⇒ some band equal (pigeonhole)
+
+
+def _png_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """IHDR + defiltered row-major pixel list (8-bit grayscale, filter 0 —
+    the only kind our encoder emits; anything else raises)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height = struct.unpack(">II", data[:8])
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("not a PNG: no IHDR")
+    rows = zlib.decompress(idat)
+    stride = width + 1
+    px: list[int] = []
+    for y in range(height):
+        row = rows[y * stride : (y + 1) * stride]
+        if row[0] != 0:
+            raise ValueError(f"unsupported PNG filter type {row[0]}")
+        px.extend(row[1:])
+    return width, height, px
+
+
+def _ahash_bands(w: int, h: int, px: list[int]) -> list[int]:
+    """Classic average-hash on a nearest-neighbor 8×8 sample grid: bit k
+    (k = j·8+i, sample at x=⌊i·w/8⌋, y=⌊j·h/8⌋) is set iff 64·sample >
+    Σsamples — integer arithmetic only, so the SQL oracle replays it
+    exactly. Packed as 4 little-endian 16-bit band keys."""
+    g = AHASH_GRID
+    samples = [
+        px[((j * h) // g) * w + ((i * w) // g)]
+        for j in range(g)
+        for i in range(g)
+    ]
+    total = sum(samples)
+    bands = [0, 0, 0, 0]
+    for k, v in enumerate(samples):
+        if g * g * v > total:
+            bands[k // 16] |= 1 << (k % 16)
+    return bands
+
+
+def media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup: synthesize real PNG containers for the
+    even-id documents, decode them back (stdlib zlib/struct — the same
+    real-parse path as media_decode), average-hash the DECODED pixels,
+    and emit all image pairs within hamming ≤ 3 of each other.
+
+    The pair search is the simhash shape: 4 bands × 16 bits; ≤ 3 bit
+    flips over 4 bands leaves some band identical (pigeonhole), so the
+    banded equi-join is exactly complete, never approximate. Banded
+    shuffle = |images| × 4 small keys; the hamming check is JVM-side
+    xor + bit_count on the candidate pairs.
+
+    Oracle: the synthetic pixel function is arithmetic in doc_id, so the
+    oracle recomputes the sample grid, mean threshold, band keys, banding
+    and hamming in pure SQL — a hash match therefore proves the whole
+    PNG encode → container → decode → perceptual-hash chain lossless,
+    not just the join logic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = [int(d) for d in pdf["doc_id"] if d % 2 == 0]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media": [synthesize_png(d) for d in ids],
+                }
+            )
+
+    def hash_stage(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for did, payload in zip(pdf["doc_id"], pdf["media"]):
+                w, h, px = _png_pixels(bytes(payload))
+                b = _ahash_bands(w, h, px)
+                out["doc_id"].append(int(did))
+                for i in range(4):
+                    out[f"b{i}"].append(b[i])
+            yield pd.DataFrame(out)
+
+    staged = docs.mapInPandas(synth, schema="doc_id bigint, media binary")
+    hashes = staged.mapInPandas(
+        hash_stage, schema="doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+    )
+    banded = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"b{i}").alias("key")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"bb{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"bb{i}")))
+        for i in range(4)
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= AHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MEDIA_AHASH_SQL = f"""
+WITH png AS (
+  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+samp AS (
+  SELECT p.doc_id, t.k,
+         (p.doc_id + 3 * (((t.k % 8) * p.w) // 8)
+                   + 5 * (((t.k // 8) * p.h) // 8)) % 251 AS v
+  FROM png p, range(0, {AHASH_GRID * AHASH_GRID}) t(k)
+),
+tot AS (SELECT doc_id, sum(v) AS s FROM samp GROUP BY doc_id),
+bits AS (
+  SELECT samp.doc_id, samp.k,
+         CASE WHEN {AHASH_GRID * AHASH_GRID} * samp.v > tot.s
+              THEN 1 ELSE 0 END AS bit
+  FROM samp JOIN tot ON tot.doc_id = samp.doc_id
+),
+bandkeys AS (
+  SELECT doc_id, k // 16 AS band,
+         CAST(sum(bit * (1 << (k % 16))) AS INTEGER) AS key
+  FROM bits GROUP BY doc_id, k // 16
+),
+hashes AS (
+  SELECT doc_id,
+         max(CASE WHEN band = 0 THEN key END) AS b0,
+         max(CASE WHEN band = 1 THEN key END) AS b1,
+         max(CASE WHEN band = 2 THEN key END) AS b2,
+         max(CASE WHEN band = 3 THEN key END) AS b3
+  FROM bandkeys GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+       + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+           AS hamming
+  FROM cand c
+  JOIN hashes ha ON ha.doc_id = c.doc_a
+  JOIN hashes hb ON hb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+FROM scored WHERE hamming <= {AHASH_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""

@@ -1678,3 +1678,12 @@ register(
     curation.temperature_sample,
     curation.TEMPERATURE_SAMPLE_SQL,
 )
+
+# Perceptual image near-dup (average-hash over decoded PNG pixels).
+from ..operators import multimodal as _mm  # noqa: E402
+
+register(
+    "media_ahash_near_dup",
+    _mm.media_ahash_near_dup,
+    _mm.MEDIA_AHASH_SQL,
+)
