@@ -1707,3 +1707,150 @@ FROM ranked r JOIN quotas q ON q.source = r.source
 WHERE r.rk <= q.quota
 ORDER BY r.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language perplexity bucketing
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS = 3  # CCNet's head / middle / tail
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's quality banding (Wenzek et al. 2020): score every document
+    with a language model trained ON ITS OWN LANGUAGE's slice of the
+    corpus, then split each language into equal head/middle/tail
+    perplexity terciles. Banding per language is the point — absolute
+    perplexities are not comparable across languages, so a global cut
+    would misfile entire languages.
+
+    The LM is the add-one bigram model of text.lm_perplexity_score, keyed
+    by lang everywhere (c12 per (lang,w1,w2); c1 per (lang,w1); V per
+    lang), under the same cross-engine exactness discipline: per-term ln
+    rounded to 6 decimals BEFORE aggregation, per-doc sum as an
+    order-pinned strict fold over the position-sorted term list, final
+    average rounded to 6. Ties banded by (avg_nll, doc_id).
+
+    Scale: the LM tables are per-language type tables (still sublinear in
+    corpus); (lang,w1) counts and per-lang V broadcast, the bigram join
+    keys on (lang, word pair). The tercile split uses the grouped
+    distributed ntile (operators/ranking.py): range partitioning on
+    (lang, score) spreads a hot language over many partitions — a plain
+    PARTITION BY lang window would put half a web corpus (English) through
+    one task — with per-group positions reassembled from the bounded
+    ≤ P + |langs| row collect. No partition-less or hot-group window
+    anywhere (asserted in tests/test_plan_shapes.py).
+
+    Documents with fewer than 2 tokens have no bigrams and are dropped, as
+    in CCNet (un-scoreable docs are not banded).
+    """
+    from .ranking import with_distributed_grouped_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.withColumn("w2", F.lead("w1", 1).over(w)).where(
+        F.col("w2").isNotNull()
+    )
+    c12 = big.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = tok.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = tok.groupBy("lang").agg(F.countDistinct("w1").alias("v"))
+    nll = -F.round(
+        F.log(
+            (F.col("c12") + F.lit(1)).cast("double")
+            / (F.col("c1") + F.col("v"))
+        ),
+        6,
+    )
+    terms = (
+        big.join(c12, ["lang", "w1", "w2"])
+        .join(F.broadcast(c1), ["lang", "w1"])
+        .join(F.broadcast(v), "lang")
+        .select("doc_id", "lang", "pos", nll.alias("nll"))
+    )
+    summed = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "nll"))),
+            lambda s: s["nll"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = terms.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(summed / F.count(F.lit(1)), 6).alias("avg_nll"),
+    )
+    banded = with_distributed_grouped_ntile(
+        scored,
+        ["lang"],
+        [F.asc("avg_nll"), F.asc("doc_id")],
+        PPL_BUCKETS,
+        "tercile",
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, F.lit("head"))
+        .when(F.col("tercile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        banded.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "avg_nll",
+            bucket.alias("ppl_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CCNET_PPL_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w1,
+         generate_subscripts(list_filter(str_split_regex(lower(text), '\s+'),
+                                         x -> x <> ''), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id, lang, pos, w1,
+         lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+big2 AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+c12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM big2 GROUP BY lang, w1, w2),
+c1 AS (SELECT lang, w1, count(*) AS c1 FROM tok GROUP BY lang, w1),
+v AS (SELECT lang, count(DISTINCT w1) AS v FROM tok GROUP BY lang),
+terms AS (
+  SELECT b.doc_id, b.lang, b.pos,
+         -round(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6) AS nll
+  FROM big2 b
+  JOIN c12 ON c12.lang = b.lang AND c12.w1 = b.w1 AND c12.w2 = b.w2
+  JOIN c1 ON c1.lang = b.lang AND c1.w1 = b.w1
+  JOIN v ON v.lang = b.lang
+),
+scored AS (
+  SELECT doc_id, lang,
+         count(*) AS n_bigrams,
+         round(list_reduce(list_prepend(0.0, list(nll ORDER BY pos)),
+                           (a, b) -> a + b) / count(*), 6) AS avg_nll
+  FROM terms
+  GROUP BY doc_id, lang
+),
+banded AS (
+  SELECT doc_id, lang, n_bigrams, avg_nll,
+         ntile({PPL_BUCKETS}) OVER (PARTITION BY lang
+                                    ORDER BY avg_nll, doc_id) AS tercile
+  FROM scored
+)
+SELECT doc_id, lang, n_bigrams, avg_nll,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM banded
+ORDER BY doc_id
+"""

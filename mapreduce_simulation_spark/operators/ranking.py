@@ -141,6 +141,108 @@ def with_distributed_ntile(
     )
 
 
+def with_distributed_grouped_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    buckets: int,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``ntile(buckets) OVER (PARTITION BY group ORDER BY order)``
+    without a per-group single-task sort.
+
+    A plain ``Window.partitionBy(group)`` is parallel *across* groups but
+    serial *within* one: every row of a group lands on one task. When the
+    grouping is dimension-like but skewed — language over a web corpus,
+    where one language is half the data — the hot group becomes a
+    single-task sort at 100 TB. Here the range partitioner keys on
+    ``(group, order)``, so a hot group spreads over many partitions, each
+    locally sorted; per-group positions are reassembled from a bounded
+    driver-side collect.
+
+    The collect is one row per (partition, group-present-in-partition)
+    pair. Groups are contiguous under the range order, so each partition
+    boundary splits at most one group: the collect is ≤ P + G rows (P =
+    shuffle partitions, G = distinct groups). Use this primitive when G is
+    dimension-bounded (languages, sources, priorities); for high-cardinality
+    groups a plain partitioned window is already the right plan — no group
+    is hot enough to matter, and P + G stops being bounded.
+
+    ntile semantics are per group: with n_g rows, the first n_g mod k
+    buckets hold ⌈n_g/k⌉ rows — evaluated as a column expression because
+    n_g differs per group.
+    """
+    p = num_partitions or _num_partitions(df)
+    gcols = [F.col(c) for c in group_cols]
+    parted = (
+        df.repartitionByRange(p, *gcols, *order_cols)
+        .sortWithinPartitions(*gcols, *order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", _LOCAL_BITS).cast("int"))
+        .persist()
+    )
+    # Bounded collect: (pid, group key, rows of that group in that pid,
+    # local index at which the group starts within the pid).
+    local = (F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK))).cast("long")
+    stats = (
+        parted.withColumn("_loc", local)
+        .groupBy("_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.min("_loc").alias("_start"))
+        .collect()
+    )
+    gkey = F.concat_ws("\x00", *[F.col(c).cast("string") for c in group_cols])
+
+    def _row_key(r) -> str:
+        return "\x00".join(str(r[c]) for c in group_cols)
+
+    # Per-group prefix of earlier partitions' counts, and per-group totals.
+    prefix: dict[tuple[str, int], int] = {}
+    start: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for r in sorted(stats, key=lambda r: int(r["_pid"])):
+        k, pid = _row_key(r), int(r["_pid"])
+        prefix[(k, pid)] = totals.get(k, 0)
+        start[(k, pid)] = int(r["_start"])
+        totals[k] = totals.get(k, 0) + int(r["_cnt"])
+
+    def _map_lit(d: dict) -> Column:
+        if not d:
+            return F.create_map().cast("map<string,long>")
+        pairs: list[Column] = []
+        for k, v in d.items():
+            pairs.append(F.lit(k))
+            pairs.append(F.lit(int(v)))
+        return F.create_map(*pairs)
+
+    pk = F.concat_ws("\x00", gkey, F.col("_pid").cast("string"))
+    prefix_m = _map_lit({f"{k}\x00{pid}": v for (k, pid), v in prefix.items()})
+    start_m = _map_lit({f"{k}\x00{pid}": v for (k, pid), v in start.items()})
+    totals_m = _map_lit(totals)
+    ranked = parted.withColumn("_loc", local).select(
+        "*",
+        (prefix_m[pk] + F.col("_loc") - start_m[pk] + F.lit(1)).alias(
+            "_grank"
+        ),
+        totals_m[gkey].alias("_n"),
+    )
+    # Column-wise ntile arithmetic (n_g varies per group).
+    q = (F.col("_n") / buckets).cast("long")
+    rem = F.col("_n") % buckets
+    thresh = rem * (q + 1)
+    bucket = (
+        F.when(q == 0, F.col("_grank"))
+        .when(
+            F.col("_grank") <= thresh,
+            ((F.col("_grank") + q) / (q + 1)).cast("long"),
+        )
+        .otherwise(rem + ((F.col("_grank") - thresh + q - 1) / q).cast("long"))
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "_mid", "_pid", "_loc", "_grank", "_n"
+    )
+
+
 def with_distributed_cumsum(
     df: DataFrame,
     order_cols: list[Column],

@@ -1687,3 +1687,12 @@ register(
     _mm.media_ahash_near_dup,
     _mm.MEDIA_AHASH_SQL,
 )
+
+# CCNet-style per-language perplexity terciles (head/middle/tail), banded
+# with the grouped distributed ntile so a hot language never becomes a
+# single-task sort.
+register(
+    "ccnet_perplexity_buckets",
+    curation.ccnet_perplexity_buckets,
+    curation.CCNET_PPL_SQL,
+)

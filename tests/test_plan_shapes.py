@@ -181,3 +181,18 @@ def test_domain_cap_window_is_source_partitioned(spark, sf_dir):
         f"domain_cap_sample window spec(s) not keyed by source: "
         f"{bad}\n{plan[:2000]}"
     )
+
+
+def test_ccnet_buckets_have_no_hot_group_window(spark, sf_dir):
+    """ccnet_perplexity_buckets bands each language with the grouped
+    distributed ntile — the executed plan must contain no ntile window at
+    all, and the only window specs allowed are the doc_id-partitioned
+    bigram lead (bounded by document length, never by language size)."""
+    plan = _plan(spark, sf_dir, "ccnet_perplexity_buckets")
+    assert "ntile" not in plan, plan[:2000]
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, plan[:2000]
+    bad = [s for s in specs if not s.startswith("doc_id")]
+    assert not bad, (
+        f"window spec(s) not doc_id-partitioned: {bad}\n{plan[:2000]}"
+    )

@@ -127,3 +127,52 @@ def test_empty_input(spark):
 def test_output_keeps_input_columns(spark, tied):
     out = with_distributed_ntile(tied, [F.asc("v"), F.asc("k")], 4, "b", 8)
     assert out.columns == ["k", "v", "b"]
+
+
+def test_grouped_ntile_matches_partitioned_window(spark):
+    from mapreduce_simulation_spark.operators.ranking import (
+        with_distributed_grouped_ntile,
+    )
+
+    # skewed groups: one hot group with 200 rows, two small ones, plus a
+    # group smaller than the bucket count (the q == 0 edge per group)
+    rows = (
+        [("hot", (i * 7) % 13, i) for i in range(200)]
+        + [("mid", i % 5, 1000 + i) for i in range(23)]
+        + [("tiny", i, 2000 + i) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v long, id long")
+    order = [F.asc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["b"]
+        for r in with_distributed_grouped_ntile(
+            df, ["grp"], order, 4, "b", 8
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy(*order)
+    want = {
+        r["id"]: r["b"]
+        for r in df.withColumn("b", F.ntile(4).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_grouped_ntile_partition_count_invariant(spark):
+    from mapreduce_simulation_spark.operators.ranking import (
+        with_distributed_grouped_ntile,
+    )
+
+    rows = [(f"g{i % 3}", (i * 11) % 17, i) for i in range(120)]
+    df = spark.createDataFrame(rows, "grp string, v long, id long")
+    order = [F.asc("v"), F.asc("id")]
+    base = None
+    for p in (1, 4, 16):
+        got = {
+            r["id"]: r["b"]
+            for r in with_distributed_grouped_ntile(
+                df, ["grp"], order, 5, "b", p
+            ).collect()
+        }
+        if base is None:
+            base = got
+        assert got == base, f"bucket assignment changed at P={p}"
