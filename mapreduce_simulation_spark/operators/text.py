@@ -517,3 +517,129 @@ FROM terms
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule flags
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 (Gopher) document-quality rules, thresholds adapted to the
+# synthetic corpus (10-99 words/doc) so both tails of every rule exist at
+# test scale; the production thresholds are noted per rule.
+GOPHER_MIN_WORDS = 20        # Gopher: 50
+GOPHER_MAX_WORDS = 90        # Gopher: 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0   # Gopher: 3
+GOPHER_MAX_MEAN_WLEN = 10.0  # Gopher: 10
+GOPHER_MIN_STOPWORDS = 2     # Gopher: ≥2 of a small English stopword set
+GOPHER_MAX_TOP_SHARE = 0.10  # Gopher-style repetition cap (top word share)
+GOPHER_MIN_ALPHA_FRAC = 0.8  # Gopher: 80% of words contain an alphabetic char
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher quality-rule flags plus the conjunction `keep` —
+    the rule-based pre-filter every pretraining pipeline runs before the
+    model-based ones (quality_score / lm_perplexity_score are this
+    engine's model-ish siblings). Each rule is reported individually so a
+    curation run can audit WHICH rule dropped a document, not just that
+    one did.
+
+    Exactness: word and stopword counts are integers; mean word length and
+    top-token share are a single integer division each, rounded to 6
+    decimals in both engines before the threshold comparison.
+
+    Scale: every rule is computed with array expressions over the token
+    list of one row — the whole operator is a narrow projection over the
+    scan, zero shuffles before the declared ORDER BY, embarrassingly
+    parallel at any corpus size. The top-token count is O(L·D) per
+    document (L tokens × D distinct) in exchange for staying shuffle-free;
+    with pathological document lengths the explode + (doc_id, token) agg
+    form is the fallback (that exchange is the curation package's declared
+    corpus-linear class).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    nw = F.size(ws)
+    mean_wlen = F.round(
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / nw,
+        6,
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+        )
+    )
+    top_share = F.round(top_cnt.cast("double") / nw, 6)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(ws), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(ws, lambda x: x.rlike("[a-z]"))).cast("double") / nw,
+        6,
+    )
+    r_words = (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)
+    r_wlen = (mean_wlen >= GOPHER_MIN_MEAN_WLEN) & (
+        mean_wlen <= GOPHER_MAX_MEAN_WLEN
+    )
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    r_rep = top_share <= GOPHER_MAX_TOP_SHARE
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    return docs.select(
+        "doc_id",
+        nw.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        top_share.alias("top_token_share"),
+        n_stop.alias("n_stopwords"),
+        r_words.alias("rule_word_count"),
+        r_wlen.alias("rule_mean_word_len"),
+        r_stop.alias("rule_stopwords"),
+        r_rep.alias("rule_repetition"),
+        r_alpha.alias("rule_alpha"),
+        (r_words & r_wlen & r_stop & r_rep & r_alpha).alias("keep"),
+    ).orderBy("doc_id")
+
+
+GOPHER_RULES_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(ws, x -> CAST(len(x) AS BIGINT))),
+                 (a, b) -> a + b) AS DOUBLE) / len(ws), 6) AS mean_word_len,
+         round(CAST(list_max(list_transform(list_distinct(ws),
+                 w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+               / len(ws), 6) AS top_token_share,
+         len(list_intersect(list_distinct(ws),
+             ['the','a','an','and','or','of','to','in','is','it']))
+           AS n_stopwords,
+         round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+               AS DOUBLE) / len(ws), 6) AS alpha_frac
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, top_token_share, n_stopwords,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AS rule_word_count,
+       (mean_word_len >= {GOPHER_MIN_MEAN_WLEN}
+        AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN}) AS rule_mean_word_len,
+       (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS rule_stopwords,
+       (top_token_share <= {GOPHER_MAX_TOP_SHARE}) AS rule_repetition,
+       (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS rule_alpha,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_MEAN_WLEN}
+        AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN}
+        AND n_stopwords >= {GOPHER_MIN_STOPWORDS}
+        AND top_token_share <= {GOPHER_MAX_TOP_SHARE}
+        AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS keep
+FROM m
+ORDER BY doc_id
+"""

@@ -1696,3 +1696,10 @@ register(
     curation.ccnet_perplexity_buckets,
     curation.CCNET_PPL_SQL,
 )
+
+# Gopher rule-based quality pre-filter (per-rule flags + keep conjunction).
+register(
+    "gopher_quality_rules",
+    text.gopher_quality_rules,
+    text.GOPHER_RULES_SQL,
+)

@@ -196,3 +196,13 @@ def test_ccnet_buckets_have_no_hot_group_window(spark, sf_dir):
     assert not bad, (
         f"window spec(s) not doc_id-partitioned: {bad}\n{plan[:2000]}"
     )
+
+
+def test_gopher_rules_plan_is_narrow(spark, sf_dir):
+    """gopher_quality_rules computes every rule with array expressions over
+    one row — the executed plan must contain no hash exchange and no
+    window: the only exchange allowed is the declared ORDER BY's range
+    partitioning."""
+    plan = _plan(spark, sf_dir, "gopher_quality_rules")
+    assert _count(plan, r"Exchange hashpartitioning") == 0, plan[:2000]
+    assert _count(plan, r"\bWindow \[") == 0, plan[:2000]
