@@ -1054,3 +1054,126 @@ SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
 FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
 ORDER BY c.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification (exact, oracle-checked ML inference)
+# ---------------------------------------------------------------------------
+
+def centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every embedding by its nearest per-label centroid — the
+    prototype (Rocchio / nearest-class-mean) classifier, the simplest
+    model-based labeler a curation pipeline runs over embeddings, and the
+    building block of the fastText-style quality classifiers used for
+    corpus filtering. Reports the true label, predicted label, the
+    (rounded) squared distance to the winning centroid, and a correctness
+    flag.
+
+    Cross-engine exactness: float sums are order-dependent, so centroids
+    are accumulated in DECIMAL — each component is widened to double,
+    rounded to 6 decimals (the established cross-engine-safe rounding),
+    and cast to DECIMAL(18,6); the per-(label, dim) SUM is then exact and
+    order-free on both engines, and the mean is one double division
+    rounded to 6. Distances fold component-wise over the index-ordered
+    zip (the strict-left-fold dot-product discipline above), rounded to 6
+    before the argmin; ties break toward the smaller label.
+
+    Scale: the centroid build is one (label, dim) partial-aggregated
+    exchange — map-side combine collapses every partition to
+    |labels|·dims rows, so the shuffle carries model-sized state, not
+    corpus. The |labels| centroid arrays broadcast; scoring is a narrow
+    fanout-|labels| map plus a per-vector argmin partial agg. No window,
+    no cartesian product beyond the broadcast-bounded centroid set.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v6 = F.transform(
+        _as_double("embedding"), lambda x: F.round(x, 6)
+    )
+    base = emb.select("vec_id", "label", v6.alias("v")).persist()
+
+    comp = base.select(
+        "label",
+        F.posexplode("v").alias("dim", "val"),
+    )
+    cent = (
+        comp.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cval")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+        .withColumnRenamed("label", "clabel")
+    )
+    sqd = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    best = (
+        base.crossJoin(broadcast(cent))
+        .select("vec_id", "label", sqd.alias("d"), "clabel")
+        .groupBy("vec_id", "label")
+        .agg(F.min(F.struct("d", "clabel")).alias("best"))
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        F.col("best.clabel").alias("pred_label"),
+        F.col("best.d").alias("sq_dist"),
+        (F.col("label") == F.col("best.clabel")).alias("correct"),
+    ).orderBy("vec_id")
+
+
+CENTROID_CLASSIFY_SQL = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT label,
+         unnest(v) AS val,
+         generate_subscripts(v, 1) AS dim
+  FROM v
+),
+cent AS (
+  SELECT label AS clabel, dim,
+         round(CAST(sum(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS cval
+  FROM comp GROUP BY label, dim
+),
+carr AS (
+  SELECT clabel, list(cval ORDER BY dim) AS cv FROM cent GROUP BY clabel
+),
+scored AS (
+  SELECT v.vec_id, v.label, c.clabel,
+         round(list_reduce(list_prepend(0.0, list_transform(
+                 list_zip(v.v, c.cv)::STRUCT(a DOUBLE, b DOUBLE)[],
+                 pr -> (pr.a - pr.b) * (pr.a - pr.b))),
+               (acc, x) -> acc + x), 6) AS d
+  FROM v CROSS JOIN carr c
+),
+ranked AS (
+  SELECT vec_id, label, clabel, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+  FROM scored
+)
+SELECT vec_id, label, clabel AS pred_label, d AS sq_dist,
+       (label = clabel) AS correct
+FROM ranked WHERE rn = 1
+ORDER BY vec_id
+"""

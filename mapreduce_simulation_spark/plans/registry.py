@@ -1703,3 +1703,10 @@ register(
     text.gopher_quality_rules,
     text.GOPHER_RULES_SQL,
 )
+
+# Nearest-centroid (Rocchio) classification over the embeddings table.
+register(
+    "centroid_classify",
+    similarity.centroid_classify,
+    similarity.CENTROID_CLASSIFY_SQL,
+)

@@ -206,3 +206,16 @@ def test_gopher_rules_plan_is_narrow(spark, sf_dir):
     plan = _plan(spark, sf_dir, "gopher_quality_rules")
     assert _count(plan, r"Exchange hashpartitioning") == 0, plan[:2000]
     assert _count(plan, r"\bWindow \[") == 0, plan[:2000]
+
+
+def test_centroid_classify_broadcasts_model(spark, sf_dir):
+    """centroid_classify's scoring stage must broadcast the |labels|
+    centroid arrays — the corpus never shuffles for scoring; the only hash
+    exchanges are the (label, dim) centroid agg and the per-vector argmin
+    partial agg."""
+    plan = _plan(spark, sf_dir, "centroid_classify")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan[:2000]
+    )
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert _count(plan, r"Exchange hashpartitioning") <= 3, plan[:2000]
