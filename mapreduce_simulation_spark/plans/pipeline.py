@@ -155,3 +155,91 @@ SELECT source, count(*) AS n_docs,
 FROM survivors
 GROUP BY source ORDER BY source
 """
+
+
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 curation recipe as ONE plan: Gopher rule filter →
+    per-language perplexity banding (drop the tail tercile) → exact dedup
+    (keep-first per content fingerprint) → per-source survivor statistics.
+    Sibling of training_data_pipeline (the score-based v1 recipe); v2 is
+    the rule-based + LM-banded pipeline modern pretraining corpora
+    actually use (Gopher rules, CCNet buckets, then dedup).
+
+    Each stage is the standalone oracle-verified operator
+    (text.gopher_quality_rules, curation.ccnet_perplexity_buckets); the
+    pipeline joins their doc_id verdicts back to the corpus so the heavy
+    stages run once and Catalyst prunes columns end-to-end. Filter-first
+    ordering again: the fingerprint dedup window runs on rule+band
+    SURVIVORS only.
+
+    Scale: the verdict joins key on doc_id (8-byte keys); the dedup window
+    partitions by the 63-bit content fingerprint — per-group state is the
+    duplicate-set size, never corpus-wide. Survivor aggregation is a
+    |sources|-cardinality partial agg.
+    """
+    from ..operators.curation import ccnet_perplexity_buckets
+    from ..operators.text import gopher_quality_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        gopher_quality_rules(spark, sf_dir)
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    c = (
+        ccnet_perplexity_buckets(spark, sf_dir)
+        .where(F.col("ppl_bucket") != "tail")
+        .select("doc_id")
+    )
+    kept = docs.join(g, "doc_id").join(c, "doc_id")
+    w = Window.partitionBy(H.char_hash(F.col("text"))).orderBy("doc_id")
+    surv = (
+        kept.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        surv.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(T.tokens(F.col("text"))).cast("long")).alias(
+                "total_tokens"
+            ),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _curation_v2_sql() -> str:
+    from ..operators.curation import CCNET_PPL_SQL
+    from ..operators.text import GOPHER_RULES_SQL
+
+    return rf"""
+WITH g AS ({GOPHER_RULES_SQL}),
+c AS ({CCNET_PPL_SQL}),
+kept AS (
+  SELECT d.doc_id, d.source, d.text, d.n_chars
+  FROM documents d
+  JOIN g ON g.doc_id = d.doc_id AND g.keep
+  JOIN c ON c.doc_id = d.doc_id AND c.ppl_bucket <> 'tail'
+),
+fp AS (
+  SELECT doc_id, source, text, n_chars,
+         row_number() OVER (PARTITION BY {H.char_hash_sql('text')}
+                            ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(len(list_filter(str_split_regex(lower(text), '\s+'),
+                                     x -> x <> '')) AS BIGINT))
+            AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM fp WHERE rn = 1
+GROUP BY source
+ORDER BY source
+"""
+
+
+CURATION_V2_SQL = _curation_v2_sql()

@@ -1710,3 +1710,11 @@ register(
     similarity.centroid_classify,
     similarity.CENTROID_CLASSIFY_SQL,
 )
+
+# Round-5 composite: Gopher rules → CCNet banding → exact dedup → stats.
+from .pipeline import (  # noqa: E402
+    CURATION_V2_SQL as _curation_v2_sql,
+    curation_pipeline_v2 as _curation_v2,
+)
+
+register("curation_pipeline_v2", _curation_v2, _curation_v2_sql)
