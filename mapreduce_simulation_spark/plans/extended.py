@@ -2694,3 +2694,71 @@ FROM counts CROSS JOIN totals
 ORDER BY cnt DESC, l_suppkey ASC
 LIMIT {SKEW_TOP_KEYS}
 """
+
+
+# ---------------------------------------------------------------------------
+# Observed data-quality gate (DataFrame.observe / CollectMetrics)
+# ---------------------------------------------------------------------------
+
+def observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality metrics collected WITH ``DataFrame.observe`` — the
+    production pattern for pipeline gates: metrics ride along the normal
+    job as a CollectMetrics node (one pass, no second scan), and the
+    pipeline aborts/alerts on the observed values before publishing. Here
+    the observed job is a representative downstream consumption of the
+    orders scan; the returned row is the gate's metric record.
+
+    Metrics: row count, decimal-exact revenue total, null-key count, and
+    the out-of-domain status count (rows whose o_orderstatus is not a
+    known code) — the classic completeness/validity checks.
+
+    Scale: observe() adds zero extra scans — the metrics are partial
+    aggregates merged on the driver, cost O(P) rows. The returned
+    DataFrame is the one metric row.
+    """
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue_total"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).alias("null_custkey"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(
+                0
+            )
+        ).alias("bad_status"),
+    )
+    # The gated job: any action over the observed frame fills the metrics.
+    observed.groupBy("o_orderstatus").count().collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["revenue_total"]),
+                int(m["null_custkey"]),
+                int(m["bad_status"]),
+            )
+        ],
+        "n_rows long, revenue_total double, null_custkey long, "
+        "bad_status long",
+    )
+
+
+OBSERVED_GATE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue_total,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_custkey,
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0
+                END) AS BIGINT) AS bad_status
+FROM orders
+"""

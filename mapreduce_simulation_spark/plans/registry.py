@@ -1718,3 +1718,10 @@ from .pipeline import (  # noqa: E402
 )
 
 register("curation_pipeline_v2", _curation_v2, _curation_v2_sql)
+
+# DataFrame.observe data-quality gate (CollectMetrics, one-pass metrics).
+register(
+    "observed_quality_gate",
+    _ext.observed_quality_gate,
+    _ext.OBSERVED_GATE_SQL,
+)
