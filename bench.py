@@ -64,6 +64,10 @@ EXTENDED = [
     "training_shuffle",
     "dsir_importance",
     "substring_dedup_spans",
+    "ccnet_perplexity_buckets",
+    "gopher_quality_rules",
+    "centroid_classify",
+    "curation_pipeline_v2",
 ]
 
 

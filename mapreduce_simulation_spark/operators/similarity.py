@@ -1177,3 +1177,167 @@ SELECT vec_id, label, clabel AS pred_label, d AS sq_dist,
 FROM ranked WHERE rn = 1
 ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (Carbonell & Goldstein 1998)
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def _unit(col: Column) -> Column:
+    nrm = _norm(col)
+    return F.transform(col, lambda x: x / nrm)
+
+
+def _round_away(x: float, decimals: int) -> float:
+    """Round-half-away-from-zero on the exact binary value (Python's
+    built-in round is banker's and would diverge on exact ties)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(x).quantize(
+            Decimal(1).scaleb(-decimals), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: retrieve a relevance pool
+    for one query (vec_id 0), then greedily select MMR_K results trading
+    relevance against redundancy — mmr(c) = λ·rel(c) − (1−λ)·max sim(c,
+    selected). The standard diversification pass a retrieval pipeline
+    runs AFTER ANN: the expensive stage (pool retrieval) is the
+    broadcast-scan top-k this package already has; MMR itself always runs
+    on the bounded pool (top-20 here, top-100s in production), so the
+    greedy loop is driver-side over a broadcast-bounded set — the same
+    bounded-collect class as a dimension broadcast, never corpus-wide.
+
+    Cross-engine exactness: every similarity is a strict left fold over
+    component-wise normalized vectors (normalize first, THEN fold — fold
+    order and the division order both pinned), rounded half-away-from-zero
+    to 6 decimals before any comparison; ties break toward the smaller
+    vec_id. The driver-side loop mirrors the oracle's unrolled greedy
+    CTEs step for step (the BPE-stage-unrolling precedent).
+    """
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    unit = corpus.select("vec_id", _unit(F.col("v")).alias("u"))
+    q = unit.where(F.col("vec_id") == 0).select(F.col("u").alias("qu"))
+    rel = (
+        unit.where(F.col("vec_id") != 0)
+        .crossJoin(broadcast(q))
+        .select(
+            "vec_id",
+            "u",
+            F.round(_dot(F.col("qu"), F.col("u")), 6).alias("rel"),
+        )
+    )
+    pool = rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(MMR_POOL)
+    rows = pool.collect()  # bounded: MMR_POOL rows
+
+    def dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cands = [(r["vec_id"], list(r["u"]), float(r["rel"])) for r in rows]
+    selected: list[tuple[int, float, float]] = []  # (vec_id, rel, mmr)
+    sel_vecs: list[list[float]] = []
+    while len(selected) < MMR_K and len(selected) < len(cands):
+        best = None
+        for vid, u, rl in cands:
+            if any(vid == s[0] for s in selected):
+                continue
+            # MMR scores round at SEVEN decimals: λ·(round-6 value) lies
+            # exactly ON the 1e-7 grid in true arithmetic, so a 7-decimal
+            # round never sits near a tie — whereas rounding at 6 would
+            # put ~every score exactly on a .5 boundary (λ=0.7 maps the
+            # 1e-6 grid onto {0,5} seventh digits) and expose the two
+            # engines' differing tie semantics. Similarities stay at the
+            # established 6 (cosines are generic, never near ties).
+            if sel_vecs:
+                maxsim = max(_round_away(dot(u, su), 6) for su in sel_vecs)
+                score = _round_away(
+                    MMR_LAMBDA * rl - (1 - MMR_LAMBDA) * maxsim, 7
+                )
+            else:
+                score = _round_away(MMR_LAMBDA * rl, 7)
+            # argmax with ties toward the smaller vec_id
+            if best is None or score > best[3] or (
+                score == best[3] and vid < best[0]
+            ):
+                best = (vid, u, rl, score)
+        selected.append((best[0], best[2], best[3]))
+        sel_vecs.append(best[1])
+    return spark.createDataFrame(
+        [
+            (i + 1, vid, rl, mmr)
+            for i, (vid, rl, mmr) in enumerate(selected)
+        ],
+        "rank int, vec_id long, rel double, mmr double",
+    )
+
+
+def _mmr_sql() -> str:
+    dot = _DOT_SQL_TMPL
+    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
+    steps = []
+    prev_sel = []
+    for i in range(1, MMR_K + 1):
+        if i == 1:
+            steps.append(
+                f"s1 AS (SELECT vec_id, u, rel, round({lam} * rel, 7) AS mmr"
+                f" FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1)"
+            )
+        else:
+            sims = ", ".join(
+                "round("
+                + dot.format(a="p.u", b=f"s{j}.u")
+                + ", 6)"
+                for j in range(1, i)
+            )
+            froms = ", ".join(f"s{j}" for j in range(1, i))
+            notin = ", ".join(f"(SELECT vec_id FROM s{j})" for j in range(1, i))
+            steps.append(
+                f"s{i} AS (SELECT p.vec_id, p.u, p.rel, "
+                f"round({lam} * p.rel - {mu} * greatest({sims}), 7) AS mmr "
+                f"FROM pool p, {froms} "
+                f"WHERE p.vec_id NOT IN ({notin}) "
+                f"ORDER BY mmr DESC, p.vec_id ASC LIMIT 1)"
+            )
+        prev_sel.append(i)
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, vec_id, rel, mmr FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    qdot = dot.format(a="q.u", b="c.u")
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(embedding::DOUBLE[], x -> x * x)),
+           (a, b) -> a + b)) AS nrm
+  FROM embeddings
+),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+q AS (SELECT u FROM u WHERE vec_id = 0),
+pool AS (
+  SELECT c.vec_id, c.u, round({qdot}, 6) AS rel
+  FROM u c, q
+  WHERE c.vec_id <> 0
+  ORDER BY rel DESC, c.vec_id ASC
+  LIMIT {MMR_POOL}
+),
+{", ".join(steps)}
+SELECT rank, vec_id, rel, mmr FROM ({union})
+ORDER BY rank
+"""
+
+
+MMR_RERANK_SQL = _mmr_sql()

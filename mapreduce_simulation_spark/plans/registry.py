@@ -1725,3 +1725,8 @@ register(
     _ext.observed_quality_gate,
     _ext.OBSERVED_GATE_SQL,
 )
+
+# MMR diversified re-ranking over the bounded retrieval pool.
+register(
+    "mmr_rerank", similarity.mmr_rerank, similarity.MMR_RERANK_SQL
+)
