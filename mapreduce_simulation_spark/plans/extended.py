@@ -2762,3 +2762,99 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 END) AS BIGINT) AS bad_status
 FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning (InjectRuntimeFilter)
+# ---------------------------------------------------------------------------
+
+def _runtime_filtered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy join+agg plan runtime_filtered_join executes under its
+    conf guard (split out so tests can assert the executed plan)."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(
+        orders.hint("merge"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_RTF_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # production gate is 10 GB of application-side scan — correct at
+    # scale, unreachable at test SF, so the demo lowers it
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    # the filtered dim fits under the broadcast threshold locally, and a
+    # size-broadcastable creation side vetoes injection (Spark would
+    # rather broadcast the join) — disable auto-broadcast to reproduce
+    # the 100 TB shape where the dim outgrows the threshold
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def runtime_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag for lineitems of URGENT orders, executed as
+    a SHUFFLE join so Spark's runtime bloom-filter injection is the star:
+    the selective orders side builds a bloom filter at runtime and Spark
+    pushes a ``might_contain`` probe onto the lineitem side BEFORE its
+    shuffle — at 100 TB this is the mechanism that keeps a fact-table
+    shuffle proportional to the matching rows, not the table, once the
+    filtered dim outgrows the broadcast threshold.
+
+    Injection is vetoed whenever the creation side could instead be
+    broadcast (and gated on a 10 GB application-side scan) — both
+    correct at scale and both unreachable at test SF — so the query runs
+    its action under a conf guard that disables auto-broadcast and lowers
+    the scan gate, then RESTORES the session confs (other queries' plans
+    must keep their broadcasts). The guarded action materializes the
+    |return-flags|-row aggregate — the same bounded-collect class as
+    observed_quality_gate — and the bloom filter is semantically a no-op
+    (conservative pruning), so results are unchanged: the oracle proves
+    it. Plan contract (executed plan contains a might_contain probe)
+    asserted in tests/test_plan_shapes.py.
+    """
+    saved = {k: spark.conf.get(k, None) for k in _RTF_CONFS}
+    try:
+        for k, v in _RTF_CONFS.items():
+            spark.conf.set(k, v)
+        rows = _runtime_filtered_frame(spark, sf_dir).collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(r["l_returnflag"], int(r["n_items"]), float(r["revenue"]))
+         for r in rows],
+        "l_returnflag string, n_items long, revenue double",
+    )
+
+
+RUNTIME_FILTERED_JOIN_SQL = """
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""

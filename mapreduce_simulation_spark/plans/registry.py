@@ -1730,3 +1730,10 @@ register(
 register(
     "mmr_rerank", similarity.mmr_rerank, similarity.MMR_RERANK_SQL
 )
+
+# Runtime bloom-filter join pruning (shuffle-join fact-side prefilter).
+register(
+    "runtime_filtered_join",
+    _ext.runtime_filtered_join,
+    _ext.RUNTIME_FILTERED_JOIN_SQL,
+)

@@ -219,3 +219,34 @@ def test_centroid_classify_broadcasts_model(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan[:2000]
     assert _count(plan, r"Exchange hashpartitioning") <= 3, plan[:2000]
+
+
+def test_runtime_bloom_filter_injects_and_confs_restore(spark, sf_dir):
+    """runtime_filtered_join's guarded action must execute with a runtime
+    bloom filter (bloom_filter_agg build + might_contain probe on the
+    fact side), and the session confs must be restored afterwards so
+    every other query keeps its broadcasts."""
+    from mapreduce_simulation_spark.plans.extended import (
+        _RTF_CONFS,
+        _runtime_filtered_frame,
+    )
+
+    before = {k: spark.conf.get(k, None) for k in _RTF_CONFS}
+    registry.queries()["runtime_filtered_join"](spark, sf_dir).collect()
+    after = {k: spark.conf.get(k, None) for k in _RTF_CONFS}
+    assert before == after, f"session confs not restored: {before} -> {after}"
+
+    for k, v in _RTF_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _runtime_filtered_frame(spark, sf_dir)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan or "BloomFilter" in plan, plan[:2000]
