@@ -2858,3 +2858,93 @@ WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY l.l_returnflag
 ORDER BY l.l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (recursive time-series state as an order-pinned fold)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.25  # exactly representable in binary: the fold is ulp-exact
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue per nation —
+    the recursive smoother (sₜ = α·xₜ + (1−α)·sₜ₋₁, s₁ = x₁) no window
+    function expresses, computed as a strict left fold over the
+    date-ordered daily series. α = 0.25 so α and 1−α are exact binary
+    fractions: every fold step is a pair of exact-input IEEE operations,
+    identical on both engines, and only the FINAL smoothed value is
+    rounded. Daily revenue itself is decimal-accumulated then rounded
+    (the engine's float-sum policy).
+
+    Scale: the (nation, day) pre-aggregation is a small-key partial-agg
+    exchange; the per-nation series collect is bounded by the calendar
+    (|days|), not the corpus — the same bounded-state class as a
+    per-document token list. No window nodes."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    from pyspark.sql.functions import broadcast as _bc
+
+    day = F.expr("unix_date(CAST(o_orderdate AS DATE))").cast("long")
+    daily = (
+        orders.join(_bc(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bc(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", day.alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("rev")
+        )
+    )
+    series = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("day").alias("last_day"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "rev"))),
+            lambda s: s["rev"],
+        ).alias("revs"),
+    )
+    a, b = EWMA_ALPHA, 1 - EWMA_ALPHA
+    ewma = F.aggregate(
+        F.slice(F.col("revs"), 2, F.greatest(F.size("revs") - 1, F.lit(0))),
+        F.element_at("revs", 1),
+        lambda acc, x: F.lit(b) * acc + F.lit(a) * x,
+    )
+    return series.select(
+        "n_name",
+        "n_days",
+        "last_day",
+        F.round(ewma, 6).alias("ewma_revenue"),
+    ).orderBy("n_name")
+
+
+EWMA_DAILY_REVENUE_SQL = f"""
+WITH daily AS (
+  SELECT n.n_name,
+         datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+           AS day,
+         round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+           AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, day
+),
+series AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(max(day) AS BIGINT) AS last_day,
+         list(rev ORDER BY day) AS revs
+  FROM daily GROUP BY n_name
+)
+SELECT n_name, n_days, last_day,
+       round(list_reduce(revs,
+             (acc, x) -> {1 - EWMA_ALPHA} * acc + {EWMA_ALPHA} * x), 6)
+         AS ewma_revenue
+FROM series
+ORDER BY n_name
+"""

@@ -1737,3 +1737,10 @@ register(
     _ext.runtime_filtered_join,
     _ext.RUNTIME_FILTERED_JOIN_SQL,
 )
+
+# EWMA smoothing: the recursive state no window expresses, as a fold.
+register(
+    "ewma_daily_revenue",
+    _ext.ewma_daily_revenue,
+    _ext.EWMA_DAILY_REVENUE_SQL,
+)
