@@ -59,10 +59,14 @@ _PROMOTE = (
 # promote one representative per family that gained operators this round —
 # streaming_upsert_profiles (foreachBatch sink), substring_dedup_spans
 # (stride-1 substring dedup), semantic_dedup (embedding-cell dedup),
-# dsir_importance (data selection), incremental_dedup (batch-vs-corpus) —
+# curation_pipeline_v2 (the round-5 composite: Gopher rules + CCNet
+# banding + dedup), ccnet_perplexity_buckets (grouped distributed ntile),
+# mmr_rerank (diversified rerank), runtime_filtered_join (bloom-pruned
+# shuffle join), centroid_classify (oracle-exact ML inference) —
 # demoting in exchange: identity_projection, left_outer_order_counts,
-# set_ops_segments, monthly_revenue, broadcast_dim_join (all
-# single-mechanism rows whose families already have driver-green twins).
+# set_ops_segments, monthly_revenue, broadcast_dim_join, top_orders,
+# running_order_totals, rollup_revenue (all single-mechanism rows whose
+# families already have driver-green twins).
 _DEMOTE = (
     "constant_key_collapse",         # scalar-fn row covered by monthly_revenue
     "union_sources",                 # covered by set_ops/schema_evolution_union

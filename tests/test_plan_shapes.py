@@ -250,3 +250,12 @@ def test_runtime_bloom_filter_injects_and_confs_restore(spark, sf_dir):
                 spark.conf.set(k, v)
     assert "might_contain" in plan, plan[:2000]
     assert "bloom_filter_agg" in plan or "BloomFilter" in plan, plan[:2000]
+
+
+def test_ewma_has_no_window(spark, sf_dir):
+    """ewma_daily_revenue's recursive state is a fold over a
+    calendar-bounded series — the executed plan must contain no window
+    node and must broadcast both dimension joins."""
+    plan = _plan(spark, sf_dir, "ewma_daily_revenue")
+    assert _count(plan, r"\bWindow \[") == 0, plan[:2000]
+    assert _count(plan, r"BroadcastHashJoin") >= 2, plan[:2000]
