@@ -2948,3 +2948,121 @@ SELECT n_name, n_days, last_day,
 FROM series
 ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (multi-dimensional clustering for scan pruning)
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16     # per-dimension quantization
+ZORDER_BUCKETS = 8   # top bits kept → 2^8 layout buckets
+
+
+def _interleave_expr(x: str, y: str, bits: int) -> str:
+    """Bit-interleave SQL expression (x even bits, y odd) — same integer
+    arithmetic on both engines."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of orders on (customer, order day) —
+    the data-layout technique behind multi-dimensional file pruning in
+    lakehouse tables: rows near each other on the Z-curve are near in
+    EVERY interleaved dimension, so min/max file statistics prune scans
+    filtered on either column. The query quantizes both dimensions to
+    ZORDER_BITS against their observed ranges (broadcast 1-row bounds),
+    interleaves the bits, and reports per-bucket statistics — each
+    bucket's per-dimension spread is ~1/2^(buckets/2) of the domain,
+    which IS the pruning guarantee (asserted quantitatively in
+    tests/test_scale_techniques.py).
+
+    All arithmetic is integer (quantize = exact integer scaling; Morton
+    code = shifts/masks), so the oracle matches bit for bit.
+
+    Scale: one pass to compute bounds (broadcast), one narrow map for
+    z-values, one |buckets|-cardinality partial agg. In production the
+    z-value feeds repartitionByRange + sortWithinPartitions as the write
+    layout; the bucket stats here are the evidence the layout yields
+    prunable files."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.functions import broadcast as _bc
+
+    day = F.expr("unix_date(CAST(o_orderdate AS DATE))").cast("long")
+    base = orders.select(
+        F.col("o_custkey").alias("ck"), day.alias("dy")
+    )
+    bounds = base.agg(
+        F.min("ck").alias("ck_min"),
+        F.max("ck").alias("ck_max"),
+        F.min("dy").alias("dy_min"),
+        F.max("dy").alias("dy_max"),
+    )
+    scale = (1 << ZORDER_BITS) - 1
+    q = base.crossJoin(_bc(bounds)).select(
+        "ck",
+        "dy",
+        F.expr(
+            f"CAST((ck - ck_min) * {scale} DIV "
+            f"greatest(ck_max - ck_min, 1) AS BIGINT)"
+        ).alias("qx"),
+        F.expr(
+            f"CAST((dy - dy_min) * {scale} DIV "
+            f"greatest(dy_max - dy_min, 1) AS BIGINT)"
+        ).alias("qy"),
+    )
+    z = q.withColumn(
+        "zval", F.expr(_interleave_expr("qx", "qy", ZORDER_BITS))
+    ).withColumn(
+        "bucket",
+        F.expr(f"zval >> {2 * ZORDER_BITS - ZORDER_BUCKETS}").cast("long"),
+    )
+    return (
+        z.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ck").alias("ck_lo"),
+            F.max("ck").alias("ck_hi"),
+            F.min("dy").alias("dy_lo"),
+            F.max("dy").alias("dy_hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ZORDER_LAYOUT_SQL = f"""
+WITH base AS (
+  SELECT o_custkey AS ck,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dy
+  FROM orders
+),
+bounds AS (
+  SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+         min(dy) AS dy_min, max(dy) AS dy_max
+  FROM base
+),
+q AS (
+  SELECT ck, dy,
+         CAST((ck - ck_min) * {(1 << ZORDER_BITS) - 1}
+              // greatest(ck_max - ck_min, 1) AS BIGINT) AS qx,
+         CAST((dy - dy_min) * {(1 << ZORDER_BITS) - 1}
+              // greatest(dy_max - dy_min, 1) AS BIGINT) AS qy
+  FROM base CROSS JOIN bounds
+),
+z AS (
+  SELECT ck, dy,
+         ({_interleave_expr("qx", "qy", ZORDER_BITS)})
+           >> {2 * ZORDER_BITS - ZORDER_BUCKETS} AS bucket
+  FROM q
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(ck) AS BIGINT) AS ck_lo, CAST(max(ck) AS BIGINT) AS ck_hi,
+       CAST(min(dy) AS BIGINT) AS dy_lo, CAST(max(dy) AS BIGINT) AS dy_hi
+FROM z
+GROUP BY bucket
+ORDER BY bucket
+"""

@@ -1748,3 +1748,8 @@ register(
     _ext.ewma_daily_revenue,
     _ext.EWMA_DAILY_REVENUE_SQL,
 )
+
+# Z-order layout: multi-dimensional clustering evidence for scan pruning.
+register(
+    "zorder_layout", _ext.zorder_layout, _ext.ZORDER_LAYOUT_SQL
+)

@@ -231,3 +231,21 @@ def test_small_files_write_control_and_compaction(spark, sf_dir, tmp_path):
         F.count(F.lit(1)), F.sum("o_orderkey")
     ).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_zorder_buckets_are_tight_in_both_dimensions(spark, sf_dir):
+    """The pruning guarantee zorder_layout claims: each Z-bucket's spread
+    in EACH dimension is a small fraction of the global range (top 8 z
+    bits = 4 bits per dimension → ~1/16 of the domain each, plus
+    quantization slack). A naive single-column sort would leave the
+    OTHER dimension spanning the whole range — that's the difference
+    min/max file stats can prune on."""
+    from mapreduce_simulation_spark.plans import registry
+
+    rows = registry.queries()["zorder_layout"](spark, sf_dir).collect()
+    assert len(rows) > 1
+    ck_range = max(r["ck_hi"] for r in rows) - min(r["ck_lo"] for r in rows)
+    dy_range = max(r["dy_hi"] for r in rows) - min(r["dy_lo"] for r in rows)
+    for r in rows:
+        assert (r["ck_hi"] - r["ck_lo"]) <= ck_range / 8 + 2, r
+        assert (r["dy_hi"] - r["dy_lo"]) <= dy_range / 8 + 2, r
