@@ -3066,3 +3066,54 @@ FROM z
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Lateral correlated subquery (SQL surface: LATERAL join)
+# ---------------------------------------------------------------------------
+
+def lateral_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers by balance per nation, written as a LATERAL
+    correlated subquery — the SQL-surface twin of the window top-k
+    (window_top_customers): a per-row subquery ordered+limited against
+    the outer row. Catalyst DECORRELATES it (DecorrelateInnerQuery +
+    RewriteLateralSubquery) into the same shuffle shapes a window plan
+    gets — the point of declaring laterally: you write per-row logic, the
+    optimizer keeps it set-based, no per-row execution at any scale.
+
+    Ties: (s_acctbal DESC, s_name) is total, so LIMIT 3 is deterministic
+    and both engines pick identical rows."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "lat_nation_v"
+    )
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "lat_supplier_v"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.s_name, t.s_acctbal
+        FROM lat_nation_v n
+        JOIN LATERAL (
+          SELECT s_name, s_acctbal
+          FROM lat_supplier_v s
+          WHERE s.s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_name
+          LIMIT 3
+        ) t
+        ORDER BY n.n_name, t.s_acctbal DESC, t.s_name
+        """
+    )
+
+
+LATERAL_TOP_SUPPLIERS_SQL = """
+SELECT n.n_name, t.s_name, t.s_acctbal
+FROM nation n
+JOIN LATERAL (
+  SELECT s_name, s_acctbal
+  FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s_acctbal DESC, s_name
+  LIMIT 3
+) t ON TRUE
+ORDER BY n.n_name, t.s_acctbal DESC, t.s_name
+"""

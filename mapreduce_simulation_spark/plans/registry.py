@@ -1753,3 +1753,10 @@ register(
 register(
     "zorder_layout", _ext.zorder_layout, _ext.ZORDER_LAYOUT_SQL
 )
+
+# LATERAL correlated subquery (decorrelated to set-based top-k).
+register(
+    "lateral_top_suppliers",
+    _ext.lateral_top_suppliers,
+    _ext.LATERAL_TOP_SUPPLIERS_SQL,
+)
