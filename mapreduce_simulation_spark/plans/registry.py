@@ -1760,3 +1760,23 @@ register(
     _ext.lateral_top_suppliers,
     _ext.LATERAL_TOP_SUPPLIERS_SQL,
 )
+
+# Stream-stream LEFT OUTER attribution join (null flush via watermark).
+from ..streaming.events import (  # noqa: E402
+    streaming_attribution_outer as _stream_attr_outer,
+)
+
+register(
+    "streaming_attribution_outer",
+    _stream_attr_outer,
+    """
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    """,
+)

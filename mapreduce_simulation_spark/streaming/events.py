@@ -465,3 +465,86 @@ def streaming_upsert_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("last.ts")).alias("last_ts_us"),
         F.col("last.event_type").alias("last_event_type"),
     ).orderBy("user_id")
+
+
+def streaming_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, attributed to the
+    same user's clicks in the preceding 30 minutes, emitted WITH NULLS
+    when no click matched — the mechanism the inner variant
+    (streaming_click_attribution) cannot show: unmatched left-side state
+    is held until the watermark proves no future match can arrive, then
+    flushed as a null row by a no-data micro-batch.
+
+    Determinism: the staged batch appends two SENTINEL events (user_id
+    -1) 10 days past the real maximum, so the post-batch watermark passes
+    every real purchase and the no-data batch flushes ALL unmatched
+    state before AvailableNow terminates — without the sentinel, the
+    last watermark horizon of purchases would stay open and the emitted
+    set would depend on engine-internal eviction timing. Sentinel rows
+    are filtered from the result (their only job is advancing the
+    watermark), so the oracle is the plain batch LEFT JOIN.
+
+    Scale: same bounded state as the inner join (watermark minus range
+    evicts both sides); the outer flush adds no state, only emission."""
+    from ..staging import staging_dir
+    from ..tables import load_table
+
+    base = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    sent_ts = F.col("m") + F.expr("INTERVAL 10 DAYS")
+    sentinels = (
+        base.agg(F.max("ts").alias("m"))
+        .select(
+            F.explode(F.array(F.lit("click"), F.lit("purchase"))).alias(
+                "event_type"
+            ),
+            sent_ts.alias("ts"),
+        )
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            "ts",
+            F.lit(-1).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    stage = staging_dir("events_ss_outer_")
+    base.select(*cols).unionByName(sentinels.select(*cols)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(stage)
+
+    ev = read_event_stream(spark, stage, max_files_per_trigger=None)
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    c = clicks.withWatermark("ts", WATERMARK).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", WATERMARK).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = p.join(
+        c,
+        [
+            p["user_id"] == c["c_user_id"],
+            c["click_ts"] <= p["purchase_ts"],
+            c["click_ts"]
+            >= p["purchase_ts"] - F.expr("INTERVAL 30 MINUTES"),
+        ],
+        "left_outer",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attribution_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("attribution_outer").where(F.col("user_id") != -1)
