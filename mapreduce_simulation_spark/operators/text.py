@@ -440,9 +440,13 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     never corpus-wide.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # tok feeds three branches (bigrams, c1, V) and the bigram frame two
+    # more — persist the exploded tokens once so the explode runs once
+    # (the dsir_importance precedent; corpus-sized cache ⇒ DISK_ONLY or
+    # one recompute at 100 TB).
     tok = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w1")
-    )
+    ).persist()
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
