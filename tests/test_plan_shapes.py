@@ -259,3 +259,15 @@ def test_ewma_has_no_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ewma_daily_revenue")
     assert _count(plan, r"\bWindow \[") == 0, plan[:2000]
     assert _count(plan, r"BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_lateral_decorrelates_to_set_based(spark, sf_dir):
+    """lateral_top_suppliers is written as a per-row LATERAL subquery;
+    Catalyst must decorrelate it — the executed plan is a
+    s_nationkey-partitioned window + broadcast join, with no cartesian
+    product and no per-nation re-execution."""
+    plan = _plan(spark, sf_dir, "lateral_top_suppliers")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all(s.startswith("s_nationkey") for s in specs), specs
+    assert "BroadcastHashJoin" in plan, plan[:2000]
