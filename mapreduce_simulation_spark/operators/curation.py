@@ -954,6 +954,16 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping merge is pure window arithmetic: runs of consecutive
     matches (only possible when lhs == rhs) merge at even offsets, which is
     exactly left-to-right greedy semantics — no sequential UDF needed.
+
+    Caveat for production merge counts: BPE is inherently sequential, so a
+    32k-merge vocabulary means 32k Spark jobs — that shape does not fly.
+    Standard practice (and the intended production form here) is to learn
+    the merges on a sampled word-frequency table small enough to iterate
+    driver-side or single-node, then APPLY the learned merges distributed
+    (token_count_bpe's side of the story); the type-table aggregation
+    above is exactly the sampling/collection step of that pipeline. This
+    registered query demonstrates the learning semantics at a spec-sized
+    BPE_N_MERGES.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = (
