@@ -984,6 +984,16 @@ def _bpe_iterate(spark: SparkSession, words: DataFrame, n_merges: int) -> DataFr
     """The merge-learning loop over a (word, cnt, seq) type table — split out
     so tests can drive it with adversarial vocabularies (repeated-symbol
     runs) against an independent reference implementation."""
+    merges, _words = _bpe_run(spark, words, n_merges)
+    return merges
+
+
+def _bpe_run(
+    spark: SparkSession, words: DataFrame, n_merges: int
+) -> tuple[DataFrame, DataFrame]:
+    """Run the BPE loop; return (merge table, final segmented word table) —
+    the second output is what bpe_apply_merges aggregates into the learned
+    subword vocabulary."""
     wseq = Window.partitionBy("word").orderBy("pos")
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -1042,9 +1052,13 @@ def _bpe_iterate(spark: SparkSession, words: DataFrame, n_merges: int) -> DataFr
             .localCheckpoint()
         )
 
-    return spark.createDataFrame(
-        merges,
-        "merge_rank bigint, lhs string, rhs string, merged string, pair_n bigint",
+    return (
+        spark.createDataFrame(
+            merges,
+            "merge_rank bigint, lhs string, rhs string, merged string, "
+            "pair_n bigint",
+        ),
+        words,
     )
 
 
@@ -1874,3 +1888,72 @@ SELECT doc_id, lang, n_bigrams, avg_nll,
 FROM banded
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge application: the learned subword vocabulary over the corpus
+# ---------------------------------------------------------------------------
+
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the BPE_N_MERGES learned merge rules to the corpus and report
+    the resulting subword vocabulary — token, weighted occurrence count
+    (by word frequency), and the number of distinct words containing it.
+    The complement of bpe_learn_merges that closes the tokenizer loop:
+    learn (sequential, type-table-sized — see the caveat there) → APPLY
+    (embarrassingly parallel: merges broadcast as fixed rules, every word
+    segmented independently).
+
+    The application here reuses the learning loop's window-arithmetic
+    merge step on the word-frequency type table, so the corpus is read
+    once and every stage is |vocab|-sized; at production scale the same
+    fixed-depth merge transform maps over raw text instead.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("seq"),
+        )
+        .localCheckpoint()
+    )
+    _merges, final = _bpe_run(spark, words, BPE_N_MERGES)
+    sub = final.select(
+        "word", "cnt", F.explode(F.split("seq", " ")).alias("token")
+    )
+    return (
+        sub.groupBy("token")
+        .agg(
+            F.sum("cnt").alias("n_occurrences"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy("token")
+    )
+
+
+BPE_APPLY_SQL = (
+    r"""
+WITH words0 AS (
+  SELECT word, count(*) AS cnt,
+         trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq
+  FROM (SELECT unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word
+),"""
+    + ",".join(_bpe_stage_sql(i) for i in range(BPE_N_MERGES))
+    + f"""
+SELECT sym AS token,
+       CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM (
+  SELECT word, cnt, unnest(str_split(seq, ' ')) AS sym
+  FROM words{BPE_N_MERGES}
+)
+GROUP BY sym
+ORDER BY token
+"""
+)

@@ -1780,3 +1780,8 @@ register(
     WHERE p.event_type = 'purchase'
     """,
 )
+
+# BPE merge application: learned subword vocabulary over the corpus.
+register(
+    "bpe_apply_merges", curation.bpe_apply_merges, curation.BPE_APPLY_SQL
+)
