@@ -3117,3 +3117,71 @@ JOIN LATERAL (
 ) t ON TRUE
 ORDER BY n.n_name, t.s_acctbal DESC, t.s_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact global percentiles by distributed rank selection
+# ---------------------------------------------------------------------------
+
+PERCENTILE_PERMILLES = (500, 900, 990)
+
+
+def exact_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (not interpolated, not approximate) global percentiles of
+    line price by RANK SELECTION: the value at rank ⌈p·n⌉ of the total
+    order (price, orderkey, linenumber). The classic scale trap is
+    sorting the whole table through one task to find a percentile —
+    here the rank comes from the distributed-rank primitive
+    (range partition + local index + broadcast prefix offsets,
+    operators/ranking.py), so the plan has no single-partition sort and
+    no window node; the selection filter reads the ranked frame once.
+
+    Sibling of quantiles_summary (per-group interpolated `percentile`,
+    the aggregate path): this is the order-statistics path, the one you
+    take when the value must be an actual data point (p99 latency, price
+    caps) or when a single global aggregate would not distribute.
+
+    Target ranks use integer arithmetic (⌈p·n⌉ = (n·m + 999) DIV 1000 on
+    permilles) so no float ceil can disagree across engines."""
+    from ..operators.ranking import with_distributed_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    )
+    n = base.count()
+    targets = [
+        (m, (n * m + 999) // 1000) for m in PERCENTILE_PERMILLES
+    ]
+    tdf = spark.createDataFrame(targets, "permille int, rnk long")
+    ranked = with_distributed_rank(
+        base, [F.asc("v"), F.asc("k1"), F.asc("k2")], "rnk"
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    return (
+        ranked.join(_bc(tdf), "rnk")
+        .select("permille", "rnk", F.col("v").alias("value"))
+        .orderBy("permille")
+    )
+
+
+EXACT_PERCENTILES_SQL = f"""
+WITH t AS (
+  SELECT l_extendedprice AS v, l_orderkey AS k1, l_linenumber AS k2
+  FROM lineitem
+),
+n AS (SELECT count(*) AS n FROM t),
+r AS (
+  SELECT v, row_number() OVER (ORDER BY v, k1, k2) AS rnk FROM t
+),
+p(permille) AS (VALUES {", ".join(f"({m})" for m in PERCENTILE_PERMILLES)})
+SELECT CAST(p.permille AS INTEGER) AS permille,
+       CAST((n.n * p.permille + 999) // 1000 AS BIGINT) AS rnk,
+       r.v AS value
+FROM p CROSS JOIN n
+JOIN r ON r.rnk = (n.n * p.permille + 999) // 1000
+ORDER BY permille
+"""

@@ -1785,3 +1785,10 @@ register(
 register(
     "bpe_apply_merges", curation.bpe_apply_merges, curation.BPE_APPLY_SQL
 )
+
+# Exact global percentiles via distributed rank selection.
+register(
+    "exact_global_percentiles",
+    _ext.exact_global_percentiles,
+    _ext.EXACT_PERCENTILES_SQL,
+)

@@ -271,3 +271,12 @@ def test_lateral_decorrelates_to_set_based(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert specs and all(s.startswith("s_nationkey") for s in specs), specs
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_exact_percentiles_have_no_window(spark, sf_dir):
+    """exact_global_percentiles selects order statistics through the
+    distributed-rank primitive — no window node, no single-partition
+    sort; the target-rank table must broadcast."""
+    plan = _plan(spark, sf_dir, "exact_global_percentiles")
+    assert _count(plan, r"\bWindow \[") == 0, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
