@@ -1792,3 +1792,20 @@ register(
     _ext.exact_global_percentiles,
     _ext.EXACT_PERCENTILES_SQL,
 )
+
+# Append-mode hourly windows: one-shot finalized emission + state eviction.
+from ..streaming.events import (  # noqa: E402
+    streaming_events_hourly_append as _stream_hourly_append,
+)
+
+register(
+    "streaming_events_hourly_append",
+    _stream_hourly_append,
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)

@@ -548,3 +548,51 @@ def streaming_attribution_outer(
     )
     q.awaitTermination()
     return spark.table("attribution_outer").where(F.col("user_id") != -1)
+
+
+def streaming_events_hourly_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPEND-mode tumbling-window aggregation: a window row is emitted
+    exactly once, when the watermark proves it closed — the mechanism
+    complete mode (streaming_events_hourly) never exercises: state
+    EVICTION and one-shot finalized emission, which is what bounds state
+    on an unbounded stream. Complete mode re-emits everything and keeps
+    all windows forever; append is the production deployment.
+
+    Determinism: the staged batch carries a sentinel event 10 days past
+    the real maximum (the streaming_attribution_outer technique), so the
+    post-batch watermark closes every real window and the no-data batch
+    flushes them all; sentinel windows are filtered from the result. The
+    oracle is therefore the full batch aggregate over real events.
+    """
+    from ..staging import staging_dir
+    from ..tables import load_table
+
+    base = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    sentinel = base.agg(F.max("ts").alias("m")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("m") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    stage = staging_dir("events_hourly_append_")
+    base.select(*cols).unionByName(sentinel.select(*cols)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(stage)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=None)
+    agg = windowed_counts(stream, "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("events_hourly_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("events_hourly_append").where(
+        F.col("event_type") != "sentinel"
+    )
