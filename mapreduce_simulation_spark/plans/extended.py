@@ -3185,3 +3185,53 @@ FROM p CROSS JOIN n
 JOIN r ON r.rnk = (n.n * p.permille + 999) // 1000
 ORDER BY permille
 """
+
+
+# ---------------------------------------------------------------------------
+# pandas API on Spark (pyspark.pandas) — same Catalyst plans, pandas surface
+# ---------------------------------------------------------------------------
+
+def pandas_api_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics per priority written against the pandas API on
+    Spark (``pyspark.pandas``): the third query surface next to
+    DataFrame and SQL — pandas idioms (groupby/agg dicts) compiling to
+    the SAME Catalyst plans, which is what makes the layer usable at
+    scale instead of a driver-side pandas trap. ``to_spark()`` at the end
+    drops the synthetic index and hands back the engine's native type.
+
+    Aggregates are chosen exact (count / min / max — selections, not
+    float sums) so the oracle hashes bit-for-bit regardless of partition
+    order."""
+    import pyspark.pandas as ps
+
+    psdf = load_table(spark, sf_dir, "orders").pandas_api()
+    out = (
+        psdf.groupby("o_orderpriority")
+        .agg(
+            n_orders=("o_orderkey", "count"),
+            min_price=("o_totalprice", "min"),
+            max_price=("o_totalprice", "max"),
+        )
+        .reset_index()
+    )
+    return (
+        out.to_spark()
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "min_price",
+            "max_price",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PANDAS_API_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

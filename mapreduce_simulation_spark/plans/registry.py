@@ -1809,3 +1809,10 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+# pandas API on Spark: pandas idioms compiling to the same Catalyst plans.
+register(
+    "pandas_api_priority_stats",
+    _ext.pandas_api_priority_stats,
+    _ext.PANDAS_API_PRIORITY_SQL,
+)
