@@ -3235,3 +3235,75 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Parquet aggregate pushdown (footer-statistics-only scan)
+# ---------------------------------------------------------------------------
+
+def metadata_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX of lineitem computed from parquet FOOTER STATISTICS
+    (``spark.sql.parquet.aggregatePushdown``): the scan reads row-group
+    metadata instead of data pages — at 100 TB the difference between a
+    full-table read and a few KB of footers. Only bare aggregates with no
+    filter and no grouping qualify (exactly this query's shape); the plan
+    must show ``PushedAggregation`` on the scan (asserted in
+    tests/test_plan_shapes.py).
+
+    The conf is session-wide and default-off, so the query follows the
+    runtime_filtered_join discipline: enable, materialize the 1-row
+    result (bounded collect), restore."""
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        # pushdown exists only on the DataSourceV2 read path; parquet sits
+        # on the V1 list by default, so drop it there for this query only
+        "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,text",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        rows = _metadata_agg_frame(spark, sf_dir).collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    r = rows[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(r["n_rows"]),
+                int(r["min_orderkey"]),
+                int(r["max_orderkey"]),
+                float(r["min_price"]),
+                float(r["max_price"]),
+            )
+        ],
+        "n_rows long, min_orderkey long, max_orderkey long, "
+        "min_price double, max_price double",
+    )
+
+
+def _metadata_agg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy aggregate metadata_agg_pushdown runs under its conf guard
+    (split out so tests can assert PushedAggregation on the scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+METADATA_AGG_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_orderkey) AS min_orderkey,
+       max(l_orderkey) AS max_orderkey,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+"""

@@ -1816,3 +1816,10 @@ register(
     _ext.pandas_api_priority_stats,
     _ext.PANDAS_API_PRIORITY_SQL,
 )
+
+# Parquet aggregate pushdown: footer-statistics-only scan.
+register(
+    "metadata_agg_pushdown",
+    _ext.metadata_agg_pushdown,
+    _ext.METADATA_AGG_SQL,
+)

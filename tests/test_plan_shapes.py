@@ -280,3 +280,37 @@ def test_exact_percentiles_have_no_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "exact_global_percentiles")
     assert _count(plan, r"\bWindow \[") == 0, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_metadata_agg_pushes_to_parquet_footers(spark, sf_dir):
+    """metadata_agg_pushdown's guarded aggregate must show every
+    aggregate pushed into the scan (PushedAggregation) — the
+    footer-statistics-only read — and the session confs must restore."""
+    from mapreduce_simulation_spark.plans.extended import (
+        _metadata_agg_frame,
+    )
+
+    keys = [
+        "spark.sql.parquet.aggregatePushdown",
+        "spark.sql.sources.useV1SourceList",
+    ]
+    before = {k: spark.conf.get(k, None) for k in keys}
+    registry.queries()["metadata_agg_pushdown"](spark, sf_dir).collect()
+    after = {k: spark.conf.get(k, None) for k in keys}
+    assert before == after, f"confs not restored: {before} -> {after}"
+
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set(
+        "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text"
+    )
+    try:
+        df = _metadata_agg_frame(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "PushedAggregation: [COUNT(*)" in plan, plan[:2000]
