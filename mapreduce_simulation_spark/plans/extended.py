@@ -3307,3 +3307,64 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        max(l_extendedprice) AS max_price
 FROM lineitem
 """
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning (join-driven runtime partition elimination)
+# ---------------------------------------------------------------------------
+
+def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order volume restricted to months that shipped any
+    high-quantity lineitem — executed against a MONTH-PARTITIONED copy of
+    orders so Spark's dynamic partition pruning is the star: the filtered
+    dimension side's join keys become a runtime partition filter
+    (``dynamicpruningexpression`` on the scan, asserted in
+    tests/test_plan_shapes.py), and fact partitions for non-qualifying
+    months are never read. At 100 TB this is THE star-schema mechanism:
+    static pruning handles literal predicates
+    (partitioned_source_pruned); DPP handles predicates only a join can
+    decide.
+
+    The partitioned staging write is the engine's layout step (same
+    staging discipline as the streaming queries); results are
+    partition-layout-independent and the oracle is the plain join."""
+    from ..staging import staging_dir
+
+    stage = staging_dir("dpp_orders_")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    ).write.mode("overwrite").partitionBy("month").parquet(stage)
+    fact = spark.read.parquet(stage)
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        li.where(F.col("l_quantity") >= 45)
+        .select(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, "month")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+DPP_SQL = """
+WITH dim AS (
+  SELECT DISTINCT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m') AS month
+  FROM lineitem WHERE l_quantity >= 45
+)
+SELECT strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN dim ON dim.month = strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m')
+GROUP BY 1
+ORDER BY month
+"""

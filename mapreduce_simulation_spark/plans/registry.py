@@ -1823,3 +1823,8 @@ register(
     _ext.metadata_agg_pushdown,
     _ext.METADATA_AGG_SQL,
 )
+
+# Dynamic partition pruning: join-decided runtime partition elimination.
+register(
+    "dynamic_partition_pruning", _ext.dynamic_partition_pruning, _ext.DPP_SQL
+)

@@ -314,3 +314,11 @@ def test_metadata_agg_pushes_to_parquet_footers(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     assert "PushedAggregation: [COUNT(*)" in plan, plan[:2000]
+
+
+def test_dpp_scan_carries_dynamic_pruning_filter(spark, sf_dir):
+    """dynamic_partition_pruning's fact scan must carry a
+    dynamicpruningexpression partition filter — the join-decided runtime
+    elimination of fact partitions."""
+    plan = _plan(spark, sf_dir, "dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
