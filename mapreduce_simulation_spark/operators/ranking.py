@@ -172,6 +172,11 @@ def with_distributed_grouped_ntile(
     ntile semantics are per group: with n_g rows, the first n_g mod k
     buckets hold ⌈n_g/k⌉ rows — evaluated as a column expression because
     n_g differs per group.
+
+    Group values must be non-null and stringify identically in Python and
+    Spark (strings, ints, booleans — the dimension types this is for):
+    the per-group offsets travel as a string-keyed literal map built from
+    the driver-side collect, and ``str(None)`` has no Spark twin.
     """
     p = num_partitions or _num_partitions(df)
     gcols = [F.col(c) for c in group_cols]
