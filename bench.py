@@ -68,6 +68,8 @@ EXTENDED = [
     "gopher_quality_rules",
     "centroid_classify",
     "curation_pipeline_v2",
+    "bpe_apply_merges",
+    "dynamic_partition_pruning",
 ]
 
 
