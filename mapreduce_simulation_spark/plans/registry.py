@@ -1828,3 +1828,45 @@ register(
 register(
     "dynamic_partition_pruning", _ext.dynamic_partition_pruning, _ext.DPP_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# Remaining distinctive TPC-H shapes (plans/tpch_shapes.py): the classic
+# optimizer mechanisms — correlated-subquery decorrelation, scalar subquery
+# in HAVING, aggregate-view max, grouped-HAVING semi join, EXISTS/NOT-EXISTS
+# collapse, anti+scalar threshold, conditional-share ratios, null-aware
+# anti join.
+# ---------------------------------------------------------------------------
+from . import tpch_shapes as _tq  # noqa: E402
+
+register(
+    "min_cost_supplier", _tq.min_cost_supplier, _tq.MIN_COST_SUPPLIER_SQL
+)
+register("important_parts", _tq.important_parts, _tq.IMPORTANT_PARTS_SQL)
+register(
+    "max_revenue_supplier",
+    _tq.max_revenue_supplier,
+    _tq.MAX_REVENUE_SUPPLIER_SQL,
+)
+register(
+    "large_quantity_orders",
+    _tq.large_quantity_orders,
+    _tq.LARGE_QUANTITY_ORDERS_SQL,
+)
+register(
+    "sole_blame_suppliers",
+    _tq.sole_blame_suppliers,
+    _tq.SOLE_BLAME_SUPPLIERS_SQL,
+)
+register(
+    "idle_high_balance_customers",
+    _tq.idle_high_balance_customers,
+    _tq.IDLE_HIGH_BALANCE_SQL,
+)
+register("market_share", _tq.market_share, _tq.MARKET_SHARE_SQL)
+register(
+    "profit_by_nation_year",
+    _tq.profit_by_nation_year,
+    _tq.PROFIT_BY_NATION_YEAR_SQL,
+)
+register("not_in_customers", _tq.not_in_customers, _tq.NOT_IN_CUSTOMERS_SQL)

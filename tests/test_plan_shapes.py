@@ -76,6 +76,23 @@ SHAPES = [
     # PII scrub is a narrow regexp map over the scan: the ONLY exchange is
     # the declared ORDER BY's range partitioning
     ("pii_scrub", 1, 0, "Project"),
+    # TPC-H shape completions (plans/tpch_shapes.py):
+    # Q2: the correlated scalar subquery must decorrelate to agg + join —
+    # bounded exchanges, never a per-row subquery or cartesian re-scan
+    ("min_cost_supplier", 3, 1, "BroadcastHashJoin"),
+    # Q11: per-part agg + 1-row global-sum subquery + declared order
+    ("important_parts", 3, 0, "Subquery"),
+    # Q15: revenue view + broadcast max + broadcast supplier dim
+    ("max_revenue_supplier", 4, 2, "BroadcastHashJoin"),
+    # Q18: HAVING filters at aggregate cardinality BELOW the join; top-100
+    # must be TakeOrdered, not a global sort
+    ("large_quantity_orders", 1, 1, "TakeOrderedAndProject"),
+    # Q8: only fact-fact shuffle is li⋈orders; every dim broadcasts
+    ("market_share", 2, 3, "BroadcastHashJoin"),
+    # Q9: same discipline — part/supplier/nation broadcast
+    ("profit_by_nation_year", 2, 3, "BroadcastHashJoin"),
+    # Q22: threshold is a broadcast 1-row aggregate; anti join keyed
+    ("idle_high_balance_customers", 3, 1, "BroadcastHashJoin"),
 ]
 
 
@@ -322,3 +339,28 @@ def test_dpp_scan_carries_dynamic_pruning_filter(spark, sf_dir):
     elimination of fact partitions."""
     plan = _plan(spark, sf_dir, "dynamic_partition_pruning")
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN over a NULLABLE subquery column cannot legally become a plain
+    LEFT ANTI — the executed plan must carry the null-aware anti join flag
+    (the trailing `true` on the BroadcastHashJoin), which is the physical
+    operator that returns zero rows the moment the subquery yields a null.
+    """
+    plan = _plan(spark, sf_dir, "not_in_customers")
+    assert re.search(r"LeftAnti, BuildRight, true", plan), (
+        f"not_in_customers: expected the null-aware anti join flag\n"
+        f"{plan[:2000]}"
+    )
+
+
+def test_sole_blame_scans_lineitem_once(spark, sf_dir):
+    """The Q21 EXISTS/NOT-EXISTS pair is collapsed into ONE per-order
+    profile: the executed plan must scan lineitem exactly once (the
+    correlated form would scan it three times)."""
+    plan = _plan(spark, sf_dir, "sole_blame_suppliers")
+    scans = len(re.findall(r"Scan parquet[^\n]*lineitem", plan))
+    assert scans == 1, (
+        f"sole_blame_suppliers: {scans} lineitem scans (expected 1)\n"
+        f"{plan[:2000]}"
+    )
