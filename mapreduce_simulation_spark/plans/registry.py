@@ -1870,3 +1870,16 @@ register(
     _tq.PROFIT_BY_NATION_YEAR_SQL,
 )
 register("not_in_customers", _tq.not_in_customers, _tq.NOT_IN_CUSTOMERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: sparse BM25 scoring + hybrid reciprocal-rank fusion
+# (operators/retrieval.py) — the sparse/hybrid half of the similarity
+# family.
+# ---------------------------------------------------------------------------
+from ..operators import retrieval as _ret  # noqa: E402
+
+register("bm25_topk", _ret.bm25_topk, _ret.BM25_TOPK_SQL)
+register(
+    "rrf_hybrid_topk", _ret.rrf_hybrid_topk, _ret.RRF_HYBRID_TOPK_SQL
+)

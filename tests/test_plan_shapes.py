@@ -364,3 +364,13 @@ def test_sole_blame_scans_lineitem_once(spark, sf_dir):
         f"sole_blame_suppliers: {scans} lineitem scans (expected 1)\n"
         f"{plan[:2000]}"
     )
+
+
+@pytest.mark.parametrize("name", ["bm25_topk", "rrf_hybrid_topk"])
+def test_retrieval_rankings_prefilter_below_window(spark, sf_dir, name):
+    """Every per-query ranking in the retrieval family must prefilter each
+    map partition to its local top-k (WindowGroupLimit) BEFORE the rank
+    window's exchange — the corpus-sized candidate set never moves whole."""
+    plan = _plan(spark, sf_dir, name)
+    assert "WindowGroupLimit" in plan, f"{name}: no group-limit prefilter"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
