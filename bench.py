@@ -70,6 +70,13 @@ EXTENDED = [
     "curation_pipeline_v2",
     "bpe_apply_merges",
     "dynamic_partition_pruning",
+    # third wave (TPC-H shapes + retrieval): the ones with non-trivial
+    # sf0.1 cost — the correlated-min double scan, the per-order-profile
+    # Q21 collapse, and the BM25 token-exchange family
+    "min_cost_supplier",
+    "sole_blame_suppliers",
+    "bm25_topk",
+    "rrf_hybrid_topk",
 ]
 
 

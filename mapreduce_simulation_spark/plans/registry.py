@@ -62,7 +62,10 @@ _PROMOTE = (
 # curation_pipeline_v2 (the round-5 composite: Gopher rules + CCNet
 # banding + dedup), ccnet_perplexity_buckets (grouped distributed ntile),
 # mmr_rerank (diversified rerank), runtime_filtered_join (bloom-pruned
-# shuffle join), centroid_classify (oracle-exact ML inference) —
+# shuffle join), centroid_classify (oracle-exact ML inference), plus the
+# third wave: sole_blame_suppliers (Q21 EXISTS/NOT-EXISTS collapse),
+# not_in_customers (null-aware anti join), bm25_topk or rrf_hybrid_topk
+# (sparse/hybrid retrieval) —
 # demoting in exchange: identity_projection, left_outer_order_counts,
 # set_ops_segments, monthly_revenue, broadcast_dim_join, top_orders,
 # running_order_totals, rollup_revenue (all single-mechanism rows whose
