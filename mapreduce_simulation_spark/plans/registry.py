@@ -1886,3 +1886,25 @@ register("bm25_topk", _ret.bm25_topk, _ret.BM25_TOPK_SQL)
 register(
     "rrf_hybrid_topk", _ret.rrf_hybrid_topk, _ret.RRF_HYBRID_TOPK_SQL
 )
+
+
+# Custom STREAMING Python DataSource: parquet-row-group offsets, rate-
+# limited micro-batches, executor-side Arrow reads (sources/
+# eventlog_stream.py — the streaming twin of the kvtext batch connector).
+from ..streaming.events import (  # noqa: E402
+    streaming_custom_source_rollup as _stream_custom_src,
+)
+
+register(
+    "streaming_custom_source_rollup",
+    _stream_custom_src,
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           max(epoch_us(ts)) AS max_ts_us
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)

@@ -596,3 +596,51 @@ def streaming_events_hourly_append(
     return spark.table("events_hourly_append").where(
         F.col("event_type") != "sentinel"
     )
+
+
+def streaming_custom_source_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type rollup read through the CUSTOM streaming Python
+    DataSource (sources/eventlog_stream.py) — the streaming twin of the
+    kvtext batch connector: parquet row groups are the offset unit,
+    `latestOffset` rate-limits to 2 row groups per trigger, and each
+    micro-batch's partitions are read executor-side as Arrow batches.
+
+    Staging writes the events table as 4 range-partitioned files, so the
+    stream drains in multiple bounded micro-batches; complete-mode
+    aggregation makes the final result equal the batch aggregate, which
+    is the oracle. ts flows as epoch-microsecond BIGINTs end-to-end (the
+    connector's anti-drift contract), so max_ts_us is integer-exact.
+    """
+    from ..sources.eventlog_stream import register_eventlog_stream
+    from ..staging import staging_dir
+    from ..tables import load_table
+
+    register_eventlog_stream(spark)
+    stage = staging_dir("eventlog_stream_")
+    load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = spark.readStream.format("eventlog_stream").load(stage)
+    agg = (
+        stream.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("eventlog_stream_rollup")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("eventlog_stream_rollup").orderBy("event_type")

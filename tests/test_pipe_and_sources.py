@@ -175,3 +175,48 @@ def test_kvtext_connector_roundtrip(spark, sf_dir, tmp_path):
     expect = {(r["word"], r["cnt"]) for r in wc.collect()}
     got = {(r["key"], r["cnt"]) for r in back.collect()}
     assert got == expect
+
+
+def test_eventlog_stream_reader_offsets_and_reads(spark, sf_dir, tmp_path):
+    """The streaming connector's offset contract, driven directly:
+    latestOffset advances at most MAX_RGS_PER_BATCH row groups per call
+    (rate limiting), partitions(start, end) maps exactly the offset span,
+    and reading every partition recovers the staged table bit-exactly."""
+    import pyarrow as pa
+
+    from mapreduce_simulation_spark.sources.eventlog_stream import (
+        MAX_RGS_PER_BATCH,
+        EventLogStreamReader,
+    )
+    from mapreduce_simulation_spark.tables import load_table
+
+    stage = str(tmp_path / "evlog")
+    events = load_table(spark, sf_dir, "events")
+    events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(stage)
+
+    reader = EventLogStreamReader({"path": stage})
+    total = len(reader._index)
+    assert total >= 4  # one row group per staged file at this SF
+
+    # Rate-limited advance: each latestOffset call moves ≤ the cap, and
+    # the sequence is monotone until it pins at the end of the log.
+    assert reader.initialOffset() == {"idx": 0}
+    seen, prev = [], 0
+    for _ in range(total):  # more calls than needed — must pin, not grow
+        cur = reader.latestOffset()["idx"]
+        assert 0 <= cur - prev <= MAX_RGS_PER_BATCH
+        seen.append(cur)
+        prev = cur
+    assert seen[-1] == total
+
+    parts = reader.partitions({"idx": 0}, {"idx": total})
+    assert len(parts) == total
+    rows = 0
+    for p in parts:
+        for batch in reader.read(p):
+            assert isinstance(batch, pa.RecordBatch)
+            assert batch.schema.names == [
+                "event_id", "user_id", "event_type", "value", "ts_us",
+            ]
+            rows += batch.num_rows
+    assert rows == events.count()
