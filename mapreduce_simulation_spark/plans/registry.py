@@ -1908,3 +1908,23 @@ register(
     ORDER BY event_type
     """,
 )
+
+
+# Custom-connector loop: eventlog_stream source → kvtext STREAMING sink →
+# kvtext batch reader; rollup of the read-back rows = batch aggregate.
+from ..streaming.events import (  # noqa: E402
+    streaming_kvtext_sink_roundtrip as _stream_kv_sink,
+)
+
+register(
+    "streaming_kvtext_sink_roundtrip",
+    _stream_kv_sink,
+    """
+    SELECT event_type AS key,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY key
+    """,
+)

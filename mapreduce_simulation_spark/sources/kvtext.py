@@ -28,6 +28,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -49,6 +50,9 @@ class KVTextDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "KVTextWriter":
         return KVTextWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "KVTextStreamWriter":
+        return KVTextStreamWriter(self.options)
 
 
 class KVTextReader(DataSourceReader):
@@ -141,6 +145,55 @@ class KVTextWriter(DataSourceWriter):
             fh.write("")
 
     def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class KVTextStreamWriter(DataSourceStreamWriter):
+    """Streaming sink half of the kvtext connector: each micro-batch's
+    tasks write tab-joined lines to per-ATTEMPT temp files; commit()
+    renames the winning attempts to ``batch-{batchId}-part-{pid}`` —
+    deterministic names keyed by (batchId, partitionId), so a REPLAYED
+    batch (failure recovery reruns the last uncommitted batch) overwrites
+    its own files instead of duplicating them: idempotent ⇒ effectively
+    exactly-once, the same contract as the built-in file sinks' manifest.
+    The committed batch id is appended to a ``_batches`` manifest for
+    readers that want only committed data."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("kvtext requires a path: .start(<directory>)")
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator) -> "KVTextCommit":
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        tmp = os.path.join(
+            self.path, f".part-{pid:05d}.attempt-{ctx.taskAttemptId()}.tmp"
+        )
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write("\t".join("" if v is None else str(v) for v in row))
+                fh.write("\n")
+        return KVTextCommit(tmp)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            name = os.path.basename(m.file)
+            pid = name[len(".part-"):].split(".attempt-")[0]
+            final = f"batch-{batchId:05d}-part-{pid}"
+            os.replace(m.file, os.path.join(self.path, final))
+        with open(os.path.join(self.path, "_batches"), "a") as fh:
+            fh.write(f"{batchId}\n")
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.file):
                 os.remove(m.file)

@@ -644,3 +644,57 @@ def streaming_custom_source_rollup(
     finally:
         q.stop()
     return spark.table("eventlog_stream_rollup").orderBy("event_type")
+
+
+def streaming_kvtext_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end CUSTOM connector loop, all four quadrants: the events
+    table streams in through the eventlog_stream source (row-group
+    offsets), streams out through the kvtext STREAMING sink (idempotent
+    batch-{id}-part-{pid} files, sources/kvtext.py KVTextStreamWriter),
+    and is read back with the kvtext batch reader; the per-type rollup
+    of the read-back rows must equal the batch aggregate of the original
+    table — the oracle. Doubles survive the text hop because Spark's
+    double→string is shortest-round-trip and the final cast recovers the
+    identical bits before the decimal accumulation.
+    """
+    from ..sources.eventlog_stream import register_eventlog_stream
+    from ..sources.kvtext import register_kvtext
+    from ..staging import staging_dir
+    from ..tables import load_table
+
+    register_eventlog_stream(spark)
+    register_kvtext(spark)
+    stage = staging_dir("kvsink_in_")
+    out = staging_dir("kvsink_out_")
+    ckpt = staging_dir("kvsink_ckpt_")
+    load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = spark.readStream.format("eventlog_stream").load(stage)
+    kv = stream.select(
+        F.col("event_type").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+    q = (
+        kv.writeStream.format("kvtext")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.format("kvtext").load(out)
+    return (
+        back.groupBy(F.col("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("double").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("key")
+    )

@@ -220,3 +220,36 @@ def test_eventlog_stream_reader_offsets_and_reads(spark, sf_dir, tmp_path):
             ]
             rows += batch.num_rows
     assert rows == events.count()
+
+
+def test_kvtext_stream_sink_replay_is_idempotent(tmp_path):
+    """A replayed micro-batch (failure recovery reruns the last
+    uncommitted batch) must overwrite its own files, not duplicate them:
+    commit names are keyed by (batchId, partitionId) only, never by the
+    attempt id."""
+    import os
+
+    from mapreduce_simulation_spark.sources.kvtext import (
+        KVTextCommit,
+        KVTextStreamWriter,
+    )
+
+    out = str(tmp_path / "sink")
+    w = KVTextStreamWriter({"path": out})
+
+    def attempt(attempt_id: int, payload: str) -> KVTextCommit:
+        tmp = os.path.join(out, f".part-00000.attempt-{attempt_id}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        return KVTextCommit(tmp)
+
+    w.commit([attempt(7, "a\t1\n")], batchId=3)
+    w.commit([attempt(9, "a\t1\n")], batchId=3)  # the replay
+    files = sorted(f for f in os.listdir(out) if not f.startswith(("_", ".")))
+    assert files == ["batch-00003-part-00000"]
+    with open(os.path.join(out, files[0])) as fh:
+        assert fh.read() == "a\t1\n"
+    # aborts clean their temp files and commit nothing
+    m = attempt(11, "junk")
+    w.abort([m], batchId=4)
+    assert not os.path.exists(m.file)
