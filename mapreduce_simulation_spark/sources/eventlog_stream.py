@@ -2,23 +2,36 @@
 
 The batch half of the connector-extensibility surface is sources/kvtext.py
 (the reference's key/value text format); this is the streaming half: a
-`DataSourceStreamReader` that replays a parquet event log in deterministic
-micro-batches with parquet ROW GROUPS as the offset unit.
+`DataSourceStreamReader` that TAILS a growing directory of parquet files,
+with parquet ROW GROUPS as the offset unit.
 
 Why row groups: they are the format's native split point, so
 
-  - offsets are a single integer (global row-group index) — trivially
-    JSON-serializable, replayable, and monotone;
-  - `partitions(start, end)` maps each batch to its row groups, and each
-    `read(partition)` runs ON AN EXECUTOR reading exactly one row group
-    via pyarrow into ONE Arrow RecordBatch — the vectorized path, no
-    row-at-a-time Python, no driver data movement (this is the
+  - the offset is a single integer (global row-group index over the
+    sorted file list) — trivially JSON-serializable, replayable, monotone;
+  - `partitions(start, end)` maps each micro-batch to its row-group span,
+    and each `read(partition)` runs ON AN EXECUTOR reading exactly one
+    row group via pyarrow into ONE Arrow RecordBatch — the vectorized
+    path, no row-at-a-time Python, no driver data movement (this is the
     `DataSourceStreamReader` API, not `SimpleDataSourceStreamReader`,
     whose `read` runs on the driver);
-  - rate limiting falls out: `latestOffset` advances at most
-    MAX_RGS_PER_BATCH row groups per trigger (the maxFilesPerTrigger
-    pattern), so a backlogged 100 TB log drains in bounded micro-batches
-    instead of one giant batch.
+  - `latestOffset` re-lists the directory each trigger, so files appended
+    to the log become new offsets and the stream keeps tailing.
+
+Append-only contract: existing files are immutable and new files must
+sort (by name) strictly after every already-indexed file — otherwise the
+global row-group numbering would shift and committed offsets would mean
+different data. The reader enforces this and fails loudly on violation
+(the same contract every file-tailing source has, made explicit).
+
+Restart correctness: offsets are deterministic functions of the sorted
+file list, and the engine replans `partitions(committed_end, latest)`
+from its own checkpoint after recovery — the reader keeps NO progress
+state of its own, which is what makes kill-and-restart exactly-once
+(driven end-to-end in tests/test_streaming_multimodal.py). Per-trigger
+rate limiting (maxFilesPerTrigger-style) is a JVM `ReadLimit` feature
+the Python DataSource API does not currently expose; the batch size here
+is bounded instead by how much new data each trigger finds.
 
 Timestamps are emitted as epoch-microsecond BIGINTs (`ts_us`): the
 driver's events.parquet has shipped as both TIMESTAMP(NANOS) and
@@ -45,7 +58,6 @@ SCHEMA = (
     "event_id bigint, user_id bigint, event_type string, "
     "value double, ts_us bigint"
 )
-MAX_RGS_PER_BATCH = 2
 
 
 def _list_parquet(path: str) -> list[str]:
@@ -79,30 +91,44 @@ class EventLogStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "eventlog_stream requires a path: .load(<parquet dir>)"
             )
-        import pyarrow.parquet as pq
-
+        self.path = path
         # Driver-side, footer-only: the global row-group index. At 100 TB
         # this is |files| footer reads of a few KiB each (the same
         # listing cost every file source pays), not a data scan.
+        self._files: list[str] = []
         self._index: list[tuple[str, int]] = []
-        for f in _list_parquet(path):
+        self._refresh()
+
+    def _refresh(self) -> None:
+        import pyarrow.parquet as pq
+
+        current = _list_parquet(self.path)
+        if current[: len(self._files)] != self._files:
+            raise ValueError(
+                "eventlog_stream: append-only contract violated — a new "
+                "file sorts before an already-indexed one (or an indexed "
+                "file disappeared); committed offsets would be remapped"
+            )
+        for f in current[len(self._files) :]:
             for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
                 self._index.append((f, rg))
-        if not self._index:
-            raise ValueError(f"eventlog_stream: no parquet data in {path}")
-        self._pos = 0
+        self._files = current
 
     def initialOffset(self) -> dict:
         return {"idx": 0}
 
     def latestOffset(self) -> dict:
-        # Advance the visible end at most MAX_RGS_PER_BATCH row groups per
-        # trigger: bounded micro-batches over any backlog. The stream is
-        # drained when this stops advancing (processAllAvailable returns).
-        self._pos = min(len(self._index), self._pos + MAX_RGS_PER_BATCH)
-        return {"idx": self._pos}
+        # Availability, not progress: re-list the directory so appended
+        # files become new offsets (log tailing). The reader holds no
+        # progress state — after a restart the engine replans from its
+        # checkpointed committed offset against this same deterministic
+        # index, which is what makes recovery exactly-once.
+        self._refresh()
+        return {"idx": len(self._index)}
 
     def partitions(self, start: dict, end: dict):
+        if end["idx"] > len(self._index):
+            self._refresh()
         return [
             InputPartition(self._index[i])
             for i in range(start["idx"], end["idx"])

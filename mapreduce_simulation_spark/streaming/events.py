@@ -603,12 +603,13 @@ def streaming_custom_source_rollup(
 ) -> DataFrame:
     """Per-event-type rollup read through the CUSTOM streaming Python
     DataSource (sources/eventlog_stream.py) — the streaming twin of the
-    kvtext batch connector: parquet row groups are the offset unit,
-    `latestOffset` rate-limits to 2 row groups per trigger, and each
-    micro-batch's partitions are read executor-side as Arrow batches.
+    kvtext batch connector: parquet row groups are the offset unit and
+    each batch's partitions are read executor-side as Arrow batches
+    (one row group each, so the 4 staged files parallelize 4-wide).
 
-    Staging writes the events table as 4 range-partitioned files, so the
-    stream drains in multiple bounded micro-batches; complete-mode
+    Staging writes the events table as 4 range-partitioned files; the
+    reader reports them all as available (tailing/restart incrementality
+    is driven in tests/test_streaming_multimodal.py), and complete-mode
     aggregation makes the final result equal the batch aggregate, which
     is the oracle. ts flows as epoch-microsecond BIGINTs end-to-end (the
     connector's anti-drift contract), so max_ts_us is integer-exact.

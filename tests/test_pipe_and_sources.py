@@ -179,13 +179,18 @@ def test_kvtext_connector_roundtrip(spark, sf_dir, tmp_path):
 
 def test_eventlog_stream_reader_offsets_and_reads(spark, sf_dir, tmp_path):
     """The streaming connector's offset contract, driven directly:
-    latestOffset advances at most MAX_RGS_PER_BATCH row groups per call
-    (rate limiting), partitions(start, end) maps exactly the offset span,
-    and reading every partition recovers the staged table bit-exactly."""
+    latestOffset reports true availability and grows when files are
+    appended (log tailing), partitions(start, end) maps exactly the
+    offset span, reading every partition recovers the staged table, and
+    the append-only contract (new files must sort after indexed ones)
+    fails loudly when violated."""
+    import os
+    import shutil
+
     import pyarrow as pa
+    import pytest as _pytest
 
     from mapreduce_simulation_spark.sources.eventlog_stream import (
-        MAX_RGS_PER_BATCH,
         EventLogStreamReader,
     )
     from mapreduce_simulation_spark.tables import load_table
@@ -197,17 +202,8 @@ def test_eventlog_stream_reader_offsets_and_reads(spark, sf_dir, tmp_path):
     reader = EventLogStreamReader({"path": stage})
     total = len(reader._index)
     assert total >= 4  # one row group per staged file at this SF
-
-    # Rate-limited advance: each latestOffset call moves ≤ the cap, and
-    # the sequence is monotone until it pins at the end of the log.
     assert reader.initialOffset() == {"idx": 0}
-    seen, prev = [], 0
-    for _ in range(total):  # more calls than needed — must pin, not grow
-        cur = reader.latestOffset()["idx"]
-        assert 0 <= cur - prev <= MAX_RGS_PER_BATCH
-        seen.append(cur)
-        prev = cur
-    assert seen[-1] == total
+    assert reader.latestOffset() == {"idx": total}
 
     parts = reader.partitions({"idx": 0}, {"idx": total})
     assert len(parts) == total
@@ -220,6 +216,24 @@ def test_eventlog_stream_reader_offsets_and_reads(spark, sf_dir, tmp_path):
             ]
             rows += batch.num_rows
     assert rows == events.count()
+
+    # Tailing: a file appended AFTER the indexed ones becomes new offsets.
+    first = sorted(
+        f for f in os.listdir(stage) if f.endswith(".parquet")
+    )[0]
+    shutil.copy(
+        os.path.join(stage, first), os.path.join(stage, "zzz-more.parquet")
+    )
+    grown = reader.latestOffset()["idx"]
+    assert grown > total
+
+    # Append-only violation: a file sorting BEFORE indexed ones remaps
+    # committed offsets — must raise, never silently reindex.
+    shutil.copy(
+        os.path.join(stage, first), os.path.join(stage, "aaa-bad.parquet")
+    )
+    with _pytest.raises(ValueError, match="append-only"):
+        reader.latestOffset()
 
 
 def test_kvtext_stream_sink_replay_is_idempotent(tmp_path):

@@ -601,3 +601,81 @@ def test_transform_with_state_rollup_parity(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_custom_stream_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart recovery across the CUSTOM source/sink pair: the
+    first query run drains the log's first half and is stopped; more
+    files are appended (the source's tailing contract); a second run with
+    the SAME checkpoint must resume from the committed row-group offset
+    and process ONLY the appended data — and the sink files must hold
+    every input row EXACTLY once, the joint contract of deterministic
+    offset replay (source) and (batchId, partitionId)-keyed idempotent
+    commits (sink)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.sources.eventlog_stream import (
+        register_eventlog_stream,
+    )
+    from mapreduce_simulation_spark.sources.kvtext import register_kvtext
+    from mapreduce_simulation_spark.tables import load_table
+
+    register_eventlog_stream(spark)
+    register_kvtext(spark)
+    staged = str(tmp_path / "staged")
+    stage = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    n_total = events.count()
+    events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(staged)
+    files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(files) == 4
+    os.makedirs(stage)
+    # first half of the log, named so later appends sort after
+    for i, f in enumerate(files[:2]):
+        shutil.copy(os.path.join(staged, f), os.path.join(stage, f"a{i}.parquet"))
+
+    def start():
+        return (
+            spark.readStream.format("eventlog_stream")
+            .load(stage)
+            .select(
+                F.col("event_id").cast("string").alias("key"),
+                F.col("event_type").alias("value"),
+            )
+            .writeStream.format("kvtext")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    q1.awaitTermination()
+    manifest = os.path.join(out, "_batches")
+    assert os.path.exists(manifest), "first run committed no batch"
+    n_half = spark.read.format("kvtext").load(out).count()
+    assert 0 < n_half < n_total
+
+    # Append the second half, then restart from the same checkpoint.
+    for i, f in enumerate(files[2:]):
+        shutil.copy(os.path.join(staged, f), os.path.join(stage, f"b{i}.parquet"))
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    back = spark.read.format("kvtext").load(out)
+    assert back.count() == n_total  # every row exactly once
+    assert back.select("key").distinct().count() == n_total
+    # the work landed in ≥2 distinct committed batches across the runs
+    with open(manifest) as fh:
+        assert len({line.strip() for line in fh if line.strip()}) >= 2
