@@ -3368,3 +3368,62 @@ JOIN dim ON dim.month = strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m')
 GROUP BY 1
 ORDER BY month
 """
+
+
+# ---------------------------------------------------------------------------
+# SQL-defined UDFs (Spark 4 CREATE FUNCTION ... RETURN expr)
+# ---------------------------------------------------------------------------
+
+def sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing aggregate computed through SQL-DEFINED scalar functions
+    (Spark 4 ``CREATE FUNCTION ... RETURNS ... RETURN <expr>``), one of
+    them calling the other — the UDF tier that costs NOTHING: Catalyst
+    inlines the function body into the plan at analysis time, so the
+    executed plan contains only the raw arithmetic inside whole-stage
+    codegen (asserted in tests/test_plan_shapes.py: zero Python-eval
+    nodes, the documented opposite of the pandas/row-UDF tiers in
+    operators/pandas_ops.py).
+
+    The oracle inlines the same expressions directly — semantics are
+    identical by construction; what this query pins is that the SQL-UDF
+    indirection changes neither results nor the plan.
+
+    Scale: identical to pricing_summary — scan-bound multi-aggregate,
+    partial/final split, group-cardinality shuffle.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sqludf"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge_price("
+        "p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN disc_price(p, d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(CAST(disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc,
+               CAST(sum(CAST(charge_price(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge
+        FROM lineitem_sqludf
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+SQL_UDF_PRICING_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc,
+       CAST(sum(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax)
+                     AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -1928,3 +1928,10 @@ register(
     ORDER BY key
     """,
 )
+
+
+# SQL-defined scalar UDFs (CREATE FUNCTION ... RETURN expr): Catalyst
+# inlines the bodies — the zero-cost UDF tier.
+register(
+    "sql_udf_pricing", _ext.sql_udf_pricing, _ext.SQL_UDF_PRICING_SQL
+)

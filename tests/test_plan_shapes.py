@@ -374,3 +374,19 @@ def test_retrieval_rankings_prefilter_below_window(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "WindowGroupLimit" in plan, f"{name}: no group-limit prefilter"
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_sql_udf_inlines_to_codegen(spark, sf_dir):
+    """SQL-defined functions must be inlined by Catalyst at analysis
+    time: the executed plan contains the raw arithmetic and ZERO
+    Python-evaluation nodes — the documented opposite of the pandas/row
+    UDF tiers."""
+    plan = _plan(spark, sf_dir, "sql_udf_pricing")
+    for needle in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert needle not in plan, f"sql_udf_pricing: {needle} in plan"
+    # the function BODIES appear as raw arithmetic inside the aggregate
+    # (AQE's pre-final plan string omits codegen spans, so assert the
+    # inlined expressions, which is the actual claim)
+    assert re.search(r"partial_sum\(cast\(\(\w+#\d+ \* \(1\.0 - ", plan), (
+        plan[:2000]
+    )
