@@ -3427,3 +3427,51 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+def sql_table_function_word_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Word count through a SQL-defined TABLE function (Spark 4
+    ``CREATE FUNCTION ... RETURNS TABLE ... RETURN SELECT``), applied
+    with LATERAL — the set-returning sibling of sql_udf_pricing and the
+    inlined counterpart of udtf_word_count (the Python UDTF): Catalyst
+    expands the function body into an ordinary Generate/explode subtree,
+    so unlike the Python UDTF there is no Python evaluation anywhere
+    (asserted). Filtered to words seen ≥ 2 times so the oracle is
+    distinct from word_count's.
+
+    Scale: identical to word_count — explode is a narrow generator,
+    ONE vocab-cardinality aggregate exchange.
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_sqltvf"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tokenize_words(t STRING) "
+        "RETURNS TABLE(word STRING) "
+        "RETURN SELECT explode(filter(split(lower(t), '\\\\s+'), "
+        "x -> x != '')) AS word"
+    )
+    return spark.sql(
+        """
+        SELECT w.word, count(*) AS cnt
+        FROM documents_sqltvf d, LATERAL tokenize_words(d.text) AS w
+        GROUP BY w.word
+        HAVING count(*) >= 2
+        ORDER BY word
+        """
+    )
+
+
+SQL_TVF_WORD_COUNT_SQL = r"""
+SELECT word, count(*) AS cnt
+FROM (
+  SELECT unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+GROUP BY word
+HAVING count(*) >= 2
+ORDER BY word
+"""

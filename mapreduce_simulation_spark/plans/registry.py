@@ -1935,3 +1935,11 @@ register(
 register(
     "sql_udf_pricing", _ext.sql_udf_pricing, _ext.SQL_UDF_PRICING_SQL
 )
+
+# SQL-defined TABLE function (RETURNS TABLE ... RETURN SELECT), applied
+# LATERAL — the inlined set-returning UDF tier.
+register(
+    "sql_table_function_word_count",
+    _ext.sql_table_function_word_count,
+    _ext.SQL_TVF_WORD_COUNT_SQL,
+)

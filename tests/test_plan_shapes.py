@@ -390,3 +390,13 @@ def test_sql_udf_inlines_to_codegen(spark, sf_dir):
     assert re.search(r"partial_sum\(cast\(\(\w+#\d+ \* \(1\.0 - ", plan), (
         plan[:2000]
     )
+
+
+def test_sql_table_function_inlines_to_generate(spark, sf_dir):
+    """A SQL-defined TABLE function must expand into an ordinary
+    Generate/explode subtree — zero Python evaluation, unlike the Python
+    UDTF it mirrors (udtf_word_count plans a BatchEvalPythonUDTF)."""
+    plan = _plan(spark, sf_dir, "sql_table_function_word_count")
+    for needle in ("BatchEvalPython", "ArrowEvalPython", "PythonUDTF"):
+        assert needle not in plan, f"{needle} in plan"
+    assert "Generate explode" in plan, plan[:1500]
