@@ -1957,3 +1957,113 @@ GROUP BY sym
 ORDER BY token
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+CDC_DIVISOR = 8  # boundary when token-hash % 8 == 0 → ~8-token chunks
+
+
+def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over token streams (the rsync/FastCDC
+    boundary idea applied to corpus dedup): a token whose polynomial
+    hash ≡ 0 (mod CDC_DIVISOR) ENDS a chunk, so boundaries are decided
+    by CONTENT, not position — inserting or deleting text shifts only
+    the chunks it touches, where span_dedup's fixed-width chunks shift
+    every subsequent boundary. The result is the corpus-wide chunk
+    duplication profile: per chunk fingerprint, how many times and in
+    how many documents it occurs — the candidate table an
+    insertion-robust dedup pass would consume.
+
+    Exactness: token hashes and the per-chunk fingerprint are the
+    package's shared polynomial folds (functions/hashing.char_hash and
+    its DuckDB twin); the fingerprint folds hashes in position order
+    (order-pinned, both engines), all in exact modular integer
+    arithmetic.
+
+    Scale: the chunk-id assignment is a per-document window (bounded by
+    document length, never corpus-wide); the two aggregates key on
+    (doc_id, chunk_id) and chunk_fp — both the declared token-exchange
+    class, shuffling 8-byte keys only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return _cdc_profile(docs)
+
+
+def _cdc_profile(docs: DataFrame) -> DataFrame:
+    """The chunk-duplication profile for any (doc_id, text) frame —
+    split out so tests can drive the insertion-robustness property on
+    constructed documents."""
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    ).select("doc_id", "pos", H.char_hash("w").alias("h"))
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("h") % CDC_DIVISOR == 0, 1).otherwise(0)
+            ).over(w_doc),
+            F.lit(0),
+        ).alias("chunk_id"),
+    )
+    fp = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "h"))),
+            lambda s: s["h"],
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(1000003) + x) % F.lit(H.P),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), fp.alias("chunk_fp")
+    )
+    return (
+        chunks.groupBy("chunk_fp", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("chunk_fp").asc())
+    )
+
+
+CDC_CHUNKING_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w,
+         generate_subscripts(list_filter(str_split_regex(lower(text), '\s+'),
+                                         x -> x <> ''), 1) AS pos
+  FROM documents
+),
+h AS (SELECT doc_id, pos, {H.char_hash_sql('w')} AS h FROM tok),
+c AS (
+  SELECT doc_id, pos, h,
+         coalesce(sum(CASE WHEN h % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_id
+  FROM h
+),
+chunks AS (
+  SELECT doc_id, chunk_id, count(*) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY pos)),
+                     (a, x) -> (a * 1000003 + x) % {H.P}) AS chunk_fp
+  FROM c GROUP BY doc_id, chunk_id
+)
+SELECT chunk_fp, n_tokens,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM chunks
+GROUP BY chunk_fp, n_tokens
+ORDER BY n_occurrences DESC, chunk_fp ASC
+"""

@@ -3475,3 +3475,61 @@ GROUP BY word
 HAVING count(*) >= 2
 ORDER BY word
 """
+
+
+# ---------------------------------------------------------------------------
+# Multiset (ALL) set operations
+# ---------------------------------------------------------------------------
+
+def multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL with true bag semantics — the ALL
+    variants keep MULTIPLICITY (a customer with three URGENT and one
+    HIGH order contributes min(3,1)=1 row to the intersection and
+    3-1=2 rows to the difference), which the DISTINCT set ops
+    (set_ops_segments, intersect_segments) cannot express. Spark plans
+    both as aggregate-count + generate (replicate min/diff counts), not
+    a join-dedup.
+
+    Scale: two |customers|-cardinality aggregates; output counts bag
+    multiplicities, so no row explosion survives the final group-by.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    high = orders.where(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = urgent.intersectAll(high).select(
+        F.lit("intersect_all").alias("op"), "custkey"
+    )
+    only_urgent = urgent.exceptAll(high).select(
+        F.lit("except_all").alias("op"), "custkey"
+    )
+    return (
+        both.unionByName(only_urgent)
+        .groupBy("op", "custkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy("op", "custkey")
+    )
+
+
+MULTISET_SET_OPS_SQL = """
+WITH urgent AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+high AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+tagged AS (
+  SELECT 'intersect_all' AS op, custkey
+  FROM (SELECT custkey FROM urgent INTERSECT ALL SELECT custkey FROM high)
+  UNION ALL
+  SELECT 'except_all' AS op, custkey
+  FROM (SELECT custkey FROM urgent EXCEPT ALL SELECT custkey FROM high)
+)
+SELECT op, custkey, count(*) AS multiplicity
+FROM tagged
+GROUP BY op, custkey
+ORDER BY op, custkey
+"""

@@ -1943,3 +1943,16 @@ register(
     _ext.sql_table_function_word_count,
     _ext.SQL_TVF_WORD_COUNT_SQL,
 )
+
+# Multiset (ALL) set operations — bag semantics the DISTINCT variants
+# cannot express.
+register(
+    "multiset_set_ops", _ext.multiset_set_ops, _ext.MULTISET_SET_OPS_SQL
+)
+
+# Content-defined chunking: insertion-robust chunk boundaries from token
+# hashes (the rsync/FastCDC idea) + corpus-wide duplication profile.
+from ..operators.curation import cdc_chunking as _cdc  # noqa: E402
+from ..operators.curation import CDC_CHUNKING_SQL as _CDC_SQL  # noqa: E402
+
+register("cdc_chunking", _cdc, _CDC_SQL)

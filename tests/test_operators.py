@@ -934,3 +934,37 @@ def test_semantic_dedup_keeps_cell_minimum(spark, sf_dir):
     for cell_min in min_per_cell.values():
         assert kept[cell_min]
     assert any(not k for k in kept.values())
+
+
+def test_cdc_chunking_is_insertion_robust(spark):
+    """The property content-defined chunking exists for: inserting a
+    token at the FRONT of a document shifts every token position, yet
+    all chunk fingerprints except the one containing the insertion
+    survive — fixed-width chunking (span_dedup's layout) would remap
+    every boundary. Verified on a constructed pair of documents."""
+    from mapreduce_simulation_spark.operators.curation import _cdc_profile
+
+    # 'merge', 'column', 'query', 'big' hash to 0 mod CDC_DIVISOR — each
+    # group below ends at a content-defined boundary
+    base = (
+        "key agg row scan merge "
+        "slow fast table column "
+        "value part hash query "
+        "row fast spark big "
+        "the line sort window table key"
+    )
+    docs = spark.createDataFrame(
+        [(0, base), (1, "inserted " + base)],
+        "doc_id long, text string",
+    )
+    prof = _cdc_profile(docs).collect()
+    # recover per-doc fingerprint multisets from the profile
+    both = {r["chunk_fp"] for r in prof if r["n_docs"] == 2}
+    only = {r["chunk_fp"] for r in prof if r["n_docs"] == 1}
+    # every chunk is shared except the (≤2) chunks touched by the
+    # insertion: the original first chunk and its inserted-token variant
+    assert len(both) >= 2, "no chunk boundary survived the insertion"
+    assert len(only) <= 2, (
+        f"insertion remapped {len(only)} chunks — boundaries are not "
+        f"content-defined"
+    )
