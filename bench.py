@@ -77,6 +77,7 @@ EXTENDED = [
     "sole_blame_suppliers",
     "bm25_topk",
     "rrf_hybrid_topk",
+    "cdc_chunking",
 ]
 
 
