@@ -3533,3 +3533,73 @@ FROM tagged
 GROUP BY op, custkey
 ORDER BY op, custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic Python UDTF (analyze-time schema)
+# ---------------------------------------------------------------------------
+
+def polymorphic_udtf_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property extraction through a POLYMORPHIC Python UDTF: the
+    function's output schema is computed at analysis time by its
+    ``analyze`` staticmethod from a constant argument (the requested key
+    list) — the caller names the columns, the planner resolves them
+    statically, and the row schema is still fully typed. Completes the
+    UDTF story next to udtf_word_count (static schema) and
+    sql_table_function_word_count (SQL-defined, inlined).
+
+    The requested list includes a key absent from every event
+    ('missing') — the analyze-produced column materializes as NULLs,
+    which the aggregate pins (n_missing counts non-nulls, so 0).
+
+    Scale: the UDTF is a narrow per-row generator (Arrow-batched); the
+    only exchange is the k-value aggregate.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    class SplitProps:
+        @staticmethod
+        def analyze(*args):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            keys = args[1].value.split(",")
+            return AnalyzeResult(
+                StructType(
+                    [StructField(k, StringType()) for k in keys]
+                )
+            )
+
+        def eval(self, props, keys):
+            import json
+
+            d = json.loads(props) if props else {}
+            yield tuple(
+                None if d.get(k) is None else str(d.get(k))
+                for k in keys.split(",")
+            )
+
+    spark.udtf.register("split_props", udtf(SplitProps))
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_poly"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(s.k AS BIGINT) AS k_value,
+               count(*) AS n_events,
+               count(s.missing) AS n_missing
+        FROM events_poly e, LATERAL split_props(e.props, 'k,missing') s
+        GROUP BY 1
+        ORDER BY k_value
+        """
+    )
+
+
+POLYMORPHIC_UDTF_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       count(*) AS n_events,
+       CAST(0 AS BIGINT) AS n_missing
+FROM events
+GROUP BY 1
+ORDER BY k_value
+"""

@@ -1956,3 +1956,10 @@ from ..operators.curation import cdc_chunking as _cdc  # noqa: E402
 from ..operators.curation import CDC_CHUNKING_SQL as _CDC_SQL  # noqa: E402
 
 register("cdc_chunking", _cdc, _CDC_SQL)
+
+# Polymorphic Python UDTF: analyze-time schema from a constant argument.
+register(
+    "polymorphic_udtf_props",
+    _ext.polymorphic_udtf_props,
+    _ext.POLYMORPHIC_UDTF_SQL,
+)
