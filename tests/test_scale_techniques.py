@@ -249,3 +249,26 @@ def test_zorder_buckets_are_tight_in_both_dimensions(spark, sf_dir):
     for r in rows:
         assert (r["ck_hi"] - r["ck_lo"]) <= ck_range / 8 + 2, r
         assert (r["dy_hi"] - r["dy_lo"]) <= dy_range / 8 + 2, r
+
+
+def test_join_strategy_hints_select_physical_operators(spark, sf_dir):
+    """Join strategy hints are the per-query override when the planner's
+    size estimates are wrong at scale: each hint must map to its
+    physical operator — MERGE → SortMergeJoin, SHUFFLE_HASH →
+    ShuffledHashJoin, BROADCAST → BroadcastHashJoin — on the SAME
+    logical join (orders ⋈ customer, where customer would otherwise
+    auto-broadcast at this SF)."""
+    from mapreduce_simulation_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def plan_with(hint: str) -> str:
+        j = orders.join(
+            cust.hint(hint), orders.o_custkey == cust.c_custkey
+        )
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "SortMergeJoin" in plan_with("MERGE")
+    assert "ShuffledHashJoin" in plan_with("SHUFFLE_HASH")
+    assert "BroadcastHashJoin" in plan_with("BROADCAST")
