@@ -54,9 +54,10 @@ def main() -> int:
     qs = registry.queries()
     if listing:
         pat = args[0].lower() if args else ""
-        for name in qs:
+        for name, fn in qs.items():
             if pat in name.lower():
-                print(name)
+                doc = (fn.__doc__ or "").strip().split("\n")[0]
+                print(f"{name:40s} {doc}")
         return 0
     if not args:
         print(__doc__)
