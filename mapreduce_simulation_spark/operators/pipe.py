@@ -157,3 +157,30 @@ def pipe_grep(
 def _split_kv(line: str) -> tuple[str, str]:
     key, _, value = line.partition("\t")
     return key, value
+
+
+def submit_job(
+    spark,
+    input_directory: str,
+    output_directory: str,
+    mapper: str,
+    reducer: str,
+    num_mappers: int = 4,
+    num_reducers: int = 4,
+) -> None:
+    """The reference's whole job contract in one call (submit.py:18-60
+    flag semantics): text-dir scan with an ``num_mappers`` split floor,
+    executable map, md5-mod partition + byte-sort, executable reduce,
+    ``num_reducers`` tab-separated part files into a fresh output
+    directory. tools/mr_submit.py is the CLI wrapper; golden byte-parity
+    with the reference's shipped outputs is asserted in
+    tests/test_reference_goldens.py.
+    """
+    from ..sources.sinks import write_part_files
+    from ..sources.text_dir import read_text_dir
+
+    lines = read_text_dir(spark, input_directory, min_partitions=num_mappers)
+    mapped = pipe_map(lines, mapper)
+    reduced = pipe_reduce(mapped, reducer, num_reducers)
+    out = reduced.selectExpr("concat(key, '\t', value) AS value")
+    write_part_files(out, output_directory, num_reducers)

@@ -115,3 +115,27 @@ def test_whitespace_only_line_parity(spark):
     reduced = pipe_reduce(mapped, WC_REDUCER, num_partitions=1)
     out = {r.key: r.value for r in reduced.collect()}
     assert out == {"": "3", "a": "1", "b": "1"}
+
+
+def test_submit_job_cli_contract_golden_parity(spark, tmp_path):
+    """The full submit contract (input dir + mapper/reducer executables +
+    nmappers/nreducers → part files) reproduces the reference's golden
+    wordcount byte-for-byte — the drop-in path a migrating user's
+    `mapreduce-submit` scripts take through tools/mr_submit.py."""
+    from mapreduce_simulation_spark.operators.pipe import submit_job
+
+    out = str(tmp_path / "out")
+    submit_job(
+        spark,
+        os.path.join(GOLDENS, "input"),
+        out,
+        WC_MAPPER,
+        WC_REDUCER,
+        num_mappers=2,
+        num_reducers=1,
+    )
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert len(parts) == 1
+    with open(os.path.join(out, parts[0]), encoding="utf-8") as fh:
+        got = sorted(fh.read().splitlines())
+    assert got == sorted(_golden("word_count_correct.txt"))
