@@ -611,11 +611,16 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     big = _doc_bigrams(docs)
+    # log2 rounded to 6 decimals per LM row, then decimal-accumulated:
+    # exact and order-independent across engines (a raw double sum's
+    # partial-aggregation order differs between Spark and DuckDB, and the
+    # ulp noise can flip the 6-decimal comparison on boundary values —
+    # the lm_perplexity_score discipline).
     lm = _bigram_lm(docs).select(
         "w1",
         "w2",
-        F.log2(
-            F.col("pair_n").cast("double") / F.col("prefix_n")
+        F.round(
+            F.log2(F.col("pair_n").cast("double") / F.col("prefix_n")), 6
         ).alias("log2p"),
     )
     per_doc = (
@@ -624,7 +629,9 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.count("log2p").alias("n_in_lm"),
-            F.sum("log2p").alias("s_log2p"),
+            F.sum(F.col("log2p").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s_log2p"),
         )
     )
     n_oov = F.col("n_bigrams") - F.col("n_in_lm")
@@ -665,7 +672,7 @@ pair AS (SELECT w1, w2, count(*) AS pair_n FROM big GROUP BY w1, w2),
 prefix AS (SELECT w1, sum(pair_n) AS prefix_n FROM pair GROUP BY w1),
 lm AS (
   SELECT p.w1, p.w2,
-         log2(CAST(p.pair_n AS DOUBLE) / x.prefix_n) AS log2p
+         round(log2(CAST(p.pair_n AS DOUBLE) / x.prefix_n), 6) AS log2p
   FROM pair p JOIN prefix x USING (w1)
   WHERE p.pair_n >= {LM_MIN_COUNT}
 ),
@@ -673,7 +680,7 @@ per_doc AS (
   SELECT b.doc_id,
          count(*) AS n_bigrams,
          count(l.log2p) AS n_in_lm,
-         sum(l.log2p) AS s_log2p
+         CAST(sum(CAST(l.log2p AS DECIMAL(18,6))) AS DOUBLE) AS s_log2p
   FROM big b LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
   GROUP BY b.doc_id
 )
@@ -1412,21 +1419,17 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     terms = big.join(F.broadcast(wtab), "bucket").select(
-        "doc_id", "pos", "logw"
+        "doc_id", "logw"
     )
-    summed = F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "logw"))),
-            lambda s: s["logw"],
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # round-6 grid values decimal-accumulate exactly (order-free) — the
+    # sum IS the grid value, no fold or final rounding needed.
     return (
         terms.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(summed, 6).alias("log_weight"),
+            F.sum(F.col("logw").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("log_weight"),
         )
         .orderBy("doc_id")
     )
@@ -1470,8 +1473,7 @@ terms AS (
 )
 SELECT doc_id,
        count(*) AS n_bigrams,
-       round(list_reduce(list_prepend(0.0, list(logw ORDER BY pos)),
-                         (a, b) -> a + b), 6) AS log_weight
+       CAST(sum(CAST(logw AS DECIMAL(18,6))) AS DOUBLE) AS log_weight
 FROM terms
 GROUP BY doc_id
 ORDER BY doc_id
@@ -1759,10 +1761,16 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The LM is the add-one bigram model of text.lm_perplexity_score, keyed
     by lang everywhere (c12 per (lang,w1,w2); c1 per (lang,w1); V per
-    lang), under the same cross-engine exactness discipline: per-term ln
-    rounded to 6 decimals BEFORE aggregation, per-doc sum as an
-    order-pinned strict fold over the position-sorted term list, final
-    average rounded to 6. Ties banded by (avg_nll, doc_id).
+    lang), under the cross-engine exactness discipline: per-term ln
+    rounded to 6 decimals, then DECIMAL-accumulated (exact and
+    order-free) and divided once — the raw quotient is bit-identical in
+    both engines and is emitted UNROUNDED, because re-rounding an
+    average of grid values is exactly where the engines' round()
+    algorithms can disagree (an avg of round-6 terms lands ON the
+    x.xxxxxx5 boundary whenever the term-sum's last digit does — found
+    at sf0.1: 67.62737/20 rounded to 3.381368 in Spark's
+    BigDecimal-HALF_UP but 3.381369 in DuckDB's scale-multiply).
+    Ties banded by (avg_nll, doc_id).
 
     Scale: the LM tables are per-language type tables (still sublinear in
     corpus); (lang,w1) counts and per-lang V broadcast, the bigram join
@@ -1804,19 +1812,14 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.join(c12, ["lang", "w1", "w2"])
         .join(F.broadcast(c1), ["lang", "w1"])
         .join(F.broadcast(v), "lang")
-        .select("doc_id", "lang", "pos", nll.alias("nll"))
-    )
-    summed = F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "nll"))),
-            lambda s: s["nll"],
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        .select("doc_id", "lang", nll.alias("nll"))
     )
     scored = terms.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(summed / F.count(F.lit(1)), 6).alias("avg_nll"),
+        (
+            F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_nll"),
     )
     banded = with_distributed_grouped_ntile(
         scored,
@@ -1861,7 +1864,7 @@ c12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM big2 GROUP BY lang, w1, w2),
 c1 AS (SELECT lang, w1, count(*) AS c1 FROM tok GROUP BY lang, w1),
 v AS (SELECT lang, count(DISTINCT w1) AS v FROM tok GROUP BY lang),
 terms AS (
-  SELECT b.doc_id, b.lang, b.pos,
+  SELECT b.doc_id, b.lang,
          -round(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6) AS nll
   FROM big2 b
   JOIN c12 ON c12.lang = b.lang AND c12.w1 = b.w1 AND c12.w2 = b.w2
@@ -1871,8 +1874,8 @@ terms AS (
 scored AS (
   SELECT doc_id, lang,
          count(*) AS n_bigrams,
-         round(list_reduce(list_prepend(0.0, list(nll ORDER BY pos)),
-                           (a, b) -> a + b) / count(*), 6) AS avg_nll
+         CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+           AS avg_nll
   FROM terms
   GROUP BY doc_id, lang
 ),

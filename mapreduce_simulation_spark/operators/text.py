@@ -429,15 +429,17 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ROUNDED TO 6 DECIMALS per term before any aggregation — a 1-ulp
     libm disagreement between Java's Math.log and DuckDB's ln flips a
     round-6 value only when the true ln sits within ~1e-16 of a rounding
-    boundary. The per-doc sum is an order-pinned strict fold over the
-    position-sorted term list (the dot-product pattern from
-    operators/similarity.py), so float addition order is identical on
-    both engines.
+    boundary. The round-6 terms are then DECIMAL-accumulated (exact and
+    order-independent) and divided once; the raw quotient is emitted
+    UNROUNDED — re-rounding an average of grid values is where the
+    engines' round() algorithms genuinely disagree (an avg of round-6
+    terms sits exactly ON the x.xxxxxx5 boundary whenever the term-sum's
+    last digit pattern divides that way; observed at sf0.1 in the ccnet
+    twin: 67.62737/20 → Spark 3.381368, DuckDB 3.381369).
 
     Scale: the LM tables are type tables (|vocab| and |bigram types|,
     sublinear in corpus); c1 and V broadcast, the bigram-count join keys
-    on the word pair. Per-doc collect_list is bounded by document length,
-    never corpus-wide.
+    on the word pair.
     """
     docs = load_table(spark, sf_dir, "documents")
     # tok feeds three branches (bigrams, c1, V) and the bigram frame two
@@ -467,21 +469,16 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.join(c12, ["w1", "w2"])
         .join(F.broadcast(c1), "w1")
         .crossJoin(F.broadcast(v))
-        .select("doc_id", "pos", nll.alias("nll"))
-    )
-    summed = F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "nll"))),
-            lambda s: s["nll"],
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        .select("doc_id", nll.alias("nll"))
     )
     return (
         terms.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(summed / F.count(F.lit(1)), 6).alias("avg_nll"),
+            (
+                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_nll"),
         )
         .orderBy("doc_id")
     )
@@ -515,8 +512,8 @@ terms AS (
 )
 SELECT doc_id,
        count(*) AS n_bigrams,
-       round(list_reduce(list_prepend(0.0, list(nll ORDER BY pos)),
-                         (a, b) -> a + b) / count(*), 6) AS avg_nll
+       CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         AS avg_nll
 FROM terms
 GROUP BY doc_id
 ORDER BY doc_id
