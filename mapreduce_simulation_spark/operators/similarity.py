@@ -1074,7 +1074,9 @@ def centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 decimals (the established cross-engine-safe rounding),
     and cast to DECIMAL(18,6); the per-(label, dim) SUM is then exact and
     order-free on both engines, and the mean is one double division
-    rounded to 6. Distances fold component-wise over the index-ordered
+    emitted UNROUNDED (re-rounding an average of grid values is where the
+    engines' round() algorithms disagree — the ccnet boundary class,
+    observed here at sf0.1). Distances fold component-wise over the index-ordered
     zip (the strict-left-fold dot-product discipline above), rounded to 6
     before the argmin; ties break toward the smaller label.
 
@@ -1098,10 +1100,14 @@ def centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         comp.groupBy("label", "dim")
         .agg(
-            F.round(
+            # decimal sum is exact; the raw quotient is bit-identical in
+            # both engines and is NOT re-rounded — an average of round-6
+            # grid values can land exactly on the x.xxxxxx5 boundary,
+            # where Spark's and DuckDB's round() disagree (found at
+            # sf0.1, same failure class as ccnet_perplexity_buckets).
+            (
                 F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("cval")
         )
         .groupBy("label")
@@ -1152,8 +1158,8 @@ comp AS (
 ),
 cent AS (
   SELECT label AS clabel, dim,
-         round(CAST(sum(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE)
-               / count(*), 6) AS cval
+         CAST(sum(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS cval
   FROM comp GROUP BY label, dim
 ),
 carr AS (
