@@ -55,3 +55,43 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert _multiset(srows, scols) == _multiset(orows, ocols), (
         f"{name}: value multisets differ"
     )
+
+
+BIT_EXACT = [
+    "lm_perplexity_score",
+    "ccnet_perplexity_buckets",
+    "dsir_importance",
+    "bigram_perplexity",
+    "centroid_classify",
+]
+
+
+@pytest.mark.parametrize("name", BIT_EXACT)
+def test_decimal_accumulated_scores_are_bit_identical(name, spark, duck, sf_dir):
+    """The round-5 rounding-divergence fixes (decimal-accumulate round-6
+    terms, emit the raw quotient) promise BIT-identical doubles across
+    engines — not just 6-decimal-display equality. Compare at full repr
+    precision so a reintroduced re-round (or a raw float sum) fails here
+    even when it happens to survive the display-rounded multiset check."""
+    fn = registry.queries()[name]
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(registry.oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+
+    def strict(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = []
+        for r in rows:
+            out.append("|".join(
+                repr(r[i]) if isinstance(r[i], float) else str(r[i])
+                for i in order
+            ))
+        return sorted(out)
+
+    assert strict(srows, scols) == strict(orows, ocols), (
+        f"{name}: full-precision value mismatch — a cross-engine rounding "
+        f"divergence was reintroduced"
+    )
