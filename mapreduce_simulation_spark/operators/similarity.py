@@ -368,7 +368,10 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus; queries probe only their own bucket, then re-score exactly.
 
     Shuffle volume: |corpus| rows keyed by an 8-bit bucket — corpus×corpus
-    never materializes. Misses are possible (no oracle; rows-only check).
+    never materializes. "Approximate" describes recall vs brute force;
+    the PROCEDURE is fully deterministic (dyadic-rational planes, strict-
+    fold sign bits, exact candidate re-score), so LSH_TOPK_SQL reproduces
+    the output exactly and this query carries a full oracle.
     """
     corpus = _corpus_with_norm(spark, sf_dir)
     planes = _hyperplanes()
@@ -402,6 +405,60 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# Exact oracle for lsh_topk: the procedure is fully deterministic (LCG
+# hyperplanes are dyadic rationals, sign bits from the same strict-fold
+# dot product, exact re-score on candidates), so "approximate" only
+# describes recall vs brute force — the OUTPUT is exactly reproducible.
+# Regenerates the 8 planes with a recursive CTE and replays bucket
+# assignment, the same-bucket probe, and the top-k rank.
+LSH_TOPK_SQL = f"""
+WITH RECURSIVE lcg(i, state) AS (
+  SELECT 1, (CAST(1234567 AS BIGINT) * 1103515245 + 12345) % 2147483648
+  UNION ALL
+  SELECT i + 1, (state * 1103515245 + 12345) % 2147483648
+  FROM lcg WHERE i < {N_HYPERPLANES * EMBED_DIM}
+),
+planes AS (
+  SELECT (i - 1) // {EMBED_DIM} AS p,
+         list(state / 2147483648.0 - 0.5 ORDER BY i) AS plane
+  FROM lcg GROUP BY 1
+),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+),
+sig AS (
+  SELECT n.vec_id,
+         CAST(sum(CASE WHEN {_DOT_SQL_TMPL.format(a='n.v', b='pl.plane')} > 0
+                       THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM n CROSS JOIN planes pl
+  GROUP BY n.vec_id
+),
+b AS (SELECT n.vec_id, n.v, n.nrm, s.bucket FROM n JOIN sig s USING (vec_id)),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_SQL_TMPL.format(a='q.v', b='c.v')}
+               / (q.nrm * c.nrm), 6) AS cosine
+  FROM b q JOIN b c
+    ON q.vec_id < {N_QUERIES} AND c.bucket = q.bucket
+   AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored)
+WHERE rk <= {TOP_K}
+"""
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -651,7 +651,9 @@ register(
 # in tests (the stronger property for an ANN operator).
 register("similarity_ivf_trained_topk", similarity.ivf_trained_topk, None)
 # Approximate by construction (LSH may miss) → rows-only driver check.
-register("similarity_lsh_topk", similarity.lsh_topk, None)
+register(
+    "similarity_lsh_topk", similarity.lsh_topk, similarity.LSH_TOPK_SQL
+)
 # IVF is approximate vs brute force but its *procedure* is deterministic,
 # so the oracle replicates the full algorithm (assign → probe → re-score).
 register("similarity_ivf_topk", similarity.ivf_topk, similarity.IVF_TOPK_SQL)
