@@ -19,6 +19,14 @@ custom format a migrating user still has on disk. For formats Spark
 already speaks (text/CSV/JSON/parquet/ORC), the built-in sources remain
 the fast path — `as_kv` over `spark.read.text` stays the recommended
 route for hot queries because the whole parse then lives in codegen.
+
+Filesystem contract: tasks write temp files where they RUN and commit()
+renames on the DRIVER, so the output path must be a SHARED filesystem
+(NFS, fuse-mounted object store) on a multi-host cluster — the same
+assumption every Hadoop file committer makes, and exactly what the
+reference assumes of its output_directory (single host there). The
+local-cluster test exercises the cross-process half (separate executor
+JVMs on one box, tests/test_local_cluster_connectors.py).
 """
 
 from __future__ import annotations
