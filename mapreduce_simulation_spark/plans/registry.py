@@ -63,9 +63,14 @@ _PROMOTE = (
 # banding + dedup), ccnet_perplexity_buckets (grouped distributed ntile),
 # mmr_rerank (diversified rerank), runtime_filtered_join (bloom-pruned
 # shuffle join), centroid_classify (oracle-exact ML inference), plus the
-# third wave: sole_blame_suppliers (Q21 EXISTS/NOT-EXISTS collapse),
+# later waves: sole_blame_suppliers (Q21 EXISTS/NOT-EXISTS collapse),
 # not_in_customers (null-aware anti join), bm25_topk or rrf_hybrid_topk
-# (sparse/hybrid retrieval) —
+# (sparse/hybrid retrieval), streaming_custom_source_rollup or
+# streaming_kvtext_sink_roundtrip (custom streaming connector loop),
+# cdc_chunking (content-defined chunking), sql_udf_pricing or
+# sql_table_function_word_count (SQL-defined function tiers),
+# polymorphic_udtf_props (analyze-time UDTF schema), multiset_set_ops
+# (INTERSECT/EXCEPT ALL), similarity_lsh_topk (now oracle-exact) —
 # demoting in exchange: identity_projection, left_outer_order_counts,
 # set_ops_segments, monthly_revenue, broadcast_dim_join, top_orders,
 # running_order_totals, rollup_revenue (all single-mechanism rows whose
