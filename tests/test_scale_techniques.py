@@ -272,3 +272,35 @@ def test_join_strategy_hints_select_physical_operators(spark, sf_dir):
     assert "SortMergeJoin" in plan_with("MERGE")
     assert "ShuffledHashJoin" in plan_with("SHUFFLE_HASH")
     assert "BroadcastHashJoin" in plan_with("BROADCAST")
+
+
+def test_max_partition_bytes_controls_scan_splits(spark, sf_dir, tmp_path):
+    """spark.sql.files.maxPartitionBytes is the num_mappers knob for
+    columnar scans (SURVEY S2: the reference packs whole files into
+    --nmappers tasks; Spark packs by bytes): shrinking it must raise the
+    scan's partition count on the same file, and the result must not
+    change."""
+    from mapreduce_simulation_spark.tables import load_table
+
+    stage = str(tmp_path / "one_file")
+    load_table(spark, sf_dir, "lineitem").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        wide = spark.read.parquet(stage)
+        n_wide = wide.rdd.getNumPartitions()
+        total = wide.count()
+
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        narrow = spark.read.parquet(stage)
+        n_narrow = narrow.rdd.getNumPartitions()
+        assert n_narrow > n_wide, (
+            f"smaller maxPartitionBytes did not add splits "
+            f"({n_wide} -> {n_narrow})"
+        )
+        assert narrow.count() == total  # split boundaries lose nothing
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
