@@ -53,29 +53,42 @@ _PROMOTE = (
     "asof_join_purchases",      # as-of (range) join family
     "pandas_grouped_agg_median",  # GROUPED_AGG pandas UDF tier
     "xml_source_customers",     # XML source family
+    # round-6 cohort: one representative per family still outside the window
+    "streaming_upsert_profiles",  # foreachBatch MERGE-style upsert sink
+    "substring_dedup_spans",      # stride-1 substring (span) dedup
+    "semantic_dedup",             # SemDeDup embedding-cell dedup
+    "curation_pipeline_v2",       # composite Gopher+CCNet+dedup pipeline
+    "ccnet_perplexity_buckets",   # grouped distributed ntile
+    "sole_blame_suppliers",       # TPC-H Q21 EXISTS/NOT-EXISTS collapse
+    "bm25_topk",                  # sparse retrieval (BM25)
+    "cdc_chunking",               # content-defined chunking
+    "sql_table_function_word_count",  # SQL-defined table function tier
+    "polymorphic_udtf_props",     # analyze-time polymorphic UDTF schema
 )
-# Round-6 rotation candidates (for the next window swap, NOT applied now —
-# the current window is frozen by test_schema_contract and r5-gated):
-# promote one representative per family that gained operators this round —
-# streaming_upsert_profiles (foreachBatch sink), substring_dedup_spans
-# (stride-1 substring dedup), semantic_dedup (embedding-cell dedup),
-# curation_pipeline_v2 (the round-5 composite: Gopher rules + CCNet
-# banding + dedup), ccnet_perplexity_buckets (grouped distributed ntile),
+# Round-7 rotation candidates (for the next window swap, NOT applied now):
 # mmr_rerank (diversified rerank), runtime_filtered_join (bloom-pruned
-# shuffle join), centroid_classify (oracle-exact ML inference), plus the
-# later waves: sole_blame_suppliers (Q21 EXISTS/NOT-EXISTS collapse),
-# not_in_customers (null-aware anti join), bm25_topk or rrf_hybrid_topk
-# (sparse/hybrid retrieval), streaming_custom_source_rollup or
-# streaming_kvtext_sink_roundtrip (custom streaming connector loop),
-# cdc_chunking (content-defined chunking), sql_udf_pricing or
-# sql_table_function_word_count (SQL-defined function tiers),
-# polymorphic_udtf_props (analyze-time UDTF schema), multiset_set_ops
-# (INTERSECT/EXCEPT ALL), similarity_lsh_topk (now oracle-exact) —
-# demoting in exchange: identity_projection, left_outer_order_counts,
-# set_ops_segments, monthly_revenue, broadcast_dim_join, top_orders,
-# running_order_totals, rollup_revenue (all single-mechanism rows whose
-# families already have driver-green twins).
+# shuffle join), centroid_classify (oracle-exact ML inference),
+# not_in_customers (null-aware anti join), rrf_hybrid_topk (hybrid
+# retrieval), streaming_custom_source_rollup / streaming_kvtext_sink_
+# roundtrip (custom streaming connector loop), sql_udf_pricing (SQL scalar
+# UDF), multiset_set_ops (INTERSECT/EXCEPT ALL), similarity_lsh_topk
+# (oracle-exact hyperplane LSH), gopher_quality_rules, dsir_importance,
+# lm_perplexity_score — demoting in exchange the remaining r4-green
+# single-mechanism rows (semi_join_customers, shipping_priority,
+# events_daily, grouping_sets_revenue, …).
 _DEMOTE = (
+    # round-6 demotions: single-mechanism rows whose families already have
+    # driver-green twins (each remains verified by tests + verify_local)
+    "identity_projection",       # trivial projection; scan family green
+    "left_outer_order_counts",   # join family: semi/anti/asof/bucketed green
+    "set_ops_segments",          # set-op family; multiset twin local-green
+    "monthly_revenue",           # scalar-fn family green via pricing_summary
+    "broadcast_dim_join",        # join-strategy twin of bucketed_join_revenue
+    "top_orders",                # top-k twin of shipping_priority
+    "running_order_totals",      # window family green via window_top_customers
+    "rollup_revenue",            # agg family green via grouping_sets_revenue
+    "anti_join_customers",       # 0-row result = weak hash evidence; semi green
+    "text_normalize",            # text family keeps 4 greener representatives
     "constant_key_collapse",         # scalar-fn row covered by monthly_revenue
     "union_sources",                 # covered by set_ops/schema_evolution_union
     "dedup_connected_components_stars",  # twin of dedup_connected_components

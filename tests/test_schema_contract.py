@@ -113,7 +113,7 @@ def test_loaded_schema_matches_contract(spark, sf_dir, table):
 # registry._PROMOTE/_DEMOTE) must update this list deliberately.
 # ---------------------------------------------------------------------------
 
-DRIVER_WINDOW_R5 = [
+DRIVER_WINDOW_R6 = [
     "pipe_word_count",
     "pipe_grep",
     "streaming_events_hourly",
@@ -124,28 +124,28 @@ DRIVER_WINDOW_R5 = [
     "asof_join_purchases",
     "pandas_grouped_agg_median",
     "xml_source_customers",
+    "streaming_upsert_profiles",
+    "substring_dedup_spans",
+    "semantic_dedup",
+    "curation_pipeline_v2",
+    "ccnet_perplexity_buckets",
+    "sole_blame_suppliers",
+    "bm25_topk",
+    "cdc_chunking",
+    "sql_table_function_word_count",
+    "polymorphic_udtf_props",
     "word_count",
-    "identity_projection",
     "pricing_summary",
     "revenue_by_nation",
-    "top_orders",
     "shipping_priority",
     "semi_join_customers",
-    "anti_join_customers",
-    "left_outer_order_counts",
     "window_top_customers",
-    "running_order_totals",
-    "set_ops_segments",
-    "monthly_revenue",
-    "rollup_revenue",
-    "broadcast_dim_join",
     "events_daily",
     "sessionize_events",
     "training_data_pipeline",
     "text_stats",
     "quality_score",
     "lang_id",
-    "text_normalize",
     "doc_fingerprint",
     "token_count_bpe",
     "dedup_exact",
@@ -171,11 +171,11 @@ def test_driver_hash_window_is_frozen():
     from mapreduce_simulation_spark.plans import registry
 
     got = list(registry.queries())[:50]
-    assert got == DRIVER_WINDOW_R5, (
+    assert got == DRIVER_WINDOW_R6, (
         "the driver's first-50 hash window shifted — if this is an intended "
-        "promotion/demotion, update DRIVER_WINDOW_R5; otherwise find the "
+        "promotion/demotion, update DRIVER_WINDOW_R6; otherwise find the "
         "import/registration reorder that moved it.\n"
-        f"got:  {got}\nwant: {DRIVER_WINDOW_R5}"
+        f"got:  {got}\nwant: {DRIVER_WINDOW_R6}"
     )
 
 
@@ -183,7 +183,7 @@ def test_driver_window_queries_all_have_oracles():
     from mapreduce_simulation_spark.plans import registry
 
     oracles = registry.oracle_sql()
-    missing = [n for n in DRIVER_WINDOW_R5 if n not in oracles]
+    missing = [n for n in DRIVER_WINDOW_R6 if n not in oracles]
     assert missing == [], (
         f"driver-window queries without an exact oracle: {missing} — the "
         "gate would fall back to the weaker rows-only check"
