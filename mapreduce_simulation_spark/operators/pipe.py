@@ -62,13 +62,14 @@ def pipe_map(df: DataFrame, command: str) -> DataFrame:
     return spark.createDataFrame(kv, "key string, value string")
 
 
-def pipe_reduce(df: DataFrame, command: str, num_partitions: int) -> DataFrame:
-    """Run an executable over sorted, key-partitioned lines (reducer
-    contract): md5-mod partition on key → byte-sort within partition →
-    one process per partition consuming `key\\tvalue` lines with contiguous
-    key groups.
+def pipe_reduce_lines(df: DataFrame, command: str, num_partitions: int):
+    """Reducer contract, returning the raw output-line RDD with the
+    reference's partition placement intact: partition ``i`` of the returned
+    RDD holds exactly what reducer ``i`` printed, in print order.
+
+    Use this when the *placement* is part of the contract (submit_job's
+    part files); use :func:`pipe_reduce` when only the rows matter.
     """
-    spark = df.sparkSession
     kv = df.select(
         F.col(df.columns[0]).cast("string").alias("key"),
         F.col(df.columns[1]).cast("string").alias("value"),
@@ -84,7 +85,17 @@ def pipe_reduce(df: DataFrame, command: str, num_partitions: int) -> DataFrame:
         keyfunc=lambda kv_key: f"{kv_key[0]}\t{kv_key[1]}",
     )
     sorted_lines = parted.map(lambda pair: f"{pair[0][0]}\t{pair[0][1]}")
-    piped = sorted_lines.pipe(command)
+    return sorted_lines.pipe(command)
+
+
+def pipe_reduce(df: DataFrame, command: str, num_partitions: int) -> DataFrame:
+    """Run an executable over sorted, key-partitioned lines (reducer
+    contract): md5-mod partition on key → byte-sort within partition →
+    one process per partition consuming `key\\tvalue` lines with contiguous
+    key groups.
+    """
+    spark = df.sparkSession
+    piped = pipe_reduce_lines(df, command, num_partitions)
     out = piped.map(lambda line: Row(*_split_kv(line)))
     return spark.createDataFrame(out, "key string, value string")
 
@@ -175,12 +186,26 @@ def submit_job(
     directory. tools/mr_submit.py is the CLI wrapper; golden byte-parity
     with the reference's shipped outputs is asserted in
     tests/test_reference_goldens.py.
+
+    File-placement contract: ``part-0000i`` holds VERBATIM what reducer
+    ``i`` (the md5-mod partition, worker/__main__.py:62-65) printed, in
+    print order — byte-identical to the reference's part files, not merely
+    content-equal. The output RDD's partitions are written directly
+    (saveAsTextFile, one task per reducer partition); no repartition sits
+    between the reducer and the sink. Empty reducer partitions still
+    produce their (empty) part file, matching the reference.
     """
-    from ..sources.sinks import write_part_files
     from ..sources.text_dir import read_text_dir
 
     lines = read_text_dir(spark, input_directory, min_partitions=num_mappers)
     mapped = pipe_map(lines, mapper)
-    reduced = pipe_reduce(mapped, reducer, num_reducers)
-    out = reduced.selectExpr("concat(key, '\t', value) AS value")
-    write_part_files(out, output_directory, num_reducers)
+    out_lines = pipe_reduce_lines(mapped, reducer, num_reducers)
+    # The reference manager rmtree+recreates the output dir per job
+    # (manager/__main__.py:344-355); the Hadoop FS delete is the
+    # cluster-correct equivalent (works for file://, hdfs://, s3a://).
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(output_directory)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    out_lines.saveAsTextFile(output_directory)

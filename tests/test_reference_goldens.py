@@ -121,7 +121,11 @@ def test_submit_job_cli_contract_golden_parity(spark, tmp_path):
     """The full submit contract (input dir + mapper/reducer executables +
     nmappers/nreducers → part files) reproduces the reference's golden
     wordcount byte-for-byte — the drop-in path a migrating user's
-    `mapreduce-submit` scripts take through tools/mr_submit.py."""
+    `mapreduce-submit` scripts take through tools/mr_submit.py.
+
+    Deliberately UNSORTED comparison: the file must hold the single
+    reducer's byte-sorted output in the reducer's print order, exactly as
+    the reference writes part-00000."""
     from mapreduce_simulation_spark.operators.pipe import submit_job
 
     out = str(tmp_path / "out")
@@ -135,7 +139,38 @@ def test_submit_job_cli_contract_golden_parity(spark, tmp_path):
         num_reducers=1,
     )
     parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
-    assert len(parts) == 1
+    assert parts == ["part-00000"]
     with open(os.path.join(out, parts[0]), encoding="utf-8") as fh:
-        got = sorted(fh.read().splitlines())
-    assert got == sorted(_golden("word_count_correct.txt"))
+        got = fh.read().splitlines()
+    assert got == _golden("word_count_correct.txt")
+
+
+def test_submit_job_key_to_file_placement(spark, tmp_path):
+    """With num_reducers=2 each part file must hold exactly the keys whose
+    md5-mod hash maps to its reducer (worker/__main__.py:62-65), each file
+    byte-sorted — the documented placement a user diffing against reference
+    output relies on."""
+    from mapreduce_simulation_spark.operators.pipe import _md5_mod, submit_job
+
+    out = str(tmp_path / "out2")
+    submit_job(
+        spark,
+        os.path.join(GOLDENS, "input"),
+        out,
+        WC_MAPPER,
+        WC_REDUCER,
+        num_mappers=2,
+        num_reducers=2,
+    )
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert parts == ["part-00000", "part-00001"]
+    seen: list[str] = []
+    for i, name in enumerate(parts):
+        with open(os.path.join(out, name), encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+        assert lines == sorted(lines), f"{name} not byte-sorted"
+        for line in lines:
+            key = line.partition("\t")[0]
+            assert _md5_mod(key, 2) == i, f"key {key!r} misplaced in {name}"
+        seen.extend(lines)
+    assert sorted(seen) == sorted(_golden("word_count_correct.txt"))
