@@ -560,12 +560,19 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = tokens(F.col("text"))
     nw = F.size(ws)
-    mean_wlen = F.round(
-        F.aggregate(
-            ws, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        ).cast("double")
-        / nw,
-        6,
+    # Zero-token guard: ratios are NULL (not x/0) for empty documents, and
+    # the rules below coalesce to false — Spark with ANSI off yields NULL
+    # for the division while DuckDB's IEEE mode yields inf/nan, so an
+    # unguarded ratio diverges cross-engine on real corpora with empty docs.
+    mean_wlen = F.when(
+        nw > 0,
+        F.round(
+            F.aggregate(
+                ws, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            / nw,
+            6,
+        ),
     )
     top_cnt = F.array_max(
         F.transform(
@@ -573,23 +580,29 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda w: F.size(F.filter(ws, lambda x: x == w)),
         )
     )
-    top_share = F.round(top_cnt.cast("double") / nw, 6)
+    top_share = F.when(nw > 0, F.round(top_cnt.cast("double") / nw, 6))
     n_stop = F.size(
         F.array_intersect(
             F.array_distinct(ws), F.array(*[F.lit(s) for s in STOPWORDS])
         )
     )
-    alpha_frac = F.round(
-        F.size(F.filter(ws, lambda x: x.rlike("[a-z]"))).cast("double") / nw,
-        6,
+    alpha_frac = F.when(
+        nw > 0,
+        F.round(
+            F.size(F.filter(ws, lambda x: x.rlike("[a-z]"))).cast("double")
+            / nw,
+            6,
+        ),
     )
     r_words = (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)
-    r_wlen = (mean_wlen >= GOPHER_MIN_MEAN_WLEN) & (
-        mean_wlen <= GOPHER_MAX_MEAN_WLEN
+    r_wlen = F.coalesce(
+        (mean_wlen >= GOPHER_MIN_MEAN_WLEN)
+        & (mean_wlen <= GOPHER_MAX_MEAN_WLEN),
+        F.lit(False),
     )
     r_stop = n_stop >= GOPHER_MIN_STOPWORDS
-    r_rep = top_share <= GOPHER_MAX_TOP_SHARE
-    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_rep = F.coalesce(top_share <= GOPHER_MAX_TOP_SHARE, F.lit(False))
+    r_alpha = F.coalesce(alpha_frac >= GOPHER_MIN_ALPHA_FRAC, F.lit(False))
     return docs.select(
         "doc_id",
         nw.alias("n_words"),
@@ -612,35 +625,46 @@ WITH t AS (
   FROM documents
 ),
 m AS (
+  -- Zero-token guard mirrors the Spark plan: NULL ratios for empty docs
+  -- (DuckDB's IEEE division would otherwise yield inf/nan), rules
+  -- coalesced to false.
   SELECT doc_id,
          len(ws) AS n_words,
-         round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 list_transform(ws, x -> CAST(len(x) AS BIGINT))),
-                 (a, b) -> a + b) AS DOUBLE) / len(ws), 6) AS mean_word_len,
-         round(CAST(list_max(list_transform(list_distinct(ws),
-                 w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
-               / len(ws), 6) AS top_token_share,
+         CASE WHEN len(ws) > 0 THEN
+           round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(ws, x -> CAST(len(x) AS BIGINT))),
+                   (a, b) -> a + b) AS DOUBLE) / len(ws), 6)
+         END AS mean_word_len,
+         CASE WHEN len(ws) > 0 THEN
+           round(CAST(list_max(list_transform(list_distinct(ws),
+                   w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+                 / len(ws), 6)
+         END AS top_token_share,
          len(list_intersect(list_distinct(ws),
              ['the','a','an','and','or','of','to','in','is','it']))
            AS n_stopwords,
-         round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
-               AS DOUBLE) / len(ws), 6) AS alpha_frac
+         CASE WHEN len(ws) > 0 THEN
+           round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                 AS DOUBLE) / len(ws), 6)
+         END AS alpha_frac
   FROM t
 )
 SELECT doc_id, n_words, mean_word_len, top_token_share, n_stopwords,
        (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
          AS rule_word_count,
-       (mean_word_len >= {GOPHER_MIN_MEAN_WLEN}
-        AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN}) AS rule_mean_word_len,
+       coalesce(mean_word_len >= {GOPHER_MIN_MEAN_WLEN}
+        AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN}, false)
+         AS rule_mean_word_len,
        (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS rule_stopwords,
-       (top_token_share <= {GOPHER_MAX_TOP_SHARE}) AS rule_repetition,
-       (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS rule_alpha,
+       coalesce(top_token_share <= {GOPHER_MAX_TOP_SHARE}, false)
+         AS rule_repetition,
+       coalesce(alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}, false) AS rule_alpha,
        (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
-        AND mean_word_len >= {GOPHER_MIN_MEAN_WLEN}
-        AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN}
+        AND coalesce(mean_word_len >= {GOPHER_MIN_MEAN_WLEN}
+            AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN}, false)
         AND n_stopwords >= {GOPHER_MIN_STOPWORDS}
-        AND top_token_share <= {GOPHER_MAX_TOP_SHARE}
-        AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS keep
+        AND coalesce(top_token_share <= {GOPHER_MAX_TOP_SHARE}, false)
+        AND coalesce(alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}, false)) AS keep
 FROM m
 ORDER BY doc_id
 """

@@ -127,8 +127,19 @@ class EventLogStreamReader(DataSourceStreamReader):
         return {"idx": len(self._index)}
 
     def partitions(self, start: dict, end: dict):
+        # Always re-validate the sorted-prefix invariant (not just when the
+        # index must grow): a fresh driver replanning committed offsets
+        # from a checkpoint must fail loudly if the directory changed
+        # underneath it, never silently map offsets to different row
+        # groups than the run that committed them.
+        self._refresh()
         if end["idx"] > len(self._index):
-            self._refresh()
+            raise ValueError(
+                "eventlog_stream: committed offset "
+                f"{end['idx']} exceeds the {len(self._index)} indexed row "
+                "groups — files this offset range was committed against "
+                "are gone; refusing to replan against a shrunken log"
+            )
         return [
             InputPartition(self._index[i])
             for i in range(start["idx"], end["idx"])

@@ -191,6 +191,7 @@ class KVTextStreamWriter(DataSourceStreamWriter):
         return KVTextCommit(tmp)
 
     def commit(self, messages, batchId: int) -> None:
+        committed: set[str] = set()
         for m in messages:
             if m is None:
                 continue
@@ -198,8 +199,27 @@ class KVTextStreamWriter(DataSourceStreamWriter):
             pid = name[len(".part-"):].split(".attempt-")[0]
             final = f"batch-{batchId:05d}-part-{pid}"
             os.replace(m.file, os.path.join(self.path, final))
-        with open(os.path.join(self.path, "_batches"), "a") as fh:
-            fh.write(f"{batchId}\n")
+            committed.add(final)
+        # A batch replayed after a crash between the renames and the
+        # engine's checkpoint commit must not double-count: drop sibling
+        # part files from the earlier attempt that this commit did not
+        # produce (a replay can legitimately plan fewer partitions), and
+        # keep the manifest append idempotent.
+        prefix = f"batch-{batchId:05d}-part-"
+        for name in os.listdir(self.path):
+            if name.startswith(prefix) and name not in committed:
+                os.remove(os.path.join(self.path, name))
+        manifest = os.path.join(self.path, "_batches")
+        lines: list[str] = []
+        if os.path.exists(manifest):
+            with open(manifest, encoding="utf-8") as fh:
+                lines = [ln for ln in fh.read().splitlines() if ln]
+        if str(batchId) not in lines:
+            lines.append(str(batchId))
+        tmp = manifest + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("".join(f"{ln}\n" for ln in lines))
+        os.replace(tmp, manifest)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -968,3 +968,57 @@ def test_cdc_chunking_is_insertion_robust(spark):
         f"insertion remapped {len(only)} chunks — boundaries are not "
         f"content-defined"
     )
+
+
+def test_gopher_rules_zero_token_documents_cross_engine(spark, tmp_path):
+    """An empty/whitespace-only document must not divide by zero: ratios
+    come back NULL (not inf/nan) and every ratio rule plus `keep` is an
+    explicit false, IDENTICALLY in the Spark plan and the DuckDB oracle —
+    Spark (ANSI off) yields NULL for x/0 while DuckDB's IEEE mode yields
+    inf/nan, so an unguarded ratio diverges on real corpora."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_simulation_spark.operators.text import (
+        GOPHER_RULES_SQL,
+        gopher_quality_rules,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["", "   \t  ", "the a of to in is it and or big " * 3]
+            ),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["t"] * 3),
+            "n_chars": pa.array([0, 6, 99], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_rules(spark, str(tmp_path)).collect()
+    }
+    for d in (0, 1):
+        assert got[d]["n_words"] == 0
+        assert got[d]["mean_word_len"] is None
+        assert got[d]["top_token_share"] is None
+        for rule in ("rule_mean_word_len", "rule_repetition", "rule_alpha"):
+            assert got[d][rule] is False, (d, rule)
+        assert got[d]["keep"] is False
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path / 'documents.parquet'}'"
+    )
+    oracle = con.execute(GOPHER_RULES_SQL).fetchall()
+    cols = [d[0] for d in con.description]
+    for row in oracle:
+        o = dict(zip(cols, row))
+        g = got[o["doc_id"]]
+        for c in cols:
+            assert g[c] == o[c], (o["doc_id"], c, g[c], o[c])

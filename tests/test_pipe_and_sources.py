@@ -234,6 +234,21 @@ def test_eventlog_stream_reader_offsets_and_reads(spark, sf_dir, tmp_path):
     )
     with _pytest.raises(ValueError, match="append-only"):
         reader.latestOffset()
+    # partitions() re-validates the prefix too: a FRESH reader (a restarted
+    # driver replanning committed offsets from its checkpoint) must hit the
+    # same wall, never silently read remapped row groups.
+    fresh = EventLogStreamReader({"path": stage})
+    os.remove(os.path.join(stage, "aaa-bad.parquet"))
+    with _pytest.raises(ValueError, match="append-only"):
+        fresh.partitions({"idx": 0}, {"idx": total})
+
+    # Shrunken log: committed offsets beyond the surviving index must
+    # refuse to replan rather than read fewer/different row groups.
+    clean = EventLogStreamReader({"path": stage})
+    n_now = clean.latestOffset()["idx"]
+    os.remove(os.path.join(stage, "zzz-more.parquet"))
+    with _pytest.raises(ValueError, match="shrunken|append-only"):
+        clean.partitions({"idx": 0}, {"idx": n_now})
 
 
 def test_kvtext_stream_sink_replay_is_idempotent(tmp_path):
@@ -257,12 +272,32 @@ def test_kvtext_stream_sink_replay_is_idempotent(tmp_path):
             fh.write(payload)
         return KVTextCommit(tmp)
 
+    def attempt_pid(attempt_id: int, pid: int, payload: str) -> KVTextCommit:
+        tmp = os.path.join(out, f".part-{pid:05d}.attempt-{attempt_id}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        return KVTextCommit(tmp)
+
     w.commit([attempt(7, "a\t1\n")], batchId=3)
     w.commit([attempt(9, "a\t1\n")], batchId=3)  # the replay
     files = sorted(f for f in os.listdir(out) if not f.startswith(("_", ".")))
     assert files == ["batch-00003-part-00000"]
     with open(os.path.join(out, files[0])) as fh:
         assert fh.read() == "a\t1\n"
+    # the replayed commit must not duplicate the manifest line
+    with open(os.path.join(out, "_batches")) as fh:
+        assert fh.read().splitlines() == ["3"]
+    # a replay that plans FEWER partitions removes the earlier attempt's
+    # stale sibling part files, so manifest readers can't over-read
+    w.commit(
+        [attempt_pid(13, 0, "b\t1\n"), attempt_pid(13, 1, "c\t1\n")],
+        batchId=5,
+    )
+    w.commit([attempt_pid(15, 0, "b\t1\nc\t1\n")], batchId=5)  # narrower replay
+    files5 = sorted(f for f in os.listdir(out) if f.startswith("batch-00005"))
+    assert files5 == ["batch-00005-part-00000"]
+    with open(os.path.join(out, "_batches")) as fh:
+        assert fh.read().splitlines() == ["3", "5"]
     # aborts clean their temp files and commit nothing
     m = attempt(11, "junk")
     w.abort([m], batchId=4)
