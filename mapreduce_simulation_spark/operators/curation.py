@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .caching import persist_tracked
+
 from ..functions import hashing as H
 from ..tables import load_table
 from .dedup import _SHINGLES_SQL, _shingles
@@ -1384,8 +1386,8 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             H.char_hash(F.concat_ws(" ", "w1", "w2")) % DSIR_BUCKETS,
         )
         .select("doc_id", "lang", "pos", "bucket")
-        .persist()
     )
+    big = persist_tracked(big)
     ct = (
         big.where(F.col("lang") == DSIR_TARGET_LANG)
         .groupBy("bucket")
@@ -1789,11 +1791,13 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # persist the exploded tokens once — five consumers (dsir precedent)
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.posexplode(tokens(F.col("text"))).alias("pos", "w1"),
-    ).persist()
+    tok = persist_tracked(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.posexplode(tokens(F.col("text"))).alias("pos", "w1"),
+        )
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     big = tok.withColumn("w2", F.lead("w1", 1).over(w)).where(
         F.col("w2").isNotNull()

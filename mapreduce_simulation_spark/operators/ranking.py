@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .caching import persist_tracked
+
 _LOCAL_BITS = 33  # monotonically_increasing_id: pid << 33 | row-in-partition
 _LOCAL_MASK = (1 << _LOCAL_BITS) - 1
 
@@ -88,8 +90,8 @@ def with_distributed_rank(
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftright("_mid", _LOCAL_BITS).cast("int"))
-        .persist()
     )
+    parted = persist_tracked(parted)
     offsets, _total = _prefix_offsets(parted, F.count(F.lit(1)))
     local = (F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK))).cast("long")
     return parted.withColumn(
@@ -118,8 +120,8 @@ def with_distributed_ntile(
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftright("_mid", _LOCAL_BITS).cast("int"))
-        .persist()
     )
+    parted = persist_tracked(parted)
     offsets, total = _prefix_offsets(parted, F.count(F.lit(1)))
     local = (F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK))).cast("long")
     ranked = parted.withColumn(
@@ -185,8 +187,8 @@ def with_distributed_grouped_ntile(
         .sortWithinPartitions(*gcols, *order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftright("_mid", _LOCAL_BITS).cast("int"))
-        .persist()
     )
+    parted = persist_tracked(parted)
     # Bounded collect: (pid, group key, rows of that group in that pid,
     # local index at which the group starts within the pid).
     local = (F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK))).cast("long")
@@ -269,8 +271,8 @@ def with_distributed_cumsum(
     parted = (
         df.repartitionByRange(p, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
+    parted = persist_tracked(parted)
     offsets, _total = _prefix_offsets(
         parted, F.coalesce(F.sum(value_col), F.lit(0)).cast("long")
     )

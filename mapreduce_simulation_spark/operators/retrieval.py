@@ -40,6 +40,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from .caching import persist_tracked
+
 from ..tables import load_table
 from .similarity import _as_double, _dot, _norm
 from .text import tokens
@@ -83,9 +85,9 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tok feeds three statistics branches (tf, dl, df) — persist the
     # exploded tokens once so the explode runs once (lm_perplexity_score
     # precedent; corpus-sized cache ⇒ DISK_ONLY or one recompute at 100 TB).
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
-    ).persist()
+    tok = persist_tracked(
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    )
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))

@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from .caching import persist_tracked
+
 from ..tables import load_table
 
 N_QUERIES = 10  # query set = vec_id < 10
@@ -1148,7 +1150,7 @@ def centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     v6 = F.transform(
         _as_double("embedding"), lambda x: F.round(x, 6)
     )
-    base = emb.select("vec_id", "label", v6.alias("v")).persist()
+    base = persist_tracked(emb.select("vec_id", "label", v6.alias("v")))
 
     comp = base.select(
         "label",

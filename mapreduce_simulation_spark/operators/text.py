@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .caching import persist_tracked
+
 from ..functions.hashing import char_hash
 from ..tables import load_table
 
@@ -446,9 +448,11 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # more — persist the exploded tokens once so the explode runs once
     # (the dsir_importance precedent; corpus-sized cache ⇒ DISK_ONLY or
     # one recompute at 100 TB).
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w1")
-    ).persist()
+    tok = persist_tracked(
+        docs.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w1")
+        )
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")

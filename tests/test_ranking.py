@@ -176,3 +176,30 @@ def test_grouped_ntile_partition_count_invariant(spark):
         if base is None:
             base = got
         assert got == base, f"bucket assignment changed at P={p}"
+
+
+def test_release_tracked_clears_persisted_frames(spark, tied):
+    """Each primitive registers its persisted frame with the caching
+    tracker; release_tracked() after the consuming action unpersists them
+    all, so a registry sweep does not accumulate corpus-sized cache
+    entries. Values must be fully materialized BEFORE release (the
+    embedded offset maps describe the persisted partitioning)."""
+    from mapreduce_simulation_spark.operators.caching import (
+        _TRACKED,
+        release_tracked,
+    )
+
+    release_tracked()  # clean slate from earlier tests
+    order = [F.asc("v"), F.asc("k")]
+    ranked = with_distributed_rank(tied, order, "rk")
+    tiled = with_distributed_ntile(tied, order, 4, "tile")
+    rows = ranked.count() + tiled.count()
+    assert rows == 2 * tied.count()
+    assert len(_TRACKED) == 2
+    assert all(df.is_cached for df in _TRACKED)
+    handles = list(_TRACKED)
+    assert release_tracked() == 2
+    assert _TRACKED == []
+    assert all(not df.is_cached for df in handles)
+    # double-release is a no-op
+    assert release_tracked() == 0

@@ -62,6 +62,8 @@ def main() -> int:
     n_ok = n_rows_only = 0
     from mapreduce_simulation_spark.streaming.stateful import _HAS_TWS
 
+    from mapreduce_simulation_spark.operators.caching import release_tracked
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -77,6 +79,10 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {ex}")
             failures += 1
             continue
+        finally:
+            # collect() is done — one query's tracked persists must not
+            # occupy executor memory while the next 190 run.
+            release_tracked()
         if name not in oracles:
             n_rows_only += 1
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
