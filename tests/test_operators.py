@@ -651,6 +651,14 @@ def test_bpe_learn_merges_matches_reference_bpe(spark):
     ]
     assert got == ref_bpe(vocab, 6)
 
+    # The registered production learner (driver-side over the collected
+    # type table) must match the same reference AND the distributed twin.
+    from mapreduce_simulation_spark.operators.curation import (
+        _bpe_learn_driver,
+    )
+
+    assert _bpe_learn_driver(sorted(vocab.items()), 6) == ref_bpe(vocab, 6)
+
 
 def test_pagerank_iterate_matches_reference(spark):
     """Drive the generic PageRank loop with a handmade graph exercising
