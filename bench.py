@@ -151,12 +151,17 @@ def main() -> None:
                 t0 = time.perf_counter()
                 try:
                     qs[name](spark, SF_DIR).count()
+                    dt = time.perf_counter() - t0
                 except Exception as exc:  # noqa: BLE001 - one bad ≠ no bench
                     errors[name] = str(exc).split("\n")[0][:200]
                     samples = []
                     break
-                samples.append(time.perf_counter() - t0)
-                release_tracked()
+                finally:
+                    # A failed run must release too, or its persists stay
+                    # cached while subsequent queries are timed (dt is
+                    # captured before release, so timing excludes it).
+                    release_tracked()
+                samples.append(dt)
             if samples:
                 out[name] = round(sorted(samples)[len(samples) // 2], 3)
         return out

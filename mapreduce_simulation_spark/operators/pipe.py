@@ -35,6 +35,7 @@ scale like any Spark job; the external process is the throughput ceiling.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
@@ -204,8 +205,25 @@ def submit_job(
     # (manager/__main__.py:344-355); the Hadoop FS delete is the
     # cluster-correct equivalent (works for file://, hdfs://, s3a://).
     jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(output_directory)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs = jpath.getFileSystem(hconf)
     if fs.exists(jpath):
         fs.delete(jpath, True)
+    # The reference job directory contains ONLY part files; suppress the
+    # committer's _SUCCESS marker (all filesystems) so a directory-level
+    # diff against reference output matches too.
+    hconf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     out_lines.saveAsTextFile(output_directory)
+    # Local-FS only: ChecksumFileSystem materializes hidden .crc siblings
+    # (and hides them from listStatus, so they must be swept via the OS).
+    # Object stores / HDFS keep checksums out of the directory listing.
+    local = output_directory
+    if local.startswith("file://"):
+        local = local[len("file://"):]
+    elif local.startswith("file:"):
+        local = local[len("file:"):]
+    if not local.startswith(("hdfs:", "s3", "abfs", "gs:")) and os.path.isdir(local):
+        for name in os.listdir(local):
+            if name == "_SUCCESS" or name.endswith(".crc"):
+                os.remove(os.path.join(local, name))

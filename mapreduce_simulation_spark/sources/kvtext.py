@@ -204,11 +204,15 @@ class KVTextStreamWriter(DataSourceStreamWriter):
         # engine's checkpoint commit must not double-count: drop sibling
         # part files from the earlier attempt that this commit did not
         # produce (a replay can legitimately plan fewer partitions), and
-        # keep the manifest append idempotent.
-        prefix = f"batch-{batchId:05d}-part-"
-        for name in os.listdir(self.path):
-            if name.startswith(prefix) and name not in committed:
-                os.remove(os.path.join(self.path, name))
+        # keep the manifest append idempotent. Guard: a degenerate replay
+        # that committed NO files (empty/all-None messages) must not sweep
+        # away the earlier successful attempt's data — skip the cleanup
+        # and leave the prior part files as the batch's content.
+        if committed:
+            prefix = f"batch-{batchId:05d}-part-"
+            for name in os.listdir(self.path):
+                if name.startswith(prefix) and name not in committed:
+                    os.remove(os.path.join(self.path, name))
         manifest = os.path.join(self.path, "_batches")
         lines: list[str] = []
         if os.path.exists(manifest):

@@ -298,6 +298,14 @@ def test_kvtext_stream_sink_replay_is_idempotent(tmp_path):
     assert files5 == ["batch-00005-part-00000"]
     with open(os.path.join(out, "_batches")) as fh:
         assert fh.read().splitlines() == ["3", "5"]
+    # a degenerate replay committing NO files (empty / all-None messages)
+    # must not sweep away the earlier successful attempt's part files
+    w.commit([], batchId=5)
+    w.commit([None], batchId=5)
+    files5 = sorted(f for f in os.listdir(out) if f.startswith("batch-00005"))
+    assert files5 == ["batch-00005-part-00000"]
+    with open(os.path.join(out, files5[0])) as fh:
+        assert fh.read() == "b\t1\nc\t1\n"
     # aborts clean their temp files and commit nothing
     m = attempt(11, "junk")
     w.abort([m], batchId=4)

@@ -185,7 +185,7 @@ def test_release_tracked_clears_persisted_frames(spark, tied):
     entries. Values must be fully materialized BEFORE release (the
     embedded offset maps describe the persisted partitioning)."""
     from mapreduce_simulation_spark.operators.caching import (
-        _TRACKED,
+        _SCOPES,
         release_tracked,
     )
 
@@ -195,11 +195,67 @@ def test_release_tracked_clears_persisted_frames(spark, tied):
     tiled = with_distributed_ntile(tied, order, 4, "tile")
     rows = ranked.count() + tiled.count()
     assert rows == 2 * tied.count()
-    assert len(_TRACKED) == 2
-    assert all(df.is_cached for df in _TRACKED)
-    handles = list(_TRACKED)
+    assert len(_SCOPES[-1]) == 2
+    assert all(df.is_cached for df in _SCOPES[-1])
+    handles = list(_SCOPES[-1])
     assert release_tracked() == 2
-    assert _TRACKED == []
+    assert _SCOPES[-1] == []
     assert all(not df.is_cached for df in handles)
     # double-release is a no-op
     assert release_tracked() == 0
+
+
+def test_tracked_scope_isolates_queries(spark, tied):
+    """Two interleaved tracked queries: releasing the first query's scope
+    must not unpersist the second's still-unmaterialized offset-bearing
+    frame (the ADVICE r6 failure mode — a global release would resample
+    its range bounds and silently return wrong ranks)."""
+    from mapreduce_simulation_spark.operators.caching import (
+        _SCOPES,
+        release_tracked,
+        tracked_scope,
+    )
+
+    release_tracked()
+    order = [F.asc("v"), F.asc("k")]
+    with tracked_scope() as outer:
+        outer_ranked = with_distributed_rank(tied, order, "rk")
+        assert len(outer) == 1
+        with tracked_scope() as inner:
+            inner_tiled = with_distributed_ntile(tied, order, 4, "tile")
+            assert len(inner) == 1
+            # inner release sees only the inner scope
+            inner_handle = inner[0]
+            assert inner_tiled.count() == tied.count()
+            assert release_tracked() == 1
+            assert not inner_handle.is_cached
+            # outer frame untouched and still materializable correctly
+            assert len(outer) == 1 and outer[0].is_cached
+        handle = outer[0]
+        ranks = {
+            (r["k"], r["v"]): r["rk"] for r in outer_ranked.collect()
+        }
+        assert len(ranks) == tied.count()
+    # scope exit released the outer frame
+    assert not handle.is_cached
+    assert _SCOPES[-1] == []
+
+
+def test_persist_tracked_skips_caller_cache(spark):
+    """A frame the caller persisted intentionally is neither re-persisted
+    nor registered — release never drops a cache this module didn't
+    create."""
+    from mapreduce_simulation_spark.operators.caching import (
+        persist_tracked,
+        release_tracked,
+    )
+
+    release_tracked()
+    df = spark.range(10).persist()
+    try:
+        df.count()
+        assert persist_tracked(df) is df
+        assert release_tracked() == 0
+        assert df.is_cached
+    finally:
+        df.unpersist()

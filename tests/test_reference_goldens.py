@@ -140,6 +140,9 @@ def test_submit_job_cli_contract_golden_parity(spark, tmp_path):
     )
     parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
     assert parts == ["part-00000"]
+    # Directory-level parity too: the reference job dir holds ONLY part
+    # files — no _SUCCESS marker, no .crc checksum siblings.
+    assert sorted(os.listdir(out)) == parts
     with open(os.path.join(out, parts[0]), encoding="utf-8") as fh:
         got = fh.read().splitlines()
     assert got == _golden("word_count_correct.txt")
