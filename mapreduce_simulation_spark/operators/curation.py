@@ -1851,21 +1851,40 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents with fewer than 2 tokens have no bigrams and are dropped, as
     in CCNet (un-scoreable docs are not banded).
     """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("ws")
+    )
+    return ccnet_buckets_from(docs).orderBy("doc_id")
+
+
+def ccnet_buckets_from(docs: DataFrame) -> DataFrame:
+    """CCNet banding from a frame carrying a precomputed ``ws`` token-array
+    column — the plan-sharing entry curation_pipeline_v2 uses so the
+    corpus is tokenized ONCE per pipeline instead of once per verdict
+    branch. Unsorted: the public query adds the ORDER BY.
+
+    Bigrams are formed ARRAY-SIDE (zip ws with its own tail) — a narrow
+    projection, where the earlier posexplode + per-doc lead() window paid
+    a corpus-wide shuffle AND sort just to pair each token with its
+    neighbor that the array already held adjacently. The tokenized frame
+    is persisted (skipped if the caller, e.g. the pipeline, already
+    persisted it) and each consumer re-derives its explode narrowly from
+    the cached arrays instead of materializing the exploded tokens.
+    """
     from .ranking import with_distributed_grouped_ntile
 
-    docs = load_table(spark, sf_dir, "documents")
-    # persist the exploded tokens once — five consumers (dsir precedent)
-    tok = persist_tracked(
-        docs.select(
-            "doc_id",
-            "lang",
-            F.posexplode(tokens(F.col("text"))).alias("pos", "w1"),
-        )
+    base = persist_tracked(docs)
+    ws = F.col("ws")
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(ws, 1, n1),
+        F.slice(ws, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = tok.withColumn("w2", F.lead("w1", 1).over(w)).where(
-        F.col("w2").isNotNull()
-    )
+    big = base.select(
+        "doc_id", "lang", F.explode(pairs).alias("p")
+    ).select("doc_id", "lang", "p.w1", "p.w2")
+    tok = base.select("doc_id", "lang", F.explode(ws).alias("w1"))
     c12 = big.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = tok.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
     v = tok.groupBy("lang").agg(F.countDistinct("w1").alias("v"))
@@ -1901,15 +1920,12 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("tercile") == 2, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return (
-        banded.select(
-            "doc_id",
-            "lang",
-            "n_bigrams",
-            "avg_nll",
-            bucket.alias("ppl_bucket"),
-        )
-        .orderBy("doc_id")
+    return banded.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "avg_nll",
+        bucket.alias("ppl_bucket"),
     )
 
 

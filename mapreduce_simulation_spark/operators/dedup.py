@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 
 from ..functions import hashing as H
 from ..tables import load_table
+from .caching import persist_tracked
 from .text import tokens
 
 JACCARD_THRESHOLD = 0.5
@@ -384,14 +385,22 @@ def _near_dup_pairs(docs: DataFrame) -> DataFrame:
     the pair build alone drops ~17 s → ~4 s, full
     dedup_connected_components 19.7 s (r4 bench) → ~11 s cold / 7.7 s
     warm."""
-    sh = _shingles(docs)
+    # The shingle table feeds four consumers (rare-df agg, the capped
+    # join, per-doc sizes, and the risky branch) and the capped table
+    # three (both sides of the candidate self-join + rare sizes); without
+    # persists each consumer re-executes the explode+hash+window subtree
+    # (~0.8 s × 4 at sf0.1 — the bulk of the measured 3.6-4.3 s pair
+    # build). Both frames are corpus-linear (one row per distinct
+    # (doc, shingle)) — the spill-backed persist class, released at the
+    # query boundary like every tracked frame.
+    sh = persist_tracked(_shingles(docs))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= SHINGLE_DF_CAP)
         .select("shingle")
     )
-    capped = sh.join(rare, "shingle")
+    capped = persist_tracked(sh.join(rare, "shingle"))
     cand = (
         capped.alias("a")
         .join(

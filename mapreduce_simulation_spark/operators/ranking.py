@@ -85,6 +85,9 @@ def with_distributed_rank(
     over a total order.
     """
     p = num_partitions or _num_partitions(df)
+    df = persist_tracked(df)  # range sampler + shuffle must not run the
+    # upstream DAG twice: repartitionByRange's RangePartitioner executes
+    # the child once to sample bounds and again for the real exchange.
     parted = (
         df.repartitionByRange(p, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -115,6 +118,9 @@ def with_distributed_ntile(
     totals collect that builds the prefix offsets.
     """
     p = num_partitions or _num_partitions(df)
+    df = persist_tracked(df)  # range sampler + shuffle must not run the
+    # upstream DAG twice: repartitionByRange's RangePartitioner executes
+    # the child once to sample bounds and again for the real exchange.
     parted = (
         df.repartitionByRange(p, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -182,6 +188,9 @@ def with_distributed_grouped_ntile(
     """
     p = num_partitions or _num_partitions(df)
     gcols = [F.col(c) for c in group_cols]
+    df = persist_tracked(df)  # see with_distributed_rank: avoid the range
+    # sampler re-executing an expensive upstream DAG (ccnet's LM scoring
+    # ran twice before this persist).
     parted = (
         df.repartitionByRange(p, *gcols, *order_cols)
         .sortWithinPartitions(*gcols, *order_cols)
@@ -268,6 +277,8 @@ def with_distributed_cumsum(
     global-window form: cumsum(row) = shard_prefix + local_cumsum(row).
     """
     p = num_partitions or _num_partitions(df)
+    df = persist_tracked(df)  # see with_distributed_rank: one upstream
+    # execution shared by the range sampler and the exchange.
     parted = (
         df.repartitionByRange(p, *order_cols)
         .withColumn("_pid", F.spark_partition_id())

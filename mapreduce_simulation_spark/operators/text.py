@@ -561,8 +561,22 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     form is the fallback (that exchange is the curation package's declared
     corpus-linear class).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    ws = tokens(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ws", tokens(F.col("text"))
+    )
+    return gopher_quality_flags(docs).orderBy("doc_id")
+
+
+def gopher_keep(ws: Column) -> Column:
+    """The Gopher keep-conjunction as ONE boolean expression over a token
+    array — curation_pipeline_v2 applies it as a narrow scan-side filter
+    (zero shuffle), instead of joining the flags frame back on doc_id.
+    Identical rule arithmetic to gopher_quality_flags (both call
+    _gopher_rules)."""
+    return _gopher_rules(ws)["keep"]
+
+
+def _gopher_rules(ws: Column) -> dict:
     nw = F.size(ws)
     # Zero-token guard: ratios are NULL (not x/0) for empty documents, and
     # the rules below coalesce to false — Spark with ANSI off yields NULL
@@ -607,19 +621,30 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_stop = n_stop >= GOPHER_MIN_STOPWORDS
     r_rep = F.coalesce(top_share <= GOPHER_MAX_TOP_SHARE, F.lit(False))
     r_alpha = F.coalesce(alpha_frac >= GOPHER_MIN_ALPHA_FRAC, F.lit(False))
+    return {
+        "n_words": nw,
+        "mean_word_len": mean_wlen,
+        "top_token_share": top_share,
+        "n_stopwords": n_stop,
+        "rule_word_count": r_words,
+        "rule_mean_word_len": r_wlen,
+        "rule_stopwords": r_stop,
+        "rule_repetition": r_rep,
+        "rule_alpha": r_alpha,
+        "keep": r_words & r_wlen & r_stop & r_rep & r_alpha,
+    }
+
+
+def gopher_quality_flags(docs: DataFrame) -> DataFrame:
+    """Gopher rule flags from a frame carrying a precomputed ``ws``
+    token-array column — the plan-sharing entry for consumers that need
+    the per-rule audit columns. Unsorted (no ORDER BY): the public query
+    adds the sort; a verdict consumer joining on doc_id must not pay a
+    range exchange for an ordering the join destroys anyway."""
+    rules = _gopher_rules(F.col("ws"))
     return docs.select(
-        "doc_id",
-        nw.alias("n_words"),
-        mean_wlen.alias("mean_word_len"),
-        top_share.alias("top_token_share"),
-        n_stop.alias("n_stopwords"),
-        r_words.alias("rule_word_count"),
-        r_wlen.alias("rule_mean_word_len"),
-        r_stop.alias("rule_stopwords"),
-        r_rep.alias("rule_repetition"),
-        r_alpha.alias("rule_alpha"),
-        (r_words & r_wlen & r_stop & r_rep & r_alpha).alias("keep"),
-    ).orderBy("doc_id")
+        "doc_id", *[c.alias(name) for name, c in rules.items()]
+    )
 
 
 GOPHER_RULES_SQL = rf"""

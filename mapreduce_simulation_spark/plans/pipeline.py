@@ -176,23 +176,45 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by the 63-bit content fingerprint — per-group state is the
     duplicate-set size, never corpus-wide. Survivor aggregation is a
     |sources|-cardinality partial agg.
+
+    The corpus is tokenized ONCE: one tracked frame (doc_id, lang, source,
+    n_chars, token array, content fingerprint) is materialized and every
+    downstream consumer — the Gopher rule flags, CCNet's exploded-token
+    LM tables, the dedup window key, and the survivor token totals —
+    reads it instead of re-running the regex split per branch (the r6
+    bench regression: persist-release hygiene had exposed that both
+    verdict branches re-scanned and re-tokenized `documents`).
     """
-    from ..operators.curation import ccnet_perplexity_buckets
-    from ..operators.text import gopher_quality_rules
+    from ..operators.caching import persist_tracked
+    from ..operators.curation import ccnet_buckets_from
+    from ..operators.text import gopher_keep
 
     docs = load_table(spark, sf_dir, "documents")
-    g = (
-        gopher_quality_rules(spark, sf_dir)
-        .where(F.col("keep"))
-        .select("doc_id")
+    base = persist_tracked(
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "text",
+            T.tokens(F.col("text")).alias("ws"),
+        )
     )
+    # Gopher is a pure per-row projection — apply it as a narrow filter on
+    # the tokenized frame (zero shuffle), not a doc_id verdict join.
+    # CCNet's verdict is inherently aggregated over the FULL corpus (the
+    # terciles are per-language corpus-wide, so it cannot run on Gopher
+    # survivors only) and stays a doc_id join.
     c = (
-        ccnet_perplexity_buckets(spark, sf_dir)
+        ccnet_buckets_from(base)
         .where(F.col("ppl_bucket") != "tail")
         .select("doc_id")
     )
-    kept = docs.join(g, "doc_id").join(c, "doc_id")
-    w = Window.partitionBy(H.char_hash(F.col("text"))).orderBy("doc_id")
+    kept = base.where(gopher_keep(F.col("ws"))).join(c, "doc_id")
+    # Content fingerprint (per-char polynomial fold, the priciest scalar
+    # here) is computed on rule+band SURVIVORS only, not the full corpus.
+    kept = kept.withColumn("fp", H.char_hash(F.col("text")))
+    w = Window.partitionBy("fp").orderBy("doc_id")
     surv = (
         kept.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
@@ -202,9 +224,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(T.tokens(F.col("text"))).cast("long")).alias(
-                "total_tokens"
-            ),
+            F.sum(F.size(F.col("ws")).cast("long")).alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy("source")

@@ -64,19 +64,38 @@ _PROMOTE = (
     "cdc_chunking",               # content-defined chunking
     "sql_table_function_word_count",  # SQL-defined table function tier
     "polymorphic_udtf_props",     # analyze-time polymorphic UDTF schema
+    # round-7 cohort: one representative per family still outside the window
+    "mmr_rerank",                 # diversified (MMR) rerank
+    "runtime_filtered_join",      # bloom-pruned shuffle join
+    "centroid_classify",          # oracle-exact ML inference (centroids)
+    "not_in_customers",           # null-aware anti join (NOT IN)
+    "rrf_hybrid_topk",            # hybrid retrieval (reciprocal-rank fusion)
+    "streaming_custom_source_rollup",   # custom streaming source loop
+    "streaming_kvtext_sink_roundtrip",  # custom streaming sink loop
+    "sql_udf_pricing",            # SQL scalar UDF tier
+    "multiset_set_ops",           # INTERSECT/EXCEPT ALL (bag semantics)
+    "similarity_lsh_topk",        # oracle-exact hyperplane LSH top-k
 )
-# Round-7 rotation candidates (for the next window swap, NOT applied now):
-# mmr_rerank (diversified rerank), runtime_filtered_join (bloom-pruned
-# shuffle join), centroid_classify (oracle-exact ML inference),
-# not_in_customers (null-aware anti join), rrf_hybrid_topk (hybrid
-# retrieval), streaming_custom_source_rollup / streaming_kvtext_sink_
-# roundtrip (custom streaming connector loop), sql_udf_pricing (SQL scalar
-# UDF), multiset_set_ops (INTERSECT/EXCEPT ALL), similarity_lsh_topk
-# (oracle-exact hyperplane LSH), gopher_quality_rules, dsir_importance,
-# lm_perplexity_score — demoting in exchange the remaining r4-green
-# single-mechanism rows (semi_join_customers, shipping_priority,
-# events_daily, grouping_sets_revenue, …).
+# Round-8 rotation candidates (for the next window swap, NOT applied now):
+# gopher_quality_rules, dsir_importance, lm_perplexity_score,
+# sequence_packing, training_shuffle, bpe_learn_merges/bpe_apply_merges,
+# pagerank_order_chain, rfm_segmentation, schema_evolution_union —
+# demoting in exchange remaining r4/r6-green single-mechanism rows
+# (sessionize_events, lang_id, token_count_bpe, decontaminate, …).
 _DEMOTE = (
+    # round-7 demotions: r4/r6 driver-green single-mechanism rows whose
+    # families keep stronger representatives in the window (each remains
+    # verified by tests + tools/verify_local.py every round)
+    "semi_join_customers",    # join family: sole_blame/asof/bucketed/not_in
+    "shipping_priority",      # top-k family: similarity_topk/mmr_rerank
+    "events_daily",           # events agg: sessionize + streaming_events
+    "grouping_sets_revenue",  # agg family: pricing_summary driver-green
+    "window_top_customers",   # window family r4-green; ntile ops cover
+    "quality_score",          # text family keeps text_stats/lang_id/bpe
+    "doc_fingerprint",        # text family covered
+    "span_dedup",             # dedup family: 6 stronger reps in window
+    "repetition_stats",       # curation family: cdc/stratified/corpus_mix
+    "tfidf_top_terms",        # retrieval family: bm25/rrf_hybrid in window
     # round-6 demotions: single-mechanism rows whose families already have
     # driver-green twins (each remains verified by tests + verify_local)
     "identity_projection",       # trivial projection; scan family green

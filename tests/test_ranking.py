@@ -195,10 +195,12 @@ def test_release_tracked_clears_persisted_frames(spark, tied):
     tiled = with_distributed_ntile(tied, order, 4, "tile")
     rows = ranked.count() + tiled.count()
     assert rows == 2 * tied.count()
-    assert len(_SCOPES[-1]) == 2
+    # 3 frames: the shared input (persisted once — the second primitive
+    # sees it cached and skips) plus each primitive's partitioned frame.
+    assert len(_SCOPES[-1]) == 3
     assert all(df.is_cached for df in _SCOPES[-1])
     handles = list(_SCOPES[-1])
-    assert release_tracked() == 2
+    assert release_tracked() == 3
     assert _SCOPES[-1] == []
     assert all(not df.is_cached for df in handles)
     # double-release is a no-op
@@ -220,24 +222,28 @@ def test_tracked_scope_isolates_queries(spark, tied):
     order = [F.asc("v"), F.asc("k")]
     with tracked_scope() as outer:
         outer_ranked = with_distributed_rank(tied, order, "rk")
-        assert len(outer) == 1
+        # input + partitioned frame
+        assert len(outer) == 2
         with tracked_scope() as inner:
             inner_tiled = with_distributed_ntile(tied, order, 4, "tile")
+            # tied is already cached by the outer scope, so the inner
+            # primitive registers only its own partitioned frame
             assert len(inner) == 1
-            # inner release sees only the inner scope
             inner_handle = inner[0]
             assert inner_tiled.count() == tied.count()
+            # inner release sees only the inner scope
             assert release_tracked() == 1
             assert not inner_handle.is_cached
-            # outer frame untouched and still materializable correctly
-            assert len(outer) == 1 and outer[0].is_cached
-        handle = outer[0]
+            # outer frames untouched and still materializable correctly
+            assert len(outer) == 2
+            assert all(df.is_cached for df in outer)
+        handles = list(outer)
         ranks = {
             (r["k"], r["v"]): r["rk"] for r in outer_ranked.collect()
         }
         assert len(ranks) == tied.count()
-    # scope exit released the outer frame
-    assert not handle.is_cached
+    # scope exit released the outer frames
+    assert all(not df.is_cached for df in handles)
     assert _SCOPES[-1] == []
 
 

@@ -113,7 +113,7 @@ def test_loaded_schema_matches_contract(spark, sf_dir, table):
 # registry._PROMOTE/_DEMOTE) must update this list deliberately.
 # ---------------------------------------------------------------------------
 
-DRIVER_WINDOW_R6 = [
+DRIVER_WINDOW_R7 = [
     "pipe_word_count",
     "pipe_grep",
     "streaming_events_hourly",
@@ -134,19 +134,23 @@ DRIVER_WINDOW_R6 = [
     "cdc_chunking",
     "sql_table_function_word_count",
     "polymorphic_udtf_props",
+    "mmr_rerank",
+    "runtime_filtered_join",
+    "centroid_classify",
+    "not_in_customers",
+    "rrf_hybrid_topk",
+    "streaming_custom_source_rollup",
+    "streaming_kvtext_sink_roundtrip",
+    "sql_udf_pricing",
+    "multiset_set_ops",
+    "similarity_lsh_topk",
     "word_count",
     "pricing_summary",
     "revenue_by_nation",
-    "shipping_priority",
-    "semi_join_customers",
-    "window_top_customers",
-    "events_daily",
     "sessionize_events",
     "training_data_pipeline",
     "text_stats",
-    "quality_score",
     "lang_id",
-    "doc_fingerprint",
     "token_count_bpe",
     "dedup_exact",
     "dedup_connected_components",
@@ -156,10 +160,6 @@ DRIVER_WINDOW_R6 = [
     "decontaminate",
     "stratified_sample",
     "corpus_mix",
-    "repetition_stats",
-    "span_dedup",
-    "tfidf_top_terms",
-    "grouping_sets_revenue",
     "partitioned_source_pruned",
     "bucketed_join_revenue",
     "similarity_topk",
@@ -171,11 +171,11 @@ def test_driver_hash_window_is_frozen():
     from mapreduce_simulation_spark.plans import registry
 
     got = list(registry.queries())[:50]
-    assert got == DRIVER_WINDOW_R6, (
+    assert got == DRIVER_WINDOW_R7, (
         "the driver's first-50 hash window shifted — if this is an intended "
-        "promotion/demotion, update DRIVER_WINDOW_R6; otherwise find the "
+        "promotion/demotion, update DRIVER_WINDOW_R7; otherwise find the "
         "import/registration reorder that moved it.\n"
-        f"got:  {got}\nwant: {DRIVER_WINDOW_R6}"
+        f"got:  {got}\nwant: {DRIVER_WINDOW_R7}"
     )
 
 
@@ -183,7 +183,7 @@ def test_driver_window_queries_all_have_oracles():
     from mapreduce_simulation_spark.plans import registry
 
     oracles = registry.oracle_sql()
-    missing = [n for n in DRIVER_WINDOW_R6 if n not in oracles]
+    missing = [n for n in DRIVER_WINDOW_R7 if n not in oracles]
     assert missing == [], (
         f"driver-window queries without an exact oracle: {missing} — the "
         "gate would fall back to the weaker rows-only check"
