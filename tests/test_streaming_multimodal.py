@@ -603,6 +603,91 @@ def test_transform_with_state_rollup_parity(spark, sf_dir):
     assert got == want
 
 
+def test_tws_processor_logic_matches_oracle_without_protobuf(spark, sf_dir):
+    """The TWS twin's semantics, verified WITHOUT the protobuf wire
+    protocol: this container cannot run transformWithStateInPandas (no
+    google.protobuf, installs prohibited — recorded in PLANS.md), so the
+    engine-independent part is pinned instead. _RollupProcessor's
+    handleInputRows is driven directly with a stub ValueState handle over
+    the REAL events table, split across three simulated micro-batches
+    with carried state (the exact state lifecycle the engine provides),
+    and the final emissions must equal the batch GROUP BY — the same
+    oracle stateful_user_rollup_tws declares. What this cannot cover is
+    the protobuf state-protocol transport itself; that is exercised by
+    test_transform_with_state_rollup_parity wherever protobuf exists."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.streaming.stateful import (
+        _RollupProcessor,
+    )
+    from mapreduce_simulation_spark.tables import load_table
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, _FakeValueState())
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .toPandas()
+        .sort_values(["ts", "user_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    # three micro-batches in event-time order, state carried in between
+    cuts = [len(events) // 3, 2 * len(events) // 3, len(events)]
+    handles: dict[int, _RollupProcessor] = {}
+    final: dict[int, tuple] = {}
+    lo = 0
+    for hi in cuts:
+        batch = events.iloc[lo:hi]
+        lo = hi
+        for user_id, grp in batch.groupby("user_id"):
+            proc = handles.get(user_id)
+            if proc is None:
+                proc = _RollupProcessor()
+                proc.init(_FakeHandle())
+                handles[user_id] = proc
+            # split each user's batch rows into two pdfs to exercise the
+            # multi-chunk iterator path
+            half = max(1, len(grp) // 2)
+            pdfs = [grp.iloc[:half], grp.iloc[half:]]
+            (out,) = proc.handleInputRows((user_id,), iter(pdfs), None)
+            final[user_id] = (
+                int(out["n_events"][0]),
+                int(out["first_event_us"][0]),
+                int(out["last_event_us"][0]),
+            )
+    want = {
+        r.user_id: (r.n_events, r.first_event_us, r.last_event_us)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("first_event_us"),
+            F.unix_micros(F.max("ts")).alias("last_event_us"),
+        )
+        .collect()
+    }
+    assert final == want
+
+
 def test_custom_stream_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
     """Kill-and-restart recovery across the CUSTOM source/sink pair: the
     first query run drains the log's first half and is stopped; more
@@ -679,3 +764,160 @@ def test_custom_stream_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
     # the work landed in ≥2 distinct committed batches across the runs
     with open(manifest) as fh:
         assert len({line.strip() for line in fh if line.strip()}) >= 2
+
+
+def test_custom_source_rollup_is_incremental_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """streaming_custom_source_rollup's mechanics driven through ≥2 LIVE
+    micro-batches of ONE query (not a restart): the query drains half the
+    log, more files are appended while it runs (the source's tailing
+    contract), and the second drain must process ONLY the appended row
+    groups — asserted from the engine's own progress telemetry — while
+    the complete-mode aggregate converges to the batch GROUP BY."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.sources.eventlog_stream import (
+        register_eventlog_stream,
+    )
+    from mapreduce_simulation_spark.tables import load_table
+
+    register_eventlog_stream(spark)
+    staged = str(tmp_path / "staged")
+    stage = str(tmp_path / "in")
+    events = load_table(spark, sf_dir, "events")
+    n_total = events.count()
+    events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(staged)
+    files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    os.makedirs(stage)
+    for i, f in enumerate(files[:2]):
+        shutil.copy(os.path.join(staged, f), os.path.join(stage, f"a{i}.parquet"))
+
+    agg = (
+        spark.readStream.format("eventlog_stream")
+        .load(stage)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rollup_incr")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_half = sum(
+            r["n_events"] for r in spark.table("rollup_incr").collect()
+        )
+        assert 0 < n_half < n_total
+        for i, f in enumerate(files[2:]):
+            shutil.copy(
+                os.path.join(staged, f), os.path.join(stage, f"b{i}.parquet")
+            )
+        q.processAllAvailable()
+        progressed = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        # ≥2 data-bearing micro-batches within one live query
+        assert len(progressed) >= 2, [
+            (p["batchId"], p["numInputRows"]) for p in q.recentProgress
+        ]
+        # second batch carried ONLY the appended rows
+        assert sum(p["numInputRows"] for p in progressed) == n_total
+    finally:
+        q.stop()
+    got = {
+        r["event_type"]: r["n_events"]
+        for r in spark.table("rollup_incr").collect()
+    }
+    want = {
+        r["event_type"]: r["n_events"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_kvtext_sink_replayed_batch_is_exactly_once(spark, sf_dir, tmp_path):
+    """A batch REPLAYED by the engine itself lands exactly once: after a
+    full drain the last batch's commit marker is deleted from the
+    checkpoint (the crash window between sink commit and engine commit),
+    so a restart re-executes that batch through KVTextStreamWriter.commit
+    with fresh attempt ids — the idempotent (batchId, partitionId) file
+    names and manifest append must absorb the replay with zero duplicate
+    rows and no duplicate manifest line."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.sources.eventlog_stream import (
+        register_eventlog_stream,
+    )
+    from mapreduce_simulation_spark.sources.kvtext import register_kvtext
+    from mapreduce_simulation_spark.tables import load_table
+
+    register_eventlog_stream(spark)
+    register_kvtext(spark)
+    staged = str(tmp_path / "staged")
+    stage = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    n_total = events.count()
+    events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(staged)
+    files = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    os.makedirs(stage)
+    for i, f in enumerate(files):
+        shutil.copy(os.path.join(staged, f), os.path.join(stage, f"a{i}.parquet"))
+
+    def start():
+        return (
+            spark.readStream.format("eventlog_stream")
+            .load(stage)
+            .select(
+                F.col("event_id").cast("string").alias("key"),
+                F.col("event_type").alias("value"),
+            )
+            .writeStream.format("kvtext")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert spark.read.format("kvtext").load(out).count() == n_total
+    with open(os.path.join(out, "_batches")) as fh:
+        manifest_before = fh.read()
+
+    # Simulate the crash window: sink committed, engine commit lost.
+    # (The hidden .crc sibling must go too — a leftover checksum makes the
+    # checkpoint manager's atomic rename fail as a concurrent-use error.)
+    commits_dir = os.path.join(ckpt, "commits")
+    commits = sorted(
+        f for f in os.listdir(commits_dir) if not f.startswith(".")
+    )
+    os.remove(os.path.join(commits_dir, commits[-1]))
+    crc = os.path.join(commits_dir, f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = start()  # replays the uncommitted last batch
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    back = spark.read.format("kvtext").load(out)
+    assert back.count() == n_total  # replay absorbed, zero duplicates
+    assert back.select("key").distinct().count() == n_total
+    with open(os.path.join(out, "_batches")) as fh:
+        assert fh.read() == manifest_before  # no duplicate manifest line

@@ -5,11 +5,17 @@ DuckDB at sf0.01, then compares row count, column names, and an
 order-insensitive value multiset (values normalized: floats rounded to 9
 significant-ish decimals, timestamps to ISO strings).
 
-Usage: python tools/verify_local.py [query ...]
+Usage: python tools/verify_local.py [--out=FILE.json] [query ...]
+
+With --out, one JSON object per query (name, status, rows, seconds,
+problems) plus a summary header is written to FILE.json — the per-round
+auditable artifact (VERIFYLOCAL_r{N}.json) that records the full-registry
+sweep without requiring a rerun.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -46,7 +52,15 @@ def main() -> int:
     import __spark_entry__ as e
     from mapreduce_simulation_spark.session import build_session
 
-    only = set(sys.argv[1:])
+    out_path = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--out="):
+            out_path = a[len("--out="):]
+        else:
+            args.append(a)
+    only = set(args)
+    results: dict[str, dict] = {}
     spark = build_session("verify-local")
     con = duckdb.connect()
     for t in (
@@ -69,6 +83,10 @@ def main() -> int:
             continue
         if name == "stateful_user_rollup_tws" and not _HAS_TWS:
             print(f"SKIP  {name}: transformWithState needs protobuf")
+            results[name] = {
+                "status": "skip",
+                "reason": "transformWithState needs protobuf",
+            }
             continue
         t0 = time.time()
         try:
@@ -77,16 +95,20 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
+            results[name] = {"status": "fail", "error": str(ex)[:300]}
             failures += 1
             continue
         finally:
             # collect() is done — one query's tracked persists must not
             # occupy executor memory while the next 190 run.
             release_tracked()
+        secs = round(time.time() - t0, 1)
         if name not in oracles:
             n_rows_only += 1
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{secs}s]")
+            results[name] = {
+                "status": "rows_only", "rows": len(srows), "seconds": secs,
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -94,6 +116,7 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
+            results[name] = {"status": "fail", "error": str(ex)[:300]}
             failures += 1
             continue
         problems = []
@@ -110,14 +133,31 @@ def main() -> int:
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            results[name] = {"status": "fail", "problems": problems}
             failures += 1
         else:
             n_ok += 1
-            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"OK    {name}: {len(srows)} rows [{secs}s]")
+            results[name] = {
+                "status": "ok", "rows": len(srows), "seconds": secs,
+            }
     spark.stop()
     # One grep-proof summary line (Spark progress bars can swallow
     # individual result lines on a tty).
     print(f"SUMMARY: {n_ok} ok, {n_rows_only} rows-only, {failures} failed")
+    if out_path:
+        payload = {
+            "sf_dir": SF_DIR,
+            "n_ok": n_ok,
+            "n_rows_only": n_rows_only,
+            "n_failed": failures,
+            "n_total": len(results),
+            "queries": results,
+        }
+        with open(out_path, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {out_path}")
     return 1 if failures else 0
 
 
