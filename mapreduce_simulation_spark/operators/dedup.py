@@ -814,9 +814,20 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     touched = edges.select("doc_a").distinct()
-    labels = touched.select(
-        F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("comp")
-    ).localCheckpoint()
+    # Iteration 0 folded into initialization: comp = min(self, direct
+    # neighbors) from one grouped min over the edge list — identical to
+    # starting from comp = self and running one propagation round, so the
+    # loop below needs one fewer join+checkpoint+count round to reach the
+    # same fixpoint.
+    labels = (
+        edges.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("nbmin"))
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.least("doc_a", "nbmin").alias("comp"),
+        )
+        .localCheckpoint()
+    )
     changed = -1
     for _ in range(MAX_CC_ITERATIONS):
         nbmin = (

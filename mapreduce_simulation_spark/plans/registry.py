@@ -145,6 +145,54 @@ def oracle_sql() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Bounded-error oracles for approximate operators.
+#
+# The driver's hash gate needs bit-exact twins, so sketch-based queries are
+# registered oracle-less (rows-only there). Locally they get a STRONGER
+# check: the exact DuckDB aggregate plus a per-column relative-error bound —
+# tools/verify_local.py compares row counts, exact columns bit-for-bit, and
+# each approx column within its declared tolerance, reporting status
+# "bounded_ok" in the VERIFYLOCAL artifact. Tolerances are ~3× the
+# estimator's standard error (approx_count_distinct default rsd = 0.05;
+# Datasketches HLL lgK=12 ≈ 1.6%), so a pass is meaningful and a
+# regression (e.g. sketch merged wrong) trips it deterministically.
+# ---------------------------------------------------------------------------
+
+BOUNDED_ORACLES: dict[str, dict] = {
+    "events_daily_approx": {
+        # same ORDER BY as the query — compared positionally
+        "sql": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users_approx
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "approx_cols": {"n_users_approx": 0.15},
+    },
+    "hll_monthly_users": {
+        "sql": """
+            SELECT CAST(year(ts) AS INT) AS yr,
+                   CAST(month(ts) AS INT) AS mo,
+                   count(DISTINCT user_id) AS approx_users,
+                   count(DISTINCT CAST(ts AS DATE)) AS n_days
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "approx_cols": {"approx_users": 0.05},
+    },
+}
+
+
+def bounded_oracles() -> dict[str, dict]:
+    """name → {sql, approx_cols: {col: max relative error}} for queries
+    whose oracle is exact-valued only up to estimator error."""
+    return dict(BOUNDED_ORACLES)
+
+
+# ---------------------------------------------------------------------------
 # Reference-parity workloads (SURVEY.md §2c)
 # ---------------------------------------------------------------------------
 

@@ -24,7 +24,29 @@ def staging_dir(prefix: str) -> str:
     return path
 
 
+_KEYED: dict[tuple[str, str], str] = {}
+
+
+def keyed_staging_dir(prefix: str, key: str) -> tuple[str, bool]:
+    """A staging directory REUSED for the lifetime of the process when the
+    same (prefix, key) is requested again — for deterministic layout
+    steps (e.g. the month-partitioned DPP fact copy of one sf_dir) whose
+    re-write per repeated build would otherwise dominate the query being
+    measured. Returns (path, already_staged): the caller skips its write
+    when already_staged is True. Cleanup at exit as usual."""
+    import os
+
+    k = (prefix, key)
+    if k in _KEYED and os.path.isdir(_KEYED[k]):
+        return _KEYED[k], True
+    path = tempfile.mkdtemp(prefix=prefix)
+    _DIRS.append(path)
+    _KEYED[k] = path
+    return path, False
+
+
 @atexit.register
 def _cleanup() -> None:
+    _KEYED.clear()
     while _DIRS:
         shutil.rmtree(_DIRS.pop(), ignore_errors=True)

@@ -46,6 +46,37 @@ def _multiset(rows, cols):
     return sorted(out)
 
 
+def _bounded_compare(scols, srows, ocols, orows, approx_cols):
+    """Positional compare (both sides share the query's ORDER BY): exact
+    columns bit-for-bit via _norm, approx columns within their declared
+    relative-error bound. Returns a list of problems (empty = pass)."""
+    problems = []
+    if sorted(scols) != sorted(ocols):
+        return [f"cols spark={sorted(scols)} oracle={sorted(ocols)}"]
+    if len(srows) != len(orows):
+        return [f"rows spark={len(srows)} oracle={len(orows)}"]
+    for i, (sr, orr) in enumerate(zip(srows, orows)):
+        sd, od = dict(zip(scols, sr)), dict(zip(ocols, orr))
+        for c in scols:
+            if c in approx_cols:
+                exact = float(od[c])
+                got = float(sd[c])
+                tol = approx_cols[c]
+                denom = max(abs(exact), 1.0)
+                if abs(got - exact) / denom > tol:
+                    problems.append(
+                        f"row {i} col {c}: approx {got} vs exact {exact} "
+                        f"exceeds rel err {tol}"
+                    )
+            elif _norm(sd[c]) != _norm(od[c]):
+                problems.append(
+                    f"row {i} col {c}: {_norm(sd[c])} != {_norm(od[c])}"
+                )
+        if len(problems) >= 3:
+            break
+    return problems
+
+
 def main() -> int:
     import duckdb
 
@@ -71,7 +102,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
+    from mapreduce_simulation_spark.plans.registry import bounded_oracles
+
     qs, oracles = e.queries(), e.oracle_sql()
+    bounded = bounded_oracles()
     failures = 0
     n_ok = n_rows_only = 0
     from mapreduce_simulation_spark.streaming.stateful import _HAS_TWS
@@ -104,6 +138,37 @@ def main() -> int:
             release_tracked()
         secs = round(time.time() - t0, 1)
         if name not in oracles:
+            if name in bounded:
+                spec = bounded[name]
+                try:
+                    res = con.execute(spec["sql"])
+                    ocols = [d[0] for d in res.description]
+                    orows = res.fetchall()
+                except Exception as ex:  # noqa: BLE001
+                    print(f"FAIL  {name}: duckdb error: {ex}")
+                    results[name] = {"status": "fail", "error": str(ex)[:300]}
+                    failures += 1
+                    continue
+                problems = _bounded_compare(
+                    scols, srows, ocols, orows, spec["approx_cols"]
+                )
+                if problems:
+                    print(f"FAIL  {name}: " + "; ".join(problems))
+                    results[name] = {"status": "fail", "problems": problems}
+                    failures += 1
+                else:
+                    n_ok += 1
+                    print(
+                        f"OK    {name}: {len(srows)} rows "
+                        f"(bounded-error oracle) [{secs}s]"
+                    )
+                    results[name] = {
+                        "status": "bounded_ok",
+                        "rows": len(srows),
+                        "seconds": secs,
+                        "approx_cols": spec["approx_cols"],
+                    }
+                continue
             n_rows_only += 1
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{secs}s]")
             results[name] = {
