@@ -172,7 +172,11 @@ def main() -> None:
     spark_calib = round(time.perf_counter() - t0, 3)
 
     timings = run(HEADLINE, repeats=3)
-    extended = run(EXTENDED)
+    # Extended gets the same median-of-3 treatment: single-shot numbers at
+    # this scale move ±20% with host noise (cdc_chunking read as a
+    # regression in r6 on one sample), and one-time layout steps (the DPP
+    # staging write) otherwise dominate the recorded number.
+    extended = run(EXTENDED, repeats=3)
 
     total = round(sum(timings.values()), 3)
     result = {
