@@ -384,7 +384,15 @@ def _near_dup_pairs(docs: DataFrame) -> DataFrame:
     value, keeps the full verification path). Measured at sf0.1/local[32]:
     the pair build alone drops ~17 s → ~4 s, full
     dedup_connected_components 19.7 s (r4 bench) → ~11 s cold / 7.7 s
-    warm."""
+    warm.
+
+    Measured and rejected (r7): replacing the candidate self-join with
+    inverted-index bucket pair generation (groupBy shingle →
+    array_sort(collect_list) → nested-transform ordered pairs → explode)
+    — 1.23 s vs the self-join's 0.44 s warm at sf0.1 with identical
+    output; the self-join's two identical subtrees share one exchange
+    (ReusedExchange) while the interpreted higher-order pair emission is
+    3× the cost of the hash join it avoids."""
     # The shingle table feeds four consumers (rare-df agg, the capped
     # join, per-doc sizes, and the risky branch) and the capped table
     # three (both sides of the candidate self-join + rare sizes); without
