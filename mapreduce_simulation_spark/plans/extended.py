@@ -1909,7 +1909,11 @@ def _pagerank_iterate(
     # Materialize the loop invariants once: outdeg is referenced twice per
     # iteration (contrib join + dangling anti-join) and nodes once, so
     # without this each iteration re-runs the edge aggregation and the
-    # source scan behind nodes.
+    # source scan behind nodes. Measured and rejected (r7): pre-joining
+    # outdeg onto the edge table and precomputing a dangling flag on the
+    # node/rank state — 3.6 s vs 3.4 s median-of-5 at sf0.1, both A/B
+    # orders; the per-iteration outdeg broadcast join is already free and
+    # the wider checkpointed state costs more than the anti-join saves.
     outdeg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
