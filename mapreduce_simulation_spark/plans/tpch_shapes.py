@@ -288,10 +288,15 @@ def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
+    # n_supp comes from the SIZE of a collected set, not countDistinct:
+    # mixing a distinct aggregate with collect_set makes Spark plan the
+    # aggregation through an Expand (every input row doubled, one copy
+    # per aggregate class); two plain collect_sets keep the single-pass
+    # partial/final shape. Both sets are bounded by suppliers-per-order.
     profile = (
         li.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
             F.array_sort(
                 F.collect_set(
                     F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
