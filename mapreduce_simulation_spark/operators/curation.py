@@ -2123,36 +2123,56 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cdc_profile(docs: DataFrame) -> DataFrame:
     """The chunk-duplication profile for any (doc_id, text) frame —
     split out so tests can drive the insertion-robustness property on
-    constructed documents."""
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
-    ).select("doc_id", "pos", H.char_hash("w").alias("h"))
-    w_doc = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    chunked = tok.select(
-        "doc_id",
-        "pos",
-        "h",
-        F.coalesce(
-            F.sum(
-                F.when(F.col("h") % CDC_DIVISOR == 0, 1).otherwise(0)
-            ).over(w_doc),
-            F.lit(0),
-        ).alias("chunk_id"),
-    )
-    fp = F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "h"))),
-            lambda s: s["h"],
+    constructed documents.
+
+    Chunking is ONE aggregate fold over the document's token-hash array:
+    the state carries (running chunk fp, running token count, closed
+    chunks); a boundary token (hash ≡ 0 mod divisor) is folded into the
+    running fp and then closes the chunk; the finisher flushes the
+    trailing partial chunk. The hash array is referenced exactly once,
+    so the per-token char fold runs once — and the former per-doc
+    running-sum window (corpus-wide shuffle + sort) plus the
+    (doc_id, chunk_id) collect_list aggregation (second shuffle) vanish:
+    everything up to the corpus-wide duplication profile is a narrow
+    projection."""
+    chunk_t = "array<struct<fp:bigint,n:bigint>>"
+    zero = F.lit(0).cast("long")
+
+    def step(acc, h):
+        fp2 = (acc["fp"] * 1000003 + h) % H.P
+        n2 = acc["n"] + F.lit(1).cast("long")
+        closed = F.concat(
+            acc["out"], F.array(F.struct(fp2.alias("fp"), n2.alias("n")))
+        )
+        return F.when(
+            h % CDC_DIVISOR == 0,
+            F.struct(zero.alias("fp"), zero.alias("n"), closed.alias("out")),
+        ).otherwise(
+            F.struct(fp2.alias("fp"), n2.alias("n"), acc["out"].alias("out"))
+        )
+
+    folded = F.aggregate(
+        F.transform(tokens(F.col("text")), lambda w: H.char_hash(w)),
+        F.struct(
+            zero.alias("fp"),
+            zero.alias("n"),
+            F.array().cast(chunk_t).alias("out"),
         ),
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * F.lit(1000003) + x) % F.lit(H.P),
+        step,
+        lambda acc: F.when(
+            acc["n"] > 0,
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(acc["fp"].alias("fp"), acc["n"].alias("n"))
+                ),
+            ),
+        ).otherwise(acc["out"]),
     )
-    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"), fp.alias("chunk_fp")
+    chunks = docs.select("doc_id", F.explode(folded).alias("c")).select(
+        "doc_id",
+        F.col("c.n").alias("n_tokens"),
+        F.col("c.fp").alias("chunk_fp"),
     )
     return (
         chunks.groupBy("chunk_fp", "n_tokens")
