@@ -392,7 +392,13 @@ def _near_dup_pairs(docs: DataFrame) -> DataFrame:
     — 1.23 s vs the self-join's 0.44 s warm at sf0.1 with identical
     output; the self-join's two identical subtrees share one exchange
     (ReusedExchange) while the interpreted higher-order pair emission is
-    3× the cost of the hash join it avoids."""
+    3× the cost of the hash join it avoids. Also rejected: attaching the
+    shingle document frequency with a whole-partition count() window so
+    capped/frequent become filters (no rare agg + join-back) — the
+    capped table alone builds 1.86 s → 1.04 s, but the FULL query
+    regresses 4.95 s → 6.35 s median-of-5: every downstream consumer
+    then scans the wider sorted cache, losing more than the fused df
+    pass saves."""
     # The shingle table feeds four consumers (rare-df agg, the capped
     # join, per-doc sizes, and the risky branch) and the capped table
     # three (both sides of the candidate self-join + rare sizes); without
