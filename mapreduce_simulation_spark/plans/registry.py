@@ -75,14 +75,38 @@ _PROMOTE = (
     "sql_udf_pricing",            # SQL scalar UDF tier
     "multiset_set_ops",           # INTERSECT/EXCEPT ALL (bag semantics)
     "similarity_lsh_topk",        # oracle-exact hyperplane LSH top-k
+    # round-8 cohort: one representative per family still outside the window
+    "gopher_quality_rules",       # Gopher quality-filter rule battery
+    "dsir_importance",            # DSIR n-gram importance weighting
+    "lm_perplexity_score",        # KenLM-style LM perplexity scoring
+    "sequence_packing",           # greedy first-fit sequence packing
+    "training_shuffle",           # deterministic hash-based epoch shuffle
+    "bpe_learn_merges",           # BPE merge-rule learning (driver loop)
+    "bpe_apply_merges",           # BPE merge application (array folds)
+    "pagerank_order_chain",       # Pregel-shape iterative PageRank
+    "rfm_segmentation",           # distributed-ntile RFM segmentation
+    "schema_evolution_union",     # schema-evolution union (mergeSchema)
 )
-# Round-8 rotation candidates (for the next window swap, NOT applied now):
-# gopher_quality_rules, dsir_importance, lm_perplexity_score,
-# sequence_packing, training_shuffle, bpe_learn_merges/bpe_apply_merges,
-# pagerank_order_chain, rfm_segmentation, schema_evolution_union —
-# demoting in exchange remaining r4/r6-green single-mechanism rows
-# (sessionize_events, lang_id, token_count_bpe, decontaminate, …).
+# Round-9 rotation candidates (for the next window swap, NOT applied now):
+# merge_upsert_orders, variant_json_events, quality_score, tfidf_top_terms,
+# window_top_customers, grouping_sets_revenue, events_daily,
+# repetition_stats, doc_fingerprint, span_dedup — rotating back the r7
+# demotions that have now sat out a round, in exchange for the r8-green
+# single-mechanism rows promoted above.
 _DEMOTE = (
+    # round-8 demotions: r4/r6/r7 driver-green single-mechanism rows whose
+    # families keep stronger representatives in the window (each remains
+    # verified by tests + tools/verify_local.py every round)
+    "sessionize_events",        # events agg: streaming_events_hourly green
+    "lang_id",                  # text family: text_stats stays in window
+    "token_count_bpe",          # text/BPE: learn+apply twins now in window
+    "decontaminate",            # dedup family keeps 5 stronger reps
+    "stratified_sample",        # curation: training_data_pipeline stays
+    "corpus_mix",               # curation: curation_pipeline_v2 stays
+    "partitioned_source_pruned",  # source family: xml/kvtext stay
+    "bucketed_join_revenue",    # join family: asof/not_in/sole_blame stay
+    "similarity_topk",          # similarity: ivf/lsh/mmr/centroid stay
+    "embedding_near_dup_bucketed",  # similarity family covered
     # round-7 demotions: r4/r6 driver-green single-mechanism rows whose
     # families keep stronger representatives in the window (each remains
     # verified by tests + tools/verify_local.py every round)

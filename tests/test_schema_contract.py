@@ -113,7 +113,7 @@ def test_loaded_schema_matches_contract(spark, sf_dir, table):
 # registry._PROMOTE/_DEMOTE) must update this list deliberately.
 # ---------------------------------------------------------------------------
 
-DRIVER_WINDOW_R7 = [
+DRIVER_WINDOW_R8 = [
     "pipe_word_count",
     "pipe_grep",
     "streaming_events_hourly",
@@ -144,26 +144,26 @@ DRIVER_WINDOW_R7 = [
     "sql_udf_pricing",
     "multiset_set_ops",
     "similarity_lsh_topk",
+    "gopher_quality_rules",
+    "dsir_importance",
+    "lm_perplexity_score",
+    "sequence_packing",
+    "training_shuffle",
+    "bpe_learn_merges",
+    "bpe_apply_merges",
+    "pagerank_order_chain",
+    "rfm_segmentation",
+    "schema_evolution_union",
     "word_count",
     "pricing_summary",
     "revenue_by_nation",
-    "sessionize_events",
     "training_data_pipeline",
     "text_stats",
-    "lang_id",
-    "token_count_bpe",
     "dedup_exact",
     "dedup_connected_components",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "decontaminate",
-    "stratified_sample",
-    "corpus_mix",
-    "partitioned_source_pruned",
-    "bucketed_join_revenue",
-    "similarity_topk",
-    "embedding_near_dup_bucketed",
 ]
 
 
@@ -171,11 +171,11 @@ def test_driver_hash_window_is_frozen():
     from mapreduce_simulation_spark.plans import registry
 
     got = list(registry.queries())[:50]
-    assert got == DRIVER_WINDOW_R7, (
+    assert got == DRIVER_WINDOW_R8, (
         "the driver's first-50 hash window shifted — if this is an intended "
-        "promotion/demotion, update DRIVER_WINDOW_R7; otherwise find the "
+        "promotion/demotion, update DRIVER_WINDOW_R8; otherwise find the "
         "import/registration reorder that moved it.\n"
-        f"got:  {got}\nwant: {DRIVER_WINDOW_R7}"
+        f"got:  {got}\nwant: {DRIVER_WINDOW_R8}"
     )
 
 
@@ -183,7 +183,7 @@ def test_driver_window_queries_all_have_oracles():
     from mapreduce_simulation_spark.plans import registry
 
     oracles = registry.oracle_sql()
-    missing = [n for n in DRIVER_WINDOW_R7 if n not in oracles]
+    missing = [n for n in DRIVER_WINDOW_R8 if n not in oracles]
     assert missing == [], (
         f"driver-window queries without an exact oracle: {missing} — the "
         "gate would fall back to the weaker rows-only check"
