@@ -43,41 +43,96 @@ from pyspark.sql import DataFrame
 
 # Stack of scopes; the bottom entry is the module-default scope used when
 # no tracked_scope() is active. Single-threaded by design (one driver).
-_SCOPES: list[list[DataFrame]] = [[]]
+# Each registration is (frame, plan_key).
+_SCOPES: list[list[tuple[DataFrame, int]]] = [[]]
+
+# plan_key → number of live tracked registrations across ALL scopes.
+# Spark's cache manager matches cache entries by CANONICALIZED plan, not
+# by DataFrame identity: two independently-built identical-plan frames
+# share ONE cache entry, and ``df.is_cached`` answers for the plan, not
+# the object.  Without this refcount, an identical-plan offset-bearing
+# frame built in a second tracked scope would see is_cached=True, skip
+# registration, and silently depend on a cache owned by the FIRST scope —
+# when that scope releases, the second query's repartitionByRange
+# re-samples range bounds on materialization and its embedded offsets go
+# stale (the interleaved-query hazard tracked_scope exists to prevent).
+# With it, every tracked registration holds a reference and the cache
+# entries under a key are only unpersisted when the LAST referencing
+# scope releases.
+#
+# The key is the analyzed plan's semanticHash — a structural hash, NOT
+# the cache manager's sameResult equivalence: plans containing
+# nondeterministic expressions (monotonically_increasing_id in the
+# ranking primitives) hash equal but are never sameResult, so each
+# persist of such a plan creates its OWN cache entry under a shared key.
+# _KEY_FRAMES therefore keeps every registered frame per key and a
+# zero-refcount release unpersists them ALL: distinct entries grouped by
+# a shared key are released at the LAST referencing scope's exit —
+# conservatively late, never early (the direction that preserves the
+# embedded-offset invariant).
+_PLAN_REFS: dict[int, int] = {}
+_KEY_FRAMES: dict[int, list[DataFrame]] = {}
+
+
+def _plan_key(df: DataFrame) -> int:
+    """Key grouping a frame with the cache entry (or entries — see module
+    note on nondeterministic plans) its plan may share: the semantic hash
+    of the canonicalized analyzed plan."""
+    return df._jdf.queryExecution().analyzed().semanticHash()
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it with the innermost scope for a later
-    release.  Frames that are ALREADY cached (a caller's intentional
-    persist, or an identical-plan frame tracked earlier in this scope) are
-    returned untouched and not registered — this module only releases what
-    it persisted, never a cache it does not own."""
+    release.
+
+    A frame whose plan is already cached is registered (refcounted)
+    ONLY when this module created a cache entry under the same plan key —
+    a caller's own intentional persist stays untracked, so a release here
+    never drops a cache it did not create."""
+    key = _plan_key(df)
     if df.is_cached:
-        return df
-    df.persist()
-    _SCOPES[-1].append(df)
+        if key not in _PLAN_REFS:
+            return df  # caller-owned cache; ownership stays with caller
+    else:
+        df.persist()
+    _PLAN_REFS[key] = _PLAN_REFS.get(key, 0) + 1
+    _KEY_FRAMES.setdefault(key, []).append(df)
+    _SCOPES[-1].append((df, key))
     return df
 
 
+def _release_one(key: int, blocking: bool) -> None:
+    left = _PLAN_REFS.get(key, 1) - 1
+    if left <= 0:
+        _PLAN_REFS.pop(key, None)
+        for df in _KEY_FRAMES.pop(key, []):
+            df.unpersist(blocking)
+    else:
+        _PLAN_REFS[key] = left
+
+
 @contextmanager
-def tracked_scope(blocking: bool = False) -> Iterator[list[DataFrame]]:
+def tracked_scope(blocking: bool = False) -> Iterator[list[tuple[DataFrame, int]]]:
     """Scope tracked persists to one query: frames registered inside the
-    ``with`` block are unpersisted on exit, and an inner
+    ``with`` block are released on exit (unpersisted only when no other
+    scope still references the same plan), and an inner
     ``release_tracked()`` can only see this scope — never an outer query's
     frames."""
-    frames: list[DataFrame] = []
+    frames: list[tuple[DataFrame, int]] = []
     _SCOPES.append(frames)
     try:
         yield frames
     finally:
         _SCOPES.pop()
         while frames:
-            frames.pop().unpersist(blocking)
+            _df, key = frames.pop()
+            _release_one(key, blocking)
 
 
 def release_tracked(blocking: bool = False) -> int:
-    """Unpersist every frame of the INNERMOST scope; returns how many were
-    released.
+    """Release every registration of the INNERMOST scope (unpersisting
+    each plan's cache entry only when no other scope still references
+    it); returns how many registrations were released.
 
     Call ONLY at a boundary where all results derived from tracked frames
     have been fully materialized (collected/written) — after unpersist the
@@ -86,6 +141,7 @@ def release_tracked(blocking: bool = False) -> int:
     frames = _SCOPES[-1]
     n = 0
     while frames:
-        frames.pop().unpersist(blocking)
+        _df, key = frames.pop()
+        _release_one(key, blocking)
         n += 1
     return n

@@ -212,9 +212,20 @@ def submit_job(
         fs.delete(jpath, True)
     # The reference job directory contains ONLY part files; suppress the
     # committer's _SUCCESS marker (all filesystems) so a directory-level
-    # diff against reference output matches too.
-    hconf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-    out_lines.saveAsTextFile(output_directory)
+    # diff against reference output matches too.  The Hadoop configuration
+    # is SESSION-GLOBAL, so the prior value is restored afterwards —
+    # otherwise every later write in the SparkSession (parquet staging,
+    # other sinks) would silently lose its _SUCCESS marker too.
+    mark_key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    prior_mark = hconf.get(mark_key)
+    hconf.set(mark_key, "false")
+    try:
+        out_lines.saveAsTextFile(output_directory)
+    finally:
+        if prior_mark is None:
+            hconf.unset(mark_key)
+        else:
+            hconf.set(mark_key, prior_mark)
     # Local-FS only: ChecksumFileSystem materializes hidden .crc siblings
     # (and hides them from listStatus, so they must be swept via the OS).
     # Object stores / HDFS keep checksums out of the directory listing.

@@ -33,7 +33,14 @@ def keyed_staging_dir(prefix: str, key: str) -> tuple[str, bool]:
     steps (e.g. the month-partitioned DPP fact copy of one sf_dir) whose
     re-write per repeated build would otherwise dominate the query being
     measured. Returns (path, already_staged): the caller skips its write
-    when already_staged is True. Cleanup at exit as usual."""
+    when already_staged is True. Cleanup at exit as usual.
+
+    No invalidation: the cache assumes the source data behind ``key`` is
+    immutable for the process lifetime (true for the bench/verify
+    lifecycle, where testdata directories are only regenerated between
+    driver rounds, i.e. between processes). If in-process regeneration of
+    a source path ever becomes possible, callers should fold a cheap
+    content fingerprint (e.g. source-parquet mtime) into ``key``."""
     import os
 
     k = (prefix, key)

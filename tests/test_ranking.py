@@ -195,12 +195,13 @@ def test_release_tracked_clears_persisted_frames(spark, tied):
     tiled = with_distributed_ntile(tied, order, 4, "tile")
     rows = ranked.count() + tiled.count()
     assert rows == 2 * tied.count()
-    # 3 frames: the shared input (persisted once — the second primitive
-    # sees it cached and skips) plus each primitive's partitioned frame.
-    assert len(_SCOPES[-1]) == 3
-    assert all(df.is_cached for df in _SCOPES[-1])
-    handles = list(_SCOPES[-1])
-    assert release_tracked() == 3
+    # 4 registrations: the shared input is registered by BOTH primitives
+    # (refcounted — the second sees it cached but still takes a
+    # reference) plus each primitive's own partitioned frame.
+    assert len(_SCOPES[-1]) == 4
+    assert all(df.is_cached for df, _ in _SCOPES[-1])
+    handles = [df for df, _ in _SCOPES[-1]]
+    assert release_tracked() == 4
     assert _SCOPES[-1] == []
     assert all(not df.is_cached for df in handles)
     # double-release is a no-op
@@ -226,18 +227,27 @@ def test_tracked_scope_isolates_queries(spark, tied):
         assert len(outer) == 2
         with tracked_scope() as inner:
             inner_tiled = with_distributed_ntile(tied, order, 4, "tile")
-            # tied is already cached by the outer scope, so the inner
-            # primitive registers only its own partitioned frame
-            assert len(inner) == 1
-            inner_handle = inner[0]
+            # tied is already cached by the outer scope; the inner
+            # primitive still takes a refcounted reference on it plus
+            # registers its own partitioned frame
+            assert len(inner) == 2
+            outer_ids = {id(df) for df, _ in outer}
+            inner_parted = next(
+                df for df, _ in inner if id(df) not in outer_ids
+            )
             assert inner_tiled.count() == tied.count()
-            # inner release sees only the inner scope
-            assert release_tracked() == 1
-            assert not inner_handle.is_cached
+            # inner release sees only the inner scope.  The inner parted
+            # frame shares a plan KEY with the outer's (both contain
+            # monotonically_increasing_id, which hashes structurally),
+            # so with group refcounting NOTHING is unpersisted yet — the
+            # outer scope still references both keys; release is
+            # conservatively late, never early
+            assert release_tracked() == 2
+            assert inner_parted.is_cached
             # outer frames untouched and still materializable correctly
             assert len(outer) == 2
-            assert all(df.is_cached for df in outer)
-        handles = list(outer)
+            assert all(df.is_cached for df, _ in outer)
+        handles = [df for df, _ in outer] + [inner_parted]
         ranks = {
             (r["k"], r["v"]): r["rk"] for r in outer_ranked.collect()
         }
@@ -265,3 +275,35 @@ def test_persist_tracked_skips_caller_cache(spark):
         assert df.is_cached
     finally:
         df.unpersist()
+
+
+def test_identical_plan_across_scopes_is_refcounted(spark):
+    """The ADVICE r7 hazard: Spark's cache manager matches entries by
+    canonicalized plan, so an identical-plan frame built independently in
+    a SECOND tracked scope shares the first scope's cache entry.  The
+    shared entry must survive until the LAST referencing scope releases —
+    otherwise the second query's offset-bearing frame re-materializes
+    with resampled range bounds after the first scope exits."""
+    from mapreduce_simulation_spark.operators.caching import (
+        _PLAN_REFS,
+        persist_tracked,
+        release_tracked,
+        tracked_scope,
+    )
+
+    release_tracked()
+    base = spark.range(100).selectExpr("id", "id % 7 AS k")
+    with tracked_scope():
+        a = persist_tracked(base.groupBy("k").count())
+        a.count()
+        with tracked_scope():
+            # independently-built identical plan → same cache entry
+            b = persist_tracked(base.groupBy("k").count())
+            assert b.is_cached
+            assert release_tracked() == 1
+            # inner release must NOT drop the shared entry: the outer
+            # scope still references the plan
+            assert a.is_cached and b.is_cached
+    # last reference released on outer scope exit
+    assert not a.is_cached
+    assert _PLAN_REFS == {}

@@ -146,6 +146,13 @@ def test_submit_job_cli_contract_golden_parity(spark, tmp_path):
     with open(os.path.join(out, parts[0]), encoding="utf-8") as fh:
         got = fh.read().splitlines()
     assert got == _golden("word_count_correct.txt")
+    # The _SUCCESS suppression is scoped to THIS job, not the session:
+    # the Hadoop conf is session-global, so submit_job must restore the
+    # prior committer setting — a later ordinary write still gets its
+    # _SUCCESS marker (ADVICE r7).
+    later = str(tmp_path / "later")
+    spark.createDataFrame([("x",)], "v string").write.text(later)
+    assert os.path.exists(os.path.join(later, "_SUCCESS"))
 
 
 def test_submit_job_key_to_file_placement(spark, tmp_path):
