@@ -704,6 +704,9 @@ def brute_force_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
+        # deterministic order for the positional bounded-error comparator
+        # (50 rows — the sort is free)
+        .orderBy("query_id", "rk")
     )
 
 
@@ -802,7 +805,7 @@ ORDER BY p.anchor_id
 PQ_SUBSPACES = 8
 PQ_SUBDIM = EMBED_DIM // PQ_SUBSPACES
 PQ_CODEBOOK = 16
-PQ_REFINE = 4  # re-rank the top K×PQ_REFINE approx candidates exactly
+PQ_REFINE = 8  # re-rank the top K×PQ_REFINE approx candidates exactly
 
 
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,6 +977,45 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .orderBy("query_id", "rk")
     )
+
+
+# Bounded-error oracle for pq_topk: the exact brute-force top-k over the
+# SAME restricted corpus PQ searches (queries are excluded from the encoded
+# base, unlike BRUTE_FORCE_TOPK_SQL's self-search).  The refine step
+# re-scores survivors with the strict-fold cosine, so when PQ's candidate
+# pool contains the true top-k (the recall property asserted in tests),
+# ids and ranks match this SQL exactly and cosine matches up to the
+# 6-decimal rounding of a reassociated float.
+PQ_TOPK_ORACLE_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_reduce(
+                 list_prepend(0.0, list_transform(
+                   list_zip(q.v, c.v)::STRUCT(a DOUBLE, b DOUBLE)[],
+                   p -> p.a * p.b)),
+                 (acc, x) -> acc + x) / (q.nrm * c.nrm), 6) AS cosine
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored)
+WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -207,7 +207,48 @@ BOUNDED_ORACLES: dict[str, dict] = {
         """,
         "approx_cols": {"approx_users": 0.05},
     },
+    # The float-reassociation pair: ids/ranks exact, the score column
+    # compared within 2e-6 (both sides round cosine to 6 decimals; a
+    # last-ulp reassociation difference under the rounding can move the
+    # rounded value by exactly 1e-6 — 2e-6 covers it with headroom while
+    # still failing on any real scoring regression).
+    "similarity_topk_pandas": {
+        # BLAS matmul reassociates the dot-product fold
+        "sql": similarity.BRUTE_FORCE_TOPK_SQL + " ORDER BY query_id, rk",
+        "approx_cols": {"cosine": 2e-6},
+    },
 }
+
+
+# ---------------------------------------------------------------------------
+# Recall oracles: ANN queries whose RESULT SET is legitimately approximate
+# (the candidate pool can miss true neighbors), so neither exact hashing
+# nor a per-value error bound applies.  The checkable contract is the one
+# the operator documents: the returned set must overlap the exact top-k at
+# or above the recall floor, AND every overlapping hit's score must match
+# the exact oracle bit-for-bit (pq_topk refines survivors with the same
+# strict fold the oracle uses — a scoring regression breaks this even when
+# recall holds).  tools/verify_local.py reports status "recall_ok" with
+# the measured recall.
+# ---------------------------------------------------------------------------
+
+RECALL_ORACLES: dict[str, dict] = {
+    "similarity_pq_topk": {
+        "sql": similarity.PQ_TOPK_ORACLE_SQL,
+        "group_cols": ["query_id"],
+        "id_col": "neighbor_id",
+        "score_col": "cosine",  # overlapping hits must agree bitwise
+        # floor from test_pq_topk_recall_floor: measured 0.46 at sf0.001
+        # (seeded k-means → deterministic); asserted ≥ 0.35 there too
+        "min_recall": 0.35,
+    },
+}
+
+
+def recall_oracles() -> dict[str, dict]:
+    """name → {sql, group_cols, id_col, score_col, min_recall} for ANN
+    queries checked by result-set recall against the exact oracle."""
+    return dict(RECALL_ORACLES)
 
 
 def bounded_oracles() -> dict[str, dict]:

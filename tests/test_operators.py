@@ -545,7 +545,10 @@ def test_pq_topk_recall_floor(spark, sf_dir):
     returned cosine is the EXACT score (refinement re-ranks with the true
     fold, so overlapping hits agree with brute force to the bit), and the
     recall floor holds — measured 0.46 at sf0.001 with 8×16 codebooks and
-    4× refinement (seeded k-means → deterministic), floor at 0.35."""
+    4× refinement; 8× refinement (r8) lifts sf0.1 recall 0.34 → above the
+    0.35 floor at every tested SF (seeded k-means → deterministic).
+    tools/verify_local.py checks the same contract against the exact
+    DuckDB oracle per sweep (status recall_ok)."""
     bf = {
         (r.query_id, r.neighbor_id): r.cosine
         for r in similarity.brute_force_topk(spark, sf_dir).collect()

@@ -212,6 +212,50 @@ def test_bounded_compare_accepts_within_and_rejects_beyond_tolerance():
     )
 
 
+def test_recall_compare_checks_overlap_floor_and_bitwise_hits():
+    """The ANN recall comparator: passes at/above the recall floor with
+    bitwise-equal scores on overlapping hits; fails below the floor and
+    on any score drift within an overlapping hit."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_local_r",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "verify_local.py"),
+    )
+    vl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vl)
+
+    cols = ["query_id", "neighbor_id", "cosine", "rk"]
+    spec_d = {
+        "group_cols": ["query_id"],
+        "id_col": "neighbor_id",
+        "score_col": "cosine",
+        "min_recall": 0.5,
+    }
+    exact = [(1, 10, 0.9, 1), (1, 11, 0.8, 2), (2, 20, 0.7, 1),
+             (2, 21, 0.6, 2)]
+    # 3 of 4 hits, scores bitwise equal on hits → pass, recall 0.75
+    got = [(1, 10, 0.9, 1), (1, 99, 0.5, 2), (2, 20, 0.7, 1),
+           (2, 21, 0.6, 2)]
+    problems, recall = vl._recall_compare(cols, got, cols, exact, spec_d)
+    assert problems == [] and recall == 0.75
+    # only 1 of 4 → below floor
+    low = [(1, 10, 0.9, 1), (1, 99, 0.5, 2), (2, 98, 0.4, 1),
+           (2, 97, 0.3, 2)]
+    problems, recall = vl._recall_compare(cols, low, cols, exact, spec_d)
+    assert problems and recall == 0.25
+    # overlapping hit with a drifted score is NEVER tolerated
+    drift = [(1, 10, 0.900001, 1), (1, 11, 0.8, 2), (2, 20, 0.7, 1),
+             (2, 21, 0.6, 2)]
+    problems, _ = vl._recall_compare(cols, drift, cols, exact, spec_d)
+    assert problems
+    # row-count mismatch
+    problems, _ = vl._recall_compare(cols, got[:2], cols, exact, spec_d)
+    assert problems
+
+
 def test_kvtext_connector_roundtrip(spark, sf_dir, tmp_path):
     """The kvtext custom DataSource round-trips the reference's native
     format in both directions: write word counts as tab-separated part

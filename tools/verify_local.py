@@ -77,6 +77,42 @@ def _bounded_compare(scols, srows, ocols, orows, approx_cols):
     return problems
 
 
+def _recall_compare(scols, srows, ocols, orows, spec):
+    """ANN result-set check: same row count and columns, (group, id)
+    overlap with the exact oracle at or above the recall floor, and every
+    overlapping hit's score bitwise-equal (via _norm) to the oracle's.
+    Returns (problems, measured_recall)."""
+    problems = []
+    if sorted(scols) != sorted(ocols):
+        return [f"cols spark={sorted(scols)} oracle={sorted(ocols)}"], None
+    if len(srows) != len(orows):
+        return [f"rows spark={len(srows)} oracle={len(orows)}"], None
+    keycols = list(spec["group_cols"]) + [spec["id_col"]]
+
+    def keyed(rows, cols):
+        out = {}
+        for r in rows:
+            d = dict(zip(cols, r))
+            out[tuple(d[c] for c in keycols)] = d[spec["score_col"]]
+        return out
+
+    got, exact = keyed(srows, scols), keyed(orows, ocols)
+    hits = set(got) & set(exact)
+    recall = len(hits) / len(exact) if exact else 1.0
+    if recall < spec["min_recall"]:
+        problems.append(
+            f"recall {recall:.3f} below floor {spec['min_recall']}"
+        )
+    for k in sorted(hits):
+        if _norm(got[k]) != _norm(exact[k]):
+            problems.append(
+                f"hit {k}: score {got[k]} != exact {exact[k]}"
+            )
+            if len(problems) >= 3:
+                break
+    return problems, round(recall, 3)
+
+
 def main() -> int:
     import duckdb
 
@@ -102,10 +138,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
-    from mapreduce_simulation_spark.plans.registry import bounded_oracles
+    from mapreduce_simulation_spark.plans.registry import (
+        bounded_oracles,
+        recall_oracles,
+    )
 
     qs, oracles = e.queries(), e.oracle_sql()
     bounded = bounded_oracles()
+    recalls = recall_oracles()
     failures = 0
     n_ok = n_rows_only = 0
     from mapreduce_simulation_spark.streaming.stateful import _HAS_TWS
@@ -167,6 +207,39 @@ def main() -> int:
                         "rows": len(srows),
                         "seconds": secs,
                         "approx_cols": spec["approx_cols"],
+                    }
+                continue
+            if name in recalls:
+                spec = recalls[name]
+                try:
+                    res = con.execute(spec["sql"])
+                    ocols = [d[0] for d in res.description]
+                    orows = res.fetchall()
+                except Exception as ex:  # noqa: BLE001
+                    print(f"FAIL  {name}: duckdb error: {ex}")
+                    results[name] = {"status": "fail", "error": str(ex)[:300]}
+                    failures += 1
+                    continue
+                problems, recall = _recall_compare(
+                    scols, srows, ocols, orows, spec
+                )
+                if problems:
+                    print(f"FAIL  {name}: " + "; ".join(problems))
+                    results[name] = {"status": "fail", "problems": problems}
+                    failures += 1
+                else:
+                    n_ok += 1
+                    print(
+                        f"OK    {name}: {len(srows)} rows "
+                        f"(recall {recall} >= {spec['min_recall']}, "
+                        f"hits bitwise-exact) [{secs}s]"
+                    )
+                    results[name] = {
+                        "status": "recall_ok",
+                        "rows": len(srows),
+                        "seconds": secs,
+                        "recall": recall,
+                        "min_recall": spec["min_recall"],
                     }
                 continue
             n_rows_only += 1
