@@ -198,13 +198,21 @@ def main() -> None:
         "extended_total": round(sum(extended.values()), 3),
         "cpu_calib_sec": cpu_calib,
         "spark_calib_sec": spark_calib,
-        # Host-speed-normalized total: value / spark_calib_sec. Unitless;
-        # cross-round regressions should be judged on this, not raw sec —
-        # same-commit raw totals varied 3× across round-5 hosts. Per-query
-        # numbers are medians of 3 runs (see run()).
+        # PRIMARY cross-round comparison metric (see README "Benchmark"):
+        # value / spark_calib_sec, unitless. Three rounds of ±15% host
+        # drift (same-commit raw totals varied 3× across round-5 hosts)
+        # make raw-second deltas unattributable; judge regressions and
+        # wins on the normalized numbers. Raw seconds stay in "value" so
+        # the since-round-1 series keeps its units.
         "calib_normalized_total": round(total / spark_calib, 2)
         if spark_calib
         else None,
+        "calib_normalized_extended": round(
+            sum(extended.values()) / spark_calib, 2
+        )
+        if spark_calib
+        else None,
+        "primary_comparison_metric": "calib_normalized_total",
         "per_query_stat": "median_of_3",
     }
     if errors:
