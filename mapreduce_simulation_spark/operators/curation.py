@@ -67,8 +67,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc aggregation on doc_id. Shingle identity is the shared 8-byte
     polynomial hash — raw text never moves.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    from .dedup import staged_shingles
+
+    sh = staged_shingles(spark, sf_dir)
     bench = (
         sh.where(F.col("doc_id") % BENCHMARK_MOD == 0)
         .select("shingle")

