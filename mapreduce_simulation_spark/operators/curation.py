@@ -38,7 +38,7 @@ from .caching import persist_tracked
 from ..functions import hashing as H
 from ..tables import load_table
 from .dedup import _SHINGLES_SQL, _shingles
-from .text import bigram_pairs, tokens
+from .text import bigram_pairs, staged_tokenized_docs, tokens
 
 # Held-out "benchmark" slice: a fixed residue class stands in for the eval
 # set a real pipeline would load as its own table.
@@ -1416,7 +1416,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is a narrow map over the corpus plus one per-doc aggregation. No
     join ever shuffles corpus text.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = staged_tokenized_docs(spark, sf_dir)
     # The bigram-bucket frame feeds FIVE branches (both bucket tables,
     # both totals, and the scoring join); without materialization each
     # branch re-runs the explode + per-bigram hash fold. Persisting the
@@ -1424,12 +1424,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At 100 TB this is a corpus-sized cache — the production form spills
     # it to disk (StorageLevel DISK_ONLY) or accepts one recompute;
     # either way the hash fold runs once. Bigram formation itself is the
-    # narrow array-side zip (text.bigram_pairs) — no lead() window.
+    # narrow array-side zip (text.bigram_pairs) over the staged token
+    # store — no lead() window, no re-tokenize.
     big = persist_tracked(
         docs.select(
             "doc_id",
             "lang",
-            F.explode(bigram_pairs(tokens(F.col("text")))).alias("p"),
+            F.explode(bigram_pairs(F.col("ws"))).alias("p"),
         ).select(
             "doc_id",
             "lang",
@@ -1568,8 +1569,8 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB form replaces the per-offset fold with a Rabin-Karp rolling
     update (O(n) amortized); same outputs.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    docs = staged_tokenized_docs(spark, sf_dir)
+    toks = F.col("ws")
     hs_expr = F.transform(toks, H.char_hash)
     hd = docs.where(F.size(toks) >= SUBSTR_K).select(
         "doc_id", F.explode(F.array(hs_expr)).alias("hs")
@@ -1837,9 +1838,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents with fewer than 2 tokens have no bigrams and are dropped, as
     in CCNet (un-scoreable docs are not banded).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", tokens(F.col("text")).alias("ws")
-    )
+    docs = staged_tokenized_docs(spark, sf_dir).select("doc_id", "lang", "ws")
     return ccnet_buckets_from(docs, spark=spark, sf_dir=sf_dir).orderBy(
         "doc_id"
     )
@@ -1912,8 +1911,18 @@ def ccnet_buckets_from(
     """
     from .ranking import with_distributed_grouped_ntile
 
-    base = persist_tracked(docs)
     ws = F.col("ws")
+    if spark is not None and sf_dir is not None:
+        # Staged-LM path: ``docs`` feeds the bigram explode ONCE (the LM
+        # tables come from their own parquet artifact), so caching the
+        # token arrays would cost more than the single narrow re-scan —
+        # no persist.
+        base = docs
+    else:
+        # Inline path: the LM tables are derived from ``docs`` too, so
+        # the tokenized frame has two consumers — persist it (skipped if
+        # the caller already did).
+        base = persist_tracked(docs)
     big = base.select(
         "doc_id", "lang", F.explode(bigram_pairs(ws)).alias("p")
     ).select("doc_id", "lang", "p.w1", "p.w2")

