@@ -1914,6 +1914,13 @@ def _pagerank_iterate(
     # node/rank state — 3.6 s vs 3.4 s median-of-5 at sf0.1, both A/B
     # orders; the per-iteration outdeg broadcast join is already free and
     # the wider checkpointed state costs more than the anti-join saves.
+    # Also measured and rejected (r8): pre-hash-partitioning edges/nodes
+    # on the join key (3.52 s) and shuffle_hash hints on the aligned
+    # sides (3.37 s) vs 3.33 s current, same-session medians-of-3 — the
+    # rank-side joins already resolve to broadcasts under AQE, so
+    # partitioning alignment buys nothing; the wall time is the
+    # 5-iteration latency chain of checkpoint materializations, which
+    # amortizes at real scale where per-iteration data work dominates.
     outdeg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))

@@ -210,7 +210,21 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ppl_bucket") != "tail")
         .select("doc_id")
     )
-    kept = base.where(gopher_keep(F.col("ws"))).join(c, "doc_id")
+    # The dedup window only needs the TOKEN COUNT downstream, not the
+    # arrays — collapse ws to n_toks before the fingerprint exchange so
+    # the window shuffles fixed-width rows (ids, counts, the 63-bit fp),
+    # never token arrays.
+    kept = (
+        base.where(gopher_keep(F.col("ws")))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "fp",
+            F.size(F.col("ws")).cast("long").alias("n_toks"),
+        )
+        .join(c, "doc_id")
+    )
     # Content fingerprint (per-char polynomial fold, the priciest scalar
     # here) rides the staged token store — paid once at corpus build, not
     # per query (and never re-paid on non-survivors).
@@ -224,7 +238,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(F.col("ws")).cast("long")).alias("total_tokens"),
+            F.sum("n_toks").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy("source")
