@@ -419,3 +419,38 @@ def test_kvtext_stream_sink_replay_is_idempotent(tmp_path):
     m = attempt(11, "junk")
     w.abort([m], batchId=4)
     assert not os.path.exists(m.file)
+
+
+def test_staged_tokenized_docs_bitwise_parity(spark, sf_dir):
+    """The staged token store must be a BITWISE function of the corpus:
+    ws == tokens(text) and fp == char_hash(text) row-for-row, so every
+    consumer's oracle (which tokenizes raw text itself) is unchanged.
+    Also pins the build-side parallelism rule: the store is written at
+    cluster parallelism, never as the source's single split."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.functions.hashing import char_hash
+    from mapreduce_simulation_spark.operators.text import (
+        staged_tokenized_docs,
+        tokens,
+    )
+    from mapreduce_simulation_spark.tables import load_table
+
+    staged = staged_tokenized_docs(spark, sf_dir)
+    inline = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        char_hash(F.col("text")).alias("fp"),
+        tokens(F.col("text")).alias("ws"),
+    )
+    assert staged.count() == inline.count()
+    # exceptAll both ways == multiset equality, arrays included
+    assert staged.exceptAll(inline).count() == 0
+    assert inline.exceptAll(staged).count() == 0
+    assert (
+        staged.rdd.getNumPartitions()
+        >= min(spark.sparkContext.defaultParallelism, staged.count())
+        or staged.count() < spark.sparkContext.defaultParallelism
+    )
