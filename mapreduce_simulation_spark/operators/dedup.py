@@ -140,11 +140,17 @@ def staged_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document canonical assignment by exact content: every doc maps to
     the smallest doc_id sharing its text fingerprint, with group size."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp = H.char_hash(F.col("text")).alias("fp")
+    # The content fingerprint comes from the staged token store (an
+    # identity-of-text consumer): a 2-column pruned scan of fixed-width
+    # parquet replaces the raw-text scan + per-char polynomial fold at
+    # query time. Bitwise-identical fp (pinned in
+    # tests/test_pipe_and_sources.py), oracle unchanged.
+    from .text import staged_tokenized_docs
+
+    docs = staged_tokenized_docs(spark, sf_dir)
     w = Window.partitionBy("fp")
     return (
-        docs.select("doc_id", fp)
+        docs.select("doc_id", "fp")
         .select(
             "doc_id",
             F.min("doc_id").over(w).alias("canonical_id"),
