@@ -35,6 +35,56 @@ def _dec_sum(col, alias: str):
     return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
 
 
+def _money_units(col, scale: int):
+    """A money double as a LONG in 1/scale units: round(x · scale). The
+    parquet double sits within ~1e-9 of the true k-decimal grid value, so
+    the round never lands near a .5 boundary — the long equals the
+    decimal(…, k) cast's unscaled value exactly."""
+    return F.round(col * scale).cast("long")
+
+
+def exact_money_sums(df, keys, sums, counts=()):
+    """Grouped exact money sums via TWO-LEVEL aggregation: per-partition
+    LONG partials (fast integer codegen path), merged in DECIMAL(38,0)
+    (overflow-free), divided back to value units once, cast to double.
+
+    ``sums``: (long_expr_in_scaled_units, scale_divisor, alias) triples;
+    ``counts``: aliases for count(1) columns, summed from the partials.
+
+    Bitwise-equal to the single-level decimal accumulation (both compute
+    the identical integer total, then one exact division and one
+    double-rounding), at ~2.6× the throughput: Spark's decimal sum
+    promotes past the compact-long representation and pays BigDecimal
+    per row, where the partial level here stays whole-stage-codegen long
+    arithmetic. The grouping adds spark_partition_id() to the partial
+    keys, so the first exchange carries |groups| × |partitions| partial
+    rows and the second |groups| × shuffle-partitions — both tiny.
+
+    SCALE BOUND (the reason the naive all-long sum is banned): a long
+    partial overflows at 2^63 / max_term rows PER MAP PARTITION — e.g.
+    ~7.7e7 lineitem rows for the Q1 charge term (max ~1.2e11 in 1e-6
+    units), while maxPartitionBytes-sized splits hold ~1-2M rows; a 40×
+    margin that holds at any corpus size because the bound is per split,
+    not per dataset. The decimal merge level is what makes the GLOBAL
+    total overflow-free.
+    """
+    pid = F.spark_partition_id().alias("_pid")
+    partials = [
+        F.sum(expr).alias(f"_ps{i}") for i, (expr, _, _) in enumerate(sums)
+    ]
+    if counts:
+        partials.append(F.count(F.lit(1)).alias("_pc"))
+    part = df.groupBy(*keys, pid).agg(*partials)
+    finals = [
+        (F.sum(F.col(f"_ps{i}").cast("decimal(38,0)")) / F.lit(div))
+        .cast("double")
+        .alias(alias)
+        for i, (_, div, alias) in enumerate(sums)
+    ]
+    finals += [F.sum("_pc").cast("long").alias(a) for a in counts]
+    return part.groupBy(*keys).agg(*finals)
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy multi-aggregate with a date predicate.
 
@@ -43,17 +93,31 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     bandwidth-bound — exactly what you want.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # Integer money units (see _money_units): qty and price in hundredths,
+    # disc_price = cents · (100 − disc%) in 1e-4 units, charge = that
+    # · (100 + tax%) in 1e-6 units — each term exactly the decimal cast's
+    # unscaled value, summed two-level (long partials, decimal merge;
+    # see exact_money_sums for the bitwise-equality and overflow bounds).
+    # Measured at sf0.1: 1.56 s → 0.60 s vs the single-level decimal agg.
+    q100 = _money_units(F.col("l_quantity"), 100)
+    cents = _money_units(F.col("l_extendedprice"), 100)
+    dpct = _money_units(F.col("l_discount"), 100)
+    tpct = _money_units(F.col("l_tax"), 100)
+    disc4 = cents * (100 - dpct)
+    charge6 = disc4 * (100 + tpct)
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _dec_sum("l_quantity", "sum_qty"),
-            _dec_sum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price.cast("decimal(22,4)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(24,6)")).cast("double").alias("sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
+        exact_money_sums(
+            li.where(
+                F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+            ),
+            ["l_returnflag", "l_linestatus"],
+            [
+                (q100, 100, "sum_qty"),
+                (cents, 100, "sum_base_price"),
+                (disc4, 10_000, "sum_disc_price"),
+                (charge6, 1_000_000, "sum_charge"),
+            ],
+            counts=("count_order",),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -72,16 +136,20 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # revenue = cents · (100 − disc%) in 1e-4 units — the two-level
+    # long-partial/decimal-merge money sum (see exact_money_sums).
+    rev4 = _money_units(F.col("l_extendedprice"), 100) * (
+        100 - _money_units(F.col("l_discount"), 100)
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.sum(revenue.cast("decimal(22,4)")).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+        exact_money_sums(
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(broadcast(region), nation.n_regionkey == region.r_regionkey),
+            ["r_name", "n_name"],
+            [(rev4, 10_000, "revenue")],
+            counts=("n_items",),
         )
         .orderBy("r_name", "n_name")
     )

@@ -34,10 +34,13 @@ def _count(plan: str, pattern: str) -> int:
 SHAPES = [
     # scan → partial agg → ONE exchange → final agg
     ("word_count", 1, 0, "HashAggregate"),
-    # pushed ship-date filter must reach the parquet scan
-    ("pricing_summary", 2, 0, "PushedFilters: [IsNotNull(l_shipdate)"),
-    # all four dims broadcast at this SF — no shuffle join anywhere
-    ("revenue_by_nation", 2, 4, "BroadcastHashJoin"),
+    # pushed ship-date filter must reach the parquet scan; budget 3 since
+    # the two-level exact money agg (r8): partial-merge exchange carries
+    # |groups| × |map partitions| rows, final agg + sort the rest
+    ("pricing_summary", 3, 0, "PushedFilters: [IsNotNull(l_shipdate)"),
+    # all four dims broadcast at this SF — no shuffle join anywhere;
+    # budget 3 for the same two-level money-agg partial-merge exchange
+    ("revenue_by_nation", 3, 4, "BroadcastHashJoin"),
     # top-k must be TakeOrderedAndProject, not a global sort
     ("top_orders", 0, 0, "TakeOrderedAndProject"),
     # per-group top-k: one exchange, and WindowGroupLimit must prefilter
