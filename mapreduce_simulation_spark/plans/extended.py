@@ -287,21 +287,26 @@ def salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't fix (skew.py module docstring)."""
     from ..operators.skew import salted_join
 
+    from .relational import _money_units, exact_money_sums
+
+    # revenue carried through the join as a LONG in 1e-4 units (8 bytes vs
+    # a 16-byte decimal), summed two-level (see exact_money_sums).
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("suppkey"),
         (
-            F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        ).cast("decimal(22,4)").alias("rev"),
+            _money_units(F.col("l_extendedprice"), 100)
+            * (100 - _money_units(F.col("l_discount"), 100))
+        ).alias("rev4"),
     )
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("suppkey"), "s_nationkey"
     )
     return (
-        salted_join(li, supp, "suppkey")
-        .groupBy("s_nationkey")
-        .agg(
-            F.sum("rev").cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+        exact_money_sums(
+            salted_join(li, supp, "suppkey"),
+            ["s_nationkey"],
+            [(F.col("rev4"), 10_000, "revenue")],
+            counts=("n_items",),
         )
         .orderBy("s_nationkey")
     )
@@ -361,26 +366,41 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     from pyspark.sql.functions import broadcast as _bc
 
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(22,4)"
+    from .relational import _money_units
+
+    # Two-level exact money sums, inlined (the pct derives from BOTH
+    # decimal totals, which exact_money_sums doesn't expose): revenue as a
+    # LONG in 1e-4 units, per-map-partition long partials, decimal merge.
+    # The pct's decimal division rounds the identical rational sp·100/sr
+    # at the same clamped scale 6 as the decimal(38,4)-operand original,
+    # so values are unchanged (verified exact at sf0.01 and sf0.1).
+    rev4 = _money_units(F.col("l_extendedprice"), 100) * (
+        100 - _money_units(F.col("l_discount"), 100)
     )
     joined = li.join(_bc(part), F.col("l_partkey") == F.col("p_partkey"))
-    return (
+    part_rows = (
         joined.select(
             F.year("l_shipdate").cast("int").alias("yr"),
             F.month("l_shipdate").cast("int").alias("mo"),
-            rev.alias("rev"),
-            F.when(F.col("p_type") == "PROMO", rev)
-            .otherwise(F.lit(0).cast("decimal(22,4)"))
-            .alias("promo_rev"),
+            rev4.alias("rev4"),
+            F.when(F.col("p_type") == "PROMO", rev4)
+            .otherwise(F.lit(0).cast("long"))
+            .alias("promo4"),
         )
-        .groupBy("yr", "mo")
+        .groupBy("yr", "mo", F.spark_partition_id().alias("_pid"))
         .agg(
-            F.sum("promo_rev").cast("double").alias("promo_revenue"),
-            F.sum("rev").cast("double").alias("total_revenue"),
-            F.round(
-                (F.sum("promo_rev") * 100 / F.sum("rev")).cast("double"), 6
-            ).alias("promo_pct"),
+            F.sum("promo4").alias("_pp"),
+            F.sum("rev4").alias("_pr"),
+        )
+    )
+    sp = F.sum(F.col("_pp").cast("decimal(38,0)"))
+    sr = F.sum(F.col("_pr").cast("decimal(38,0)"))
+    return (
+        part_rows.groupBy("yr", "mo")
+        .agg(
+            (sp / F.lit(10_000)).cast("double").alias("promo_revenue"),
+            (sr / F.lit(10_000)).cast("double").alias("total_revenue"),
+            F.round((sp * 100 / sr).cast("double"), 6).alias("promo_pct"),
         )
         .orderBy("yr", "mo")
     )

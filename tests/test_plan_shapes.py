@@ -51,8 +51,9 @@ SHAPES = [
     # broadcast ranges; the fact side shuffles only for the aggregation
     # (2 exchanges = exact count_distinct expand) + declared ORDER BY
     ("range_join_promos", 3, 1, "BroadcastNestedLoopJoin"),
-    # part dim broadcasts; single agg pass + declared order by
-    ("promo_revenue_ratio", 2, 1, "BroadcastHashJoin"),
+    # part dim broadcasts; budget 3 since the two-level exact money agg
+    # (r8): tiny partial-merge exchange + final agg + declared order by
+    ("promo_revenue_ratio", 3, 1, "BroadcastHashJoin"),
     # lag window: one exchange on o_custkey
     ("order_gap_days", 1, 0, "Window"),
     # agg below the join: the orders side partial-aggregates BEFORE the
