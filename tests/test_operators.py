@@ -1033,3 +1033,45 @@ def test_gopher_rules_zero_token_documents_cross_engine(spark, tmp_path):
         g = got[o["doc_id"]]
         for c in cols:
             assert g[c] == o[c], (o["doc_id"], c, g[c], o[c])
+
+
+def test_exact_money_sums_matches_decimal_accumulation(spark):
+    """The two-level long-partial/decimal-merge money sum must be BITWISE
+    equal to single-level decimal accumulation for 2-decimal money values
+    — the exactness contract pricing_summary/revenue_by_nation/promo/
+    salted now rely on. Exercised over a deliberately skewed layout
+    (repartition(7) of interleaved groups) so partial merges cross
+    partition boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.plans.relational import (
+        _money_units,
+        exact_money_sums,
+    )
+
+    rng = random.Random(8)
+    rows = [
+        (rng.choice("abcd"), round(rng.uniform(0.01, 99999.99), 2))
+        for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double").repartition(7)
+    got = (
+        exact_money_sums(
+            df, ["k"], [(_money_units(F.col("x"), 100), 100, "s")],
+            counts=("n",),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    want = (
+        df.groupBy("k")
+        .agg(
+            F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    assert got == want
