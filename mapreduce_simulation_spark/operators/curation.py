@@ -1978,16 +1978,28 @@ def ccnet_buckets_from(
         ),
         6,
     )
-    terms = (
-        big.join(c12, ["lang", "w1", "w2"])
-        .join(F.broadcast(c1), ["lang", "w1"])
+    # Fold the LM into ONE type-table NLL map keyed by the bigram — the
+    # c1/v joins run TYPE-table × type-table (tiny) instead of per corpus
+    # bigram token, and the corpus-scale side pays a single broadcast
+    # lookup. nll is a round-6 grid value, so it travels as a LONG in
+    # 1e-6 units and the per-doc sum is exact long arithmetic (bounded by
+    # doc length × max|nll|·1e6 ≪ 2^63 for any document, any corpus);
+    # the single decimal division before the double cast reproduces the
+    # decimal(18,6)-accumulation result bit-for-bit.
+    nll6 = F.round(nll * 1_000_000).cast("long")
+    nlltab = (
+        c12.join(F.broadcast(c1), ["lang", "w1"])
         .join(F.broadcast(v), "lang")
-        .select("doc_id", "lang", nll.alias("nll"))
+        .select("lang", "w1", "w2", nll6.alias("nll6"))
+    )
+    terms = big.join(F.broadcast(nlltab), ["lang", "w1", "w2"]).select(
+        "doc_id", "lang", "nll6"
     )
     scored = terms.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (
-            F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+            (F.sum("nll6").cast("decimal(38,0)") / F.lit(1_000_000))
+            .cast("double")
             / F.count(F.lit(1))
         ).alias("avg_nll"),
     )
