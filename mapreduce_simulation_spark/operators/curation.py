@@ -1500,16 +1500,19 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             H.char_hash(F.concat_ws(" ", "p.w1", "p.w2")) % DSIR_BUCKETS
         ).alias("bucket"),
     )
+    # round-6 grid values sum exactly as LONGS in 1e-6 units (per-doc
+    # totals are doc-bounded — overflow-safe at any corpus size); the
+    # single decimal division before the double cast reproduces the
+    # decimal(18,6) accumulation bit-for-bit.
     terms = big.join(F.broadcast(wtab), "bucket").select(
-        "doc_id", "logw"
+        "doc_id",
+        F.round(F.col("logw") * 1_000_000).cast("long").alias("logw6"),
     )
-    # round-6 grid values decimal-accumulate exactly (order-free) — the
-    # sum IS the grid value, no fold or final rounding needed.
     return (
         terms.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.col("logw").cast("decimal(18,6)"))
+            (F.sum("logw6").cast("decimal(38,0)") / F.lit(1_000_000))
             .cast("double")
             .alias("log_weight"),
         )

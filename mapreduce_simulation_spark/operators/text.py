@@ -543,18 +543,27 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    terms = (
-        big.join(c12, ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+    # One broadcast NLL map (type-table × type-table build) and long
+    # 1e-6-unit summation — the ccnet_buckets_from shape: per-doc sums
+    # are doc-bounded long arithmetic, and the single decimal division
+    # before the double cast reproduces the decimal(18,6) accumulation
+    # bit-for-bit.
+    nll6 = F.round(nll * 1_000_000).cast("long")
+    nlltab = (
+        c12.join(F.broadcast(c1), "w1")
         .crossJoin(F.broadcast(v))
-        .select("doc_id", nll.alias("nll"))
+        .select("w1", "w2", nll6.alias("nll6"))
+    )
+    terms = big.join(F.broadcast(nlltab), ["w1", "w2"]).select(
+        "doc_id", "nll6"
     )
     return (
         terms.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             (
-                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                (F.sum("nll6").cast("decimal(38,0)") / F.lit(1_000_000))
+                .cast("double")
                 / F.count(F.lit(1))
             ).alias("avg_nll"),
         )
