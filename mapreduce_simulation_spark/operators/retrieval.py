@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from .caching import persist_tracked
 
 from ..tables import load_table
 from .similarity import _as_double, _dot, _norm
@@ -104,16 +103,40 @@ def _staged_tf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(final)
 
 
+def _staged_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document length table (doc_id, dl = Σ_w tf), derived once
+    from the staged tf index and stored beside it — the second half of
+    the inverted-index artifact (a search system stores doc lengths with
+    the postings). Integer columns — bitwise roundtrip."""
+    import os
+
+    from ..staging import keyed_staging_dir
+
+    root, _ = keyed_staging_dir("bm25_tf_", f"{sf_dir}|ws_v1")
+    final = os.path.join(root, "dl")
+    if not os.path.isdir(final):
+        tmp = os.path.join(root, "_tmp_dl")
+        _staged_tf_index(spark, sf_dir).groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("dl")
+        ).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+    return spark.read.parquet(final)
+
+
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, doc_id, score): BM25 score of every document containing
     at least one query term, self-doc excluded (query_id is also a doc id
     — see module docstring)."""
     docs = load_table(spark, sf_dir, "documents")
-    # The tf table is the staged per-corpus inverted index; dl/df are
-    # type-table aggregates over its scan (dl = Σ_w tf reproduces the
-    # exploded-token count exactly — same integers).
-    tf = persist_tracked(_staged_tf_index(spark, sf_dir))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    # The tf table is the staged per-corpus inverted index and dl its
+    # stored doc-length twin. The query's terms are LITERALS, so the
+    # posting fetch is an isin() filter PUSHED TO THE PARQUET SCAN
+    # (row-group pruning on the w column), not a join against the full
+    # index; per-term df over the filtered postings is exact (filtering
+    # by w keeps every row of that w).
+    all_terms = sorted({t for ts in QUERY_TERMS.values() for t in ts})
+    tf = _staged_tf_index(spark, sf_dir).where(F.col("w").isin(*all_terms))
+    dl = _staged_dl(spark, sf_dir)
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -138,7 +161,11 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(K1)
         * (F.lit(ONE_MINUS_B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
     )
-    contr = F.round(idf * tfnorm, 6)
+    # Round-6 contributions sum exactly as LONGS in 1e-6 units (per-doc
+    # totals bounded by |query terms| · max contribution — tiny); the
+    # single decimal division before the double cast reproduces the
+    # decimal(18,6) accumulation bit-for-bit.
+    contr6 = F.round(F.round(idf * tfnorm, 6) * 1_000_000).cast("long")
     return (
         tf.join(broadcast(_query_df(spark)), tf.w == F.col("term"))
         .join(broadcast(dfreq), "w")
@@ -147,7 +174,7 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(
-            F.sum(contr.cast("decimal(18,6)"))
+            (F.sum(contr6).cast("decimal(38,0)") / F.lit(1_000_000))
             .cast("double")
             .alias("score")
         )
