@@ -475,7 +475,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle is one row per vector, keyed by an 8-byte id;
       - candidate generation is an equi-join on the cell id (queries
         broadcast), so corpus×queries never materializes;
-      - ties broken (cosine DESC, id ASC) identically in the oracle.
+      - ties broken (cosine DESC, id ASC) identically in the oracle;
+      - the assignment table is the IVF INDEX — built once per (corpus,
+        codebook) through the keyed staging contract and served from
+        parquet at query time (index build vs. query serve), like every
+        artifact in the staged tier.
     """
     corpus = _corpus_with_norm(spark, sf_dir)
     cents = corpus.where(
@@ -486,7 +490,37 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
     )
-    return _ivf_search(corpus, cents)
+    assign = _staged_ivf_assign(spark, sf_dir, corpus, cents)
+    return _ivf_search(corpus, cents, assign=assign)
+
+
+def _staged_ivf_assign(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """The IVF assignment table (vec_id, cell, v, nrm), built once per
+    (corpus, fixed codebook) and served from parquet. Doubles and longs —
+    bitwise roundtrip, so the exact re-score and tie-breaks are unchanged.
+    Written at cluster parallelism (the tokdocs lesson); temp-dir rename
+    keeps a crashed build un-mistakable for a completed stage.
+
+    Honest local measurement (r8): NEUTRAL at sf0.1 (~0.78 s either way —
+    the staged vector scan costs what the 16-dot-product assignment pass
+    cost). Kept for the scale story: at real corpus sizes the per-query
+    corpus × codebook assignment is the dominant cost and belongs in the
+    offline index build, which is how every IVF deployment works."""
+    import os
+
+    from ..staging import keyed_staging_dir
+
+    root, _ = keyed_staging_dir("ivf_idx_", f"{sf_dir}|fixed16_v1")
+    final = os.path.join(root, "assign")
+    if not os.path.isdir(final):
+        tmp = os.path.join(root, "_tmp_assign")
+        _ivf_assign(corpus, cents).repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+    return spark.read.parquet(final)
 
 
 def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,16 +561,15 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(corpus, cents)
 
 
-def _ivf_search(corpus: DataFrame, cents: DataFrame) -> DataFrame:
-    """Shared IVF machinery: cell assignment (broadcast codebook,
-    partial-agg argmax), query probing (N_PROBE nearest cells), candidate
-    equi-join on the cell id, exact re-score, per-query top-k."""
+def _ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """Cell assignment (broadcast codebook, partial-agg argmax): one row
+    per vector, (vec_id, cell, v, nrm)."""
     cell_cos = F.round(
         _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
     )
     # argmax via max(struct): highest cosine, then smallest cid (negated so
     # max picks it) — partial-aggregable, unlike a rank window.
-    assign = (
+    return (
         corpus.join(broadcast(cents))
         .groupBy("vec_id")
         .agg(
@@ -548,6 +581,17 @@ def _ivf_search(corpus: DataFrame, cents: DataFrame) -> DataFrame:
         )
         .select("vec_id", (-F.col("best.nc")).alias("cell"), "v", "nrm")
     )
+
+
+def _ivf_search(
+    corpus: DataFrame, cents: DataFrame, assign: DataFrame | None = None
+) -> DataFrame:
+    """Shared IVF machinery: cell assignment (broadcast codebook,
+    partial-agg argmax — or a prebuilt/staged assignment table), query
+    probing (N_PROBE nearest cells), candidate equi-join on the cell id,
+    exact re-score, per-query top-k."""
+    if assign is None:
+        assign = _ivf_assign(corpus, cents)
     qw = Window.partitionBy("query_id").orderBy(
         F.col("pcos").desc(), F.col("cid").asc()
     )
