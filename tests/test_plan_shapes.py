@@ -54,6 +54,13 @@ SHAPES = [
     # part dim broadcasts; budget 3 since the two-level exact money agg
     # (r8): tiny partial-merge exchange + final agg + declared order by
     ("promo_revenue_ratio", 3, 1, "BroadcastHashJoin"),
+    # the posting fetch must stay a PUSHED-DOWN literal term filter on the
+    # staged index scan (r8) — a regression to a full-index join would
+    # drop the In(w, …) from PushedFilters
+    ("bm25_topk", 6, 5, "In(w, ["),
+    # DSIR scoring is one narrow pass + broadcast weight join: exactly the
+    # per-doc agg exchange + declared ORDER BY, nothing corpus-scale
+    ("dsir_importance", 2, 1, "BroadcastHashJoin"),
     # lag window: one exchange on o_custkey
     ("order_gap_days", 1, 0, "Window"),
     # agg below the join: the orders side partial-aggregates BEFORE the
