@@ -1941,6 +1941,12 @@ def _pagerank_iterate(
     # partitioning alignment buys nothing; the wall time is the
     # 5-iteration latency chain of checkpoint materializations, which
     # amortizes at real scale where per-iteration data work dominates.
+    # Third rejection (r8, same session): checkpoint every 2 iterations
+    # (2.79 s) or only at the end (3.16 s) vs every iteration (3.01 and
+    # 2.47 s in back-to-back medians-of-5) — differences are inside the
+    # session's own drift, and the per-iteration checkpoint keeps the
+    # safest lineage (ranks is referenced twice per round). Identical
+    # output verified for all cadences.
     outdeg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
