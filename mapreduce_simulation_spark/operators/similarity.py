@@ -1105,6 +1105,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("v"), pl) > 0, F.lit(1 << j)
         ).otherwise(0)
     cells = corpus.withColumn("cell", cell)
+    # ids is referenced three times (both candidate-join sides and the
+    # kept-flag join) and re-runs the hyperplane fold each time; persisting
+    # it was measured-REJECTED (r8: 1.07 → 1.21 s at sf0.1 — the cache
+    # materialization pass costs more than the column-pruned recomputes).
     ids = cells.select("vec_id", "cell")
     cand = (
         ids.alias("a")
