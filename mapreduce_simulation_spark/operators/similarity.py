@@ -155,7 +155,20 @@ WHERE rk <= {TOP_K}
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine ≥ 0.4 — exhaustive self-join
-    (the exact small-scale twin of lsh_topk's bucketed search)."""
+    (the exact small-scale twin of lsh_topk's bucketed search).
+
+    Deliberately quadratic: this is the exact baseline the bucketed
+    variant is validated against; at scale you run
+    embedding_near_dup_bucketed. Its ~45 s at sf0.1 is the zip_with+
+    aggregate fold over 12.5M pairs, and two rewrites were measured and
+    REJECTED (r8): a nondeterministic-column barrier to stop the filter
+    re-computing the projection's cosine (44.7 → 45.6 s — Catalyst wasn't
+    duplicating the fold) and a 64-term unrolled element_at sum in strict
+    left order (45 → 78 s — per-element null/bounds checks cost more than
+    the fold). The fold is the fastest exact JVM form; the 10-100×
+    path is Arrow/BLAS, which reassociates and belongs to the
+    bounded-error twin (similarity_topk_pandas), not this oracle-exact
+    baseline."""
     corpus = _corpus_with_norm(spark, sf_dir)
     a = corpus.alias("a")
     b = corpus.alias("b")
