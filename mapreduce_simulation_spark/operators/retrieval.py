@@ -24,13 +24,15 @@ accumulate the round-6 contributions in decimal(18,6) (exact, order-
 independent); the RRF sum is two coalesced terms added in the same
 written order on both sides.
 
-Scale: tf/df/doclen are one token exchange each off a shared exploded-
-token frame (the declared corpus-linear class — same as minhash's token
-exchange); the query set broadcasts; per-query rankings prefilter to the
-local top-k below the 3-partition rank window (WindowGroupLimit). At
-100 TB the candidate-generation stage is the scalable part (an inverted
-index / IVF — both in the catalog); rank fusion itself only ever sees
-pool-sized inputs.
+Scale (r8 form): the tf table and its doc-length twin are STAGED
+per-corpus artifacts (the inverted index — one token exchange paid at
+index build, amortized over every query); at query time the posting
+fetch is a literal term filter PUSHED TO THE PARQUET SCAN, per-term df
+is a type-table aggregate over the filtered postings, and the query set
+broadcasts. Per-query rankings prefilter to the local top-k below the
+3-partition rank window (WindowGroupLimit). At 100 TB the candidate-
+generation stage is the scalable part (this index / IVF — both in the
+catalog); rank fusion itself only ever sees pool-sized inputs.
 """
 
 from __future__ import annotations

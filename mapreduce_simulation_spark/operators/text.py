@@ -501,9 +501,11 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     last digit pattern divides that way; observed at sf0.1 in the ccnet
     twin: 67.62737/20 → Spark 3.381368, DuckDB 3.381369).
 
-    Scale: the LM tables are type tables (|vocab| and |bigram types|,
-    sublinear in corpus); c1 and V broadcast, the bigram-count join keys
-    on the word pair.
+    Scale (r8 form): the LM tables are type tables (|vocab| and |bigram
+    types|, sublinear in corpus) DERIVED from the staged per-language
+    CCNet LM by per-lang summation — no corpus-scale LM-training exchange
+    at query time; the corpus-scale bigram side pays one broadcast lookup
+    against the folded (w1, w2) → nll6 map.
     """
     # Bigrams are formed ARRAY-SIDE (zip the token array with its own
     # tail — the ccnet_buckets_from shape): a narrow projection where the
