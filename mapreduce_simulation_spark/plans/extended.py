@@ -1814,12 +1814,18 @@ def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     query family where both engines execute the same recursion."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # Materialize the edge view ONCE before recursing: every recursion
+    # level joins this view, and without the checkpoint each level
+    # re-executes the lag window behind it (depth ≈ max orders per
+    # customer). Measured A/B at sf0.1: 8.0 → 4.2 s, identical output —
+    # the production shape anyway (you recurse over a materialized edge
+    # table, not a live window).
     edges = orders.select(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
         F.lag("o_orderkey").over(w).alias("prev_key"),
-    )
+    ).localCheckpoint()
     edges.createOrReplaceTempView("rec_chain_edges_v")
     return spark.sql(
         """
