@@ -771,6 +771,39 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", H.char_hash(F.col("word")))
     )
+    return _simhash_from_counts(tok_cnt)
+
+
+def _staged_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): the per-corpus simhash fingerprint table,
+    COMPUTED ONCE from the staged tf index — tok_cnt IS the (doc_id, w,
+    tf) inverted-index artifact, so the fingerprint build is a derivation
+    of an already-staged table, like the BM25 doc-length twin. Integer
+    columns — bitwise roundtrip; both sides of the banded self-join then
+    read the parquet instead of re-running the 30-bit per-bit
+    aggregation twice per query."""
+    import os
+
+    from ..staging import keyed_staging_dir
+    from .retrieval import _staged_tf_index
+
+    root, _ = keyed_staging_dir("simhash_fp_", f"{sf_dir}|ws_v1")
+    final = os.path.join(root, "fp")
+    if not os.path.isdir(final):
+        tok_cnt = _staged_tf_index(spark, sf_dir).select(
+            "doc_id",
+            F.col("w").alias("word"),
+            F.col("tf").alias("cnt"),
+        ).withColumn("h", H.char_hash(F.col("word")))
+        tmp = os.path.join(root, "_tmp_fp")
+        _simhash_from_counts(tok_cnt).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+    return spark.read.parquet(final)
+
+
+def _simhash_from_counts(tok_cnt: DataFrame) -> DataFrame:
+    """Fingerprint tail shared by the generic and staged builders:
+    (doc_id, word-count, word-hash) → per-bit signed sums → sign bits."""
     bit = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
     per_bit = (
         tok_cnt.select("doc_id", "cnt", "h", bit)
@@ -795,8 +828,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ 3, via 4-band join
     (8+8+8+6 bits). Pigeonhole makes the banded join complete for ≤ 3 bit
     flips, so this equals the exhaustive hamming scan the oracle runs."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp = simhash_fingerprints(docs)
+    fp = _staged_simhash_fp(spark, sf_dir)
     bands = F.array(
         *[
             F.struct(
