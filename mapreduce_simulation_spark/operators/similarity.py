@@ -266,6 +266,30 @@ def _band_signatures(corpus: DataFrame) -> DataFrame:
     )
 
 
+def _staged_band_signatures(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame
+) -> DataFrame:
+    """The LSH signature index (vec_id, band, sig), COMPUTED ONCE per
+    (corpus, plane set) and served from parquet — the signature stage is
+    the hyperplane-projection pass (PAIR_PLANES fold dot products per
+    vector) and was re-run by BOTH sides of the candidate self-join.
+    Integer columns — bitwise roundtrip; written at cluster parallelism
+    (the tokdocs lesson)."""
+    import os
+
+    from ..staging import keyed_staging_dir
+
+    root, _ = keyed_staging_dir("lsh_sigs_", f"{sf_dir}|pair_planes_v1")
+    final = os.path.join(root, "sigs")
+    if not os.path.isdir(final):
+        tmp = os.path.join(root, "_tmp_sigs")
+        _band_signatures(corpus).repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+    return spark.read.parquet(final)
+
+
 def near_dup_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine ≥ 0.4 via banded hyperplane LSH —
     the 100 TB sibling of the exhaustive `near_dup_pairs` twin.
@@ -286,7 +310,7 @@ def near_dup_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     regeneration by recursive CTE, banding, and re-score) bit-for-bit.
     """
     corpus = _corpus_with_norm(spark, sf_dir)
-    sigs = _band_signatures(corpus)
+    sigs = _staged_band_signatures(spark, sf_dir, corpus)
     cand = (
         sigs.alias("a")
         .join(
