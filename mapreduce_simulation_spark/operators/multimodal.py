@@ -689,8 +689,17 @@ def media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     staged = docs.mapInPandas(synth, schema="doc_id bigint, media binary")
-    hashes = staged.mapInPandas(
-        hash_stage, schema="doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+    # The fingerprint frame is referenced four times (both banded join
+    # sides + the two hamming lookups) and each reference would re-run
+    # the Python PNG encode→decode→ahash chain — the expensive Arrow
+    # stage. Persist the (doc_id, 4×int) rows so the chain runs once.
+    from .caching import persist_tracked
+
+    hashes = persist_tracked(
+        staged.mapInPandas(
+            hash_stage,
+            schema="doc_id bigint, b0 int, b1 int, b2 int, b3 int",
+        )
     )
     banded = hashes.select(
         "doc_id",
