@@ -41,7 +41,81 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # twins occupy slots.  ``_PROMOTE`` pulls one representative of each family
 # into the window; ``_DEMOTE`` pushes exhaustive/no-oracle twins (each still
 # verified by tests + tools/verify_local.py) behind position 50.
+#
+# ROTATION POLICY (round 9+): a window slot occupied by a query that is
+# already driver-green in a prior round is wasted evidence — the union of
+# CORRECTNESS_r01-r08 greens covers 95/192 registry entries, so every
+# round the whole window rotates to oracle-exact entries that have NEVER
+# had a driver row. Rotated-out names stay verified every round by the
+# full-registry sweep (tools/verify_local.py, same DuckDB comparator) and
+# pytest. Only exact-oracle entries are promoted: bounded/recall/rows-only
+# entries would downgrade their slot to the driver's weaker rows-only
+# check and get their stronger checks locally anyway.
 _PROMOTE = (
+    # ---- round-9 window: 50 first-time names (none has a CORRECTNESS
+    # row in r1-r8; all sweep-green in VERIFYLOCAL_r8) ----
+    # sources / formats
+    "csv_source_revenue",        # CSV source (schema'd read)
+    "csv_bad_records",           # CSV PERMISSIVE corrupt-record capture
+    "json_source_segments",      # JSON lines source
+    "orc_source_parts",          # ORC source
+    "binary_file_source",        # binaryFile source
+    "metadata_agg_pushdown",     # scan-level aggregate pushdown
+    "variant_props_extract",     # VARIANT semi-structured extraction
+    # multimodal
+    "media_decode",              # binary blob decode (WAV/PNG)
+    "media_dedup",               # exact blob dedup (content hash)
+    "media_ahash_near_dup",      # aHash perceptual near-dup
+    # streaming
+    "streaming_sessions",        # session windows (gap-based)
+    "streaming_events_sliding",  # sliding windows
+    "streaming_dedup_within_watermark",  # dropDuplicates + watermark
+    "streaming_static_enrichment",       # stream-static join
+    "streaming_attribution_outer",       # stream-stream outer join
+    "streaming_events_hourly_append",    # append-mode watermark agg
+    # pandas / Arrow UDF tiers
+    "pandas_api_priority_stats",  # pandas-on-Spark API
+    "pandas_group_rank",          # grouped-map pandas UDF
+    "pandas_scalar_digit_stats",  # scalar pandas UDF
+    "embedding_argmax_arrow",     # Arrow-optimized Python UDF
+    # lakehouse / CDC shapes
+    "merge_upsert_orders",        # MERGE-style upsert reconciliation
+    "scd2_point_in_time",         # SCD2 as-of reconstruction
+    "scd2_priority_history",      # SCD2 history build (gaps/islands)
+    "snapshot_diff",              # snapshot delta (changed/added/removed)
+    # sampling / curation
+    "deterministic_sample",       # hash-based deterministic sample
+    "domain_cap_sample",          # per-domain cap (rank within source)
+    "pps_sample",                 # probability-proportional-to-size
+    "temperature_sample",         # temperature-scaled corpus mix
+    "percentile_trim",            # percentile-banded outlier trim
+    # text / LLM-pipeline
+    "bigram_lm_counts",           # bigram LM type-table build
+    "bigram_perplexity",          # add-one bigram perplexity scoring
+    "vocab_encode",               # vocab build + id encoding
+    "chunk_for_training",         # fixed-size token chunking
+    "contrastive_triples",        # anchor/positive/negative mining
+    "pii_scrub",                  # regex PII scrubbing
+    "pseudonymize_customers",     # deterministic keyed pseudonyms
+    "dedup_canonical",            # canonical-doc selection per cluster
+    "incremental_dedup",          # new-batch-vs-corpus incremental dedup
+    # graph / behavioral
+    "co_purchase_pairs",          # co-occurrence pair mining
+    "triangle_count_nations",     # triangle counting
+    "funnel_conversion",          # ordered-event funnel
+    "cohort_retention",           # cohort retention matrix
+    # relational / analytic
+    "cube_revenue",               # CUBE aggregate
+    "pivot_revenue_by_status",    # pivot
+    "unpivot_revenue",            # unpivot / melt
+    "lateral_top_suppliers",      # correlated lateral top-k
+    "range_join_promos",          # range (interval) join
+    "exact_global_percentiles",   # exact distributed percentiles
+    "ewma_daily_revenue",         # recursive EWMA (sequential recurrence)
+    "densify_daily_revenue",      # date-spine densification
+    # ---- history: rounds 1-8 promotions, all driver-green at least once
+    # (CORRECTNESS_r01-r08); they keep their front-of-mid positions so the
+    # flagship/bench set stays just behind the window ----
     "pipe_word_count",          # reference executable contract (map side)
     "pipe_grep",                # reference executable contract (reduce side)
     "streaming_events_hourly",  # Structured Streaming family
@@ -87,12 +161,22 @@ _PROMOTE = (
     "rfm_segmentation",           # distributed-ntile RFM segmentation
     "schema_evolution_union",     # schema-evolution union (mergeSchema)
 )
-# Round-9 rotation candidates (for the next window swap, NOT applied now):
-# merge_upsert_orders, variant_json_events, quality_score, tfidf_top_terms,
-# window_top_customers, grouping_sets_revenue, events_daily,
-# repetition_stats, doc_fingerprint, span_dedup — rotating back the r7
-# demotions that have now sat out a round, in exchange for the r8-green
-# single-mechanism rows promoted above.
+# Round-10 rotation candidates (the 40 oracle-exact entries that will
+# STILL have no driver row after round 9 — promote them all next round):
+# above_avg_orders, association_rules, balance_distribution, cms_word_freq,
+# customer_balance_ntiles, dynamic_partition_pruning, embedding_label_stats,
+# event_peak_concurrency, exists_returned_orders, fuzzy_name_pairs,
+# idle_high_balance_customers, important_parts, intersect_segments,
+# json_props_extract, key_skew_profile, large_quantity_orders, market_share,
+# max_revenue_supplier, min_cost_supplier, moving_avg_orders,
+# nation_top_customer_lists, observed_quality_gate, order_gap_days,
+# price_histogram, price_trend_by_nation, priority_conditional_agg,
+# priority_transition_matrix, profit_by_nation_year, promo_revenue_ratio,
+# props_map_explode, quantiles_summary, referential_audit,
+# salted_supplier_revenue, skewed_distinct_users, stats_correlation,
+# table_checksum, table_profile_orders, trailing_window_revenue,
+# volume_shipping, zorder_layout — plus the 10 remaining slots back-filled
+# from the least-recently-driver-checked greens.
 _DEMOTE = (
     # round-8 demotions: r4/r6/r7 driver-green single-mechanism rows whose
     # families keep stronger representatives in the window (each remains

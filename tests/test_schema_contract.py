@@ -113,57 +113,57 @@ def test_loaded_schema_matches_contract(spark, sf_dir, table):
 # registry._PROMOTE/_DEMOTE) must update this list deliberately.
 # ---------------------------------------------------------------------------
 
-DRIVER_WINDOW_R8 = [
-    "pipe_word_count",
-    "pipe_grep",
-    "streaming_events_hourly",
-    "media_features",
-    "similarity_ivf_topk",
-    "kvtext_source_stats",
-    "recursive_order_chain",
-    "asof_join_purchases",
-    "pandas_grouped_agg_median",
-    "xml_source_customers",
-    "streaming_upsert_profiles",
-    "substring_dedup_spans",
-    "semantic_dedup",
-    "curation_pipeline_v2",
-    "ccnet_perplexity_buckets",
-    "sole_blame_suppliers",
-    "bm25_topk",
-    "cdc_chunking",
-    "sql_table_function_word_count",
-    "polymorphic_udtf_props",
-    "mmr_rerank",
-    "runtime_filtered_join",
-    "centroid_classify",
-    "not_in_customers",
-    "rrf_hybrid_topk",
-    "streaming_custom_source_rollup",
-    "streaming_kvtext_sink_roundtrip",
-    "sql_udf_pricing",
-    "multiset_set_ops",
-    "similarity_lsh_topk",
-    "gopher_quality_rules",
-    "dsir_importance",
-    "lm_perplexity_score",
-    "sequence_packing",
-    "training_shuffle",
-    "bpe_learn_merges",
-    "bpe_apply_merges",
-    "pagerank_order_chain",
-    "rfm_segmentation",
-    "schema_evolution_union",
-    "word_count",
-    "pricing_summary",
-    "revenue_by_nation",
-    "training_data_pipeline",
-    "text_stats",
-    "dedup_exact",
-    "dedup_connected_components",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+DRIVER_WINDOW_R9 = [
+    "csv_source_revenue",
+    "csv_bad_records",
+    "json_source_segments",
+    "orc_source_parts",
+    "binary_file_source",
+    "metadata_agg_pushdown",
+    "variant_props_extract",
+    "media_decode",
+    "media_dedup",
+    "media_ahash_near_dup",
+    "streaming_sessions",
+    "streaming_events_sliding",
+    "streaming_dedup_within_watermark",
+    "streaming_static_enrichment",
+    "streaming_attribution_outer",
+    "streaming_events_hourly_append",
+    "pandas_api_priority_stats",
+    "pandas_group_rank",
+    "pandas_scalar_digit_stats",
+    "embedding_argmax_arrow",
+    "merge_upsert_orders",
+    "scd2_point_in_time",
+    "scd2_priority_history",
+    "snapshot_diff",
+    "deterministic_sample",
+    "domain_cap_sample",
+    "pps_sample",
+    "temperature_sample",
+    "percentile_trim",
+    "bigram_lm_counts",
+    "bigram_perplexity",
+    "vocab_encode",
+    "chunk_for_training",
+    "contrastive_triples",
+    "pii_scrub",
+    "pseudonymize_customers",
+    "dedup_canonical",
+    "incremental_dedup",
+    "co_purchase_pairs",
+    "triangle_count_nations",
+    "funnel_conversion",
+    "cohort_retention",
+    "cube_revenue",
+    "pivot_revenue_by_status",
+    "unpivot_revenue",
+    "lateral_top_suppliers",
+    "range_join_promos",
+    "exact_global_percentiles",
+    "ewma_daily_revenue",
+    "densify_daily_revenue",
 ]
 
 
@@ -171,11 +171,11 @@ def test_driver_hash_window_is_frozen():
     from mapreduce_simulation_spark.plans import registry
 
     got = list(registry.queries())[:50]
-    assert got == DRIVER_WINDOW_R8, (
+    assert got == DRIVER_WINDOW_R9, (
         "the driver's first-50 hash window shifted — if this is an intended "
-        "promotion/demotion, update DRIVER_WINDOW_R8; otherwise find the "
+        "promotion/demotion, update DRIVER_WINDOW_R9; otherwise find the "
         "import/registration reorder that moved it.\n"
-        f"got:  {got}\nwant: {DRIVER_WINDOW_R8}"
+        f"got:  {got}\nwant: {DRIVER_WINDOW_R9}"
     )
 
 
@@ -183,7 +183,7 @@ def test_driver_window_queries_all_have_oracles():
     from mapreduce_simulation_spark.plans import registry
 
     oracles = registry.oracle_sql()
-    missing = [n for n in DRIVER_WINDOW_R8 if n not in oracles]
+    missing = [n for n in DRIVER_WINDOW_R9 if n not in oracles]
     assert missing == [], (
         f"driver-window queries without an exact oracle: {missing} — the "
         "gate would fall back to the weaker rows-only check"
