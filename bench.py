@@ -161,6 +161,17 @@ def main() -> None:
         else:
             df.write.format("noop").mode("overwrite").save()
 
+    # First-touch (cold) seconds per query, in run order. Staged per-corpus
+    # index artifacts (shingles, LSH bands, minhash signatures, PQ/IVF
+    # codebooks, CCNet LM, bm25 postings, …) are built once per process and
+    # served warm on every later run, so the reported median measures warm
+    # serve only. The FIRST run of whichever query first touches an
+    # artifact absorbs its build — recording it keeps staged-build cost
+    # visible in the artifact and cross-round deltas honest (a query whose
+    # median fell because its build moved into the staged tier shows the
+    # build in its cold number instead of the cost vanishing).
+    cold_runs: dict[str, float] = {}
+
     def run(names: list[str], repeats: int = 1) -> dict[str, float]:
         """Per-query timing; with repeats > 1 the reported number is the
         MEDIAN of `repeats` runs — host variance measured at 3× within one
@@ -189,6 +200,7 @@ def main() -> None:
                     release_tracked()
                 samples.append(dt)
             if samples:
+                cold_runs[name] = round(samples[0], 3)
                 out[name] = round(sorted(samples)[len(samples) // 2], 3)
         return out
 
@@ -244,6 +256,10 @@ def main() -> None:
         else None,
         "primary_comparison_metric": "calib_normalized_total",
         "per_query_stat": "median_of_3",
+        # First-touch seconds per query (run order): the run that absorbs
+        # any staged index build this process. cold - median ≈ the staged
+        # build cost attributable to that query's artifacts.
+        "cold_first_run": cold_runs,
     }
     if errors:
         result["errors"] = errors

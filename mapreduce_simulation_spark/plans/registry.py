@@ -220,7 +220,8 @@ _DEMOTE = (
     "union_sources",                 # covered by set_ops/schema_evolution_union
     "dedup_connected_components_stars",  # twin of dedup_connected_components
     "embedding_near_dup",            # exhaustive twin of the bucketed variant
-    "similarity_ivf_trained_topk",   # no-oracle rows-only entry
+    "similarity_ivf_trained_topk",   # recall-oracle entry (sweep-checked);
+    # the driver window would only give it rows-only
     # round-5 demotions: redundant twins whose oracles hash identically to
     # (or are keyset-subsets of) entries already driver-green in r4
     "udtf_word_count",               # identical oracle to word_count
@@ -325,6 +326,18 @@ RECALL_ORACLES: dict[str, dict] = {
         # floor from test_pq_topk_recall_floor: measured 0.46 at sf0.001
         # (seeded k-means → deterministic); asserted ≥ 0.35 there too
         "min_recall": 0.35,
+    },
+    "similarity_ivf_trained_topk": {
+        # Exact search space matches ivf_trained_topk: queries are
+        # vec_id < N_QUERIES, neighbors = all vectors except self.
+        "sql": similarity.BRUTE_FORCE_TOPK_SQL + " ORDER BY query_id, rk",
+        "group_cols": ["query_id"],
+        "id_col": "neighbor_id",
+        "score_col": "cosine",  # IVF re-scores exactly → bitwise agreement
+        # staged seeded codebook (r9) → deterministic per corpus; measured
+        # 0.50/0.66/0.48 at sf0.001/0.01/0.1 with nprobe 4/16; floor from
+        # test_ivf_trained_recall_floor
+        "min_recall": 0.4,
     },
 }
 

@@ -178,8 +178,10 @@ def test_bucketed_near_dup_precision_exact_recall_bounded(spark, sf_dir):
 def test_ivf_trained_recall_floor(spark, sf_dir):
     """The k-means-trained IVF must return full top-k shape per query with
     exactly re-scored cosines (any hit agrees with brute force to the bit)
-    and clear a recall floor vs brute force — measured 0.50 at sf0.001
-    with nprobe 4/16, floor set at 0.4."""
+    and clear a recall floor vs brute force — measured 0.76/0.46/0.66 at
+    sf0.001/0.01/0.1 with nprobe 4/16 and the staged driver-side-trained
+    codebook (r9), floor set at 0.4. tools/verify_local.py checks the
+    same contract against the exact DuckDB oracle (status recall_ok)."""
     bf = {
         (r.query_id, r.neighbor_id): r.cosine
         for r in similarity.brute_force_topk(spark, sf_dir).collect()
@@ -544,9 +546,9 @@ def test_pq_topk_recall_floor(spark, sf_dir):
     """Product-quantization ANN: full top-k shape per query, every
     returned cosine is the EXACT score (refinement re-ranks with the true
     fold, so overlapping hits agree with brute force to the bit), and the
-    recall floor holds — measured 0.46 at sf0.001 with 8×16 codebooks and
-    4× refinement; 8× refinement (r8) lifts sf0.1 recall 0.34 → above the
-    0.35 floor at every tested SF (seeded k-means → deterministic).
+    recall floor holds — measured 0.52/0.72/0.52 at sf0.001/0.01/0.1 with
+    8×16 staged codebooks (driver-side seeded k-means over a capped
+    sample, r9) and 8× refinement; deterministic per corpus.
     tools/verify_local.py checks the same contract against the exact
     DuckDB oracle per sweep (status recall_ok)."""
     bf = {
