@@ -1877,7 +1877,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged_ccnet_lm(
-    spark: SparkSession, sf_dir: str, docs: DataFrame
+    spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The per-language add-one bigram LM (c12, c1, v type tables) of one
     corpus, TRAINED ONCE per (corpus, tokenizer) and served from parquet.
@@ -1889,7 +1889,15 @@ def _staged_ccnet_lm(
     bitwise), so banding results are unchanged.  Shared by
     ccnet_perplexity_buckets and curation_pipeline_v2 via the keyed
     staging contract (staging.py); temp-dir rename makes a crashed first
-    training un-mistakable for a completed stage."""
+    training un-mistakable for a completed stage.
+
+    The LM is built from staged_tokenized_docs(spark, sf_dir) HERE — not
+    from a caller-supplied frame — because the artifact is keyed only by
+    (sf_dir, tokenizer): training it from whatever frame a caller passed
+    would let a filtered/derived frame silently poison (or wrongly serve)
+    the cache shared with every other consumer of the key. Callers that
+    need an LM over a non-full-corpus frame use the inline path in
+    ccnet_buckets_from (spark/sf_dir unset)."""
     import os
 
     from ..staging import keyed_staging_dir
@@ -1897,6 +1905,9 @@ def _staged_ccnet_lm(
     root, _ = keyed_staging_dir("ccnet_lm_", f"{sf_dir}|ws_v1")
     final = os.path.join(root, "lm")
     if not os.path.isdir(final):
+        docs = staged_tokenized_docs(spark, sf_dir).select(
+            "doc_id", "lang", "ws"
+        )
         ws = F.col("ws")
         big = docs.select(
             "lang", F.explode(bigram_pairs(ws)).alias("p")
@@ -1917,6 +1928,46 @@ def _staged_ccnet_lm(
         spark.read.parquet(os.path.join(final, "c1")),
         spark.read.parquet(os.path.join(final, "v")),
     )
+
+
+# Ceiling for broadcasting the folded bigram-type NLL table. Bigram TYPE
+# counts grow near-linearly with corpus size (Heaps-ish), so "the LM is
+# small" stops being true at some scale: an unconditional broadcast would
+# eventually OOM the driver/executors. When the staged LM's on-disk c12
+# size exceeds this, the nlltab join falls back to a shuffle hash join on
+# (lang, w1, w2) — the corpus side shuffles once by the same key it
+# already groups on downstream. 256 MB of parquet ≈ well under 2 GB
+# deserialized, safe for the 128 GiB local profile and a typical
+# multi-GB-executor cluster alike.
+NLL_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _nll_broadcast(
+    spark: SparkSession | None, sf_dir: str | None, nlltab: DataFrame
+) -> DataFrame:
+    """Broadcast ``nlltab`` only while the staged LM artifact is under
+    NLL_BROADCAST_MAX_BYTES on disk (a cheap, accurate proxy for its
+    deserialized size); above it, return it unhinted so the join plans as
+    a shuffle hash join. On the inline path (no staged artifact to stat)
+    the table derives from the caller's frame — typically a test-scale
+    slice — and is broadcast unconditionally; callers feeding corpus-scale
+    frames inline should go through the staged path instead."""
+    import os
+
+    if spark is None or sf_dir is None:
+        return F.broadcast(nlltab)
+    from ..staging import keyed_staging_dir
+
+    root, _ = keyed_staging_dir("ccnet_lm_", f"{sf_dir}|ws_v1")
+    c12_dir = os.path.join(root, "lm", "c12")
+    size = 0
+    if os.path.isdir(c12_dir):
+        for entry in os.scandir(c12_dir):
+            if entry.is_file():
+                size += entry.stat().st_size
+    if size > NLL_BROADCAST_MAX_BYTES:
+        return nlltab
+    return F.broadcast(nlltab)
 
 
 def ccnet_buckets_from(
@@ -1959,7 +2010,7 @@ def ccnet_buckets_from(
         "doc_id", "lang", F.explode(bigram_pairs(ws)).alias("p")
     ).select("doc_id", "lang", "p.w1", "p.w2")
     if spark is not None and sf_dir is not None:
-        c12, c1, v = _staged_ccnet_lm(spark, sf_dir, base)
+        c12, c1, v = _staged_ccnet_lm(spark, sf_dir)
         c1 = persist_tracked(c1)
     else:
         tok = base.select("doc_id", "lang", F.explode(ws).alias("w1"))
@@ -1995,9 +2046,9 @@ def ccnet_buckets_from(
         .join(F.broadcast(v), "lang")
         .select("lang", "w1", "w2", nll6.alias("nll6"))
     )
-    terms = big.join(F.broadcast(nlltab), ["lang", "w1", "w2"]).select(
-        "doc_id", "lang", "nll6"
-    )
+    terms = big.join(
+        _nll_broadcast(spark, sf_dir, nlltab), ["lang", "w1", "w2"]
+    ).select("doc_id", "lang", "nll6")
     scored = terms.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (

@@ -56,6 +56,14 @@ EMBED_DIM = 64
 # nearest cells.
 N_CENTROIDS = 16
 N_PROBE = 4
+# The TRAINED codebook probes more cells: k-means cells are unequal-mass
+# (unlike the fixed corpus-subset codebook), so a query's true neighbors
+# spread across more cells at this k. Measured per-query floor at nprobe
+# 4/16: two sf0.01 queries had ZERO true hits (caught by the per-group
+# recall gate); nprobe 8/16 gives ≥2 true hits per query at every SF
+# (pooled 0.80-0.92). At production scale k ≫ 16 and the probed fraction
+# shrinks with it; the ratio here is an artifact of the tiny codebook.
+N_PROBE_TRAINED = 8
 
 
 # DuckDB-side strict left-fold dot product (bit-identical to `_dot` below);
@@ -690,7 +698,9 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = _staged_ivf_assign(
         spark, sf_dir, corpus, cents, variant=f"trained_k{N_CENTROIDS}s42_v2"
     )
-    return _ivf_search(corpus, cents, assign=assign)
+    return _ivf_search(
+        corpus, cents, assign=assign, n_probe=N_PROBE_TRAINED
+    )
 
 
 def _ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
@@ -716,11 +726,14 @@ def _ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _ivf_search(
-    corpus: DataFrame, cents: DataFrame, assign: DataFrame | None = None
+    corpus: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame | None = None,
+    n_probe: int = N_PROBE,
 ) -> DataFrame:
     """Shared IVF machinery: cell assignment (broadcast codebook,
     partial-agg argmax — or a prebuilt/staged assignment table), query
-    probing (N_PROBE nearest cells), candidate equi-join on the cell id,
+    probing (n_probe nearest cells), candidate equi-join on the cell id,
     exact re-score, per-query top-k."""
     if assign is None:
         assign = _ivf_assign(corpus, cents)
@@ -742,7 +755,7 @@ def _ivf_search(
             ).alias("pcos"),
         )
         .withColumn("prk", F.row_number().over(qw))
-        .where(F.col("prk") <= N_PROBE)
+        .where(F.col("prk") <= n_probe)
         .select("query_id", "qv", "qn", F.col("cid").alias("qcell"))
     )
     cos = F.round(

@@ -528,11 +528,7 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Local import: curation imports this module (cycle-safe at call time).
     from .curation import _staged_ccnet_lm
 
-    lc12, lc1, _lv = _staged_ccnet_lm(
-        spark,
-        sf_dir,
-        staged_tokenized_docs(spark, sf_dir).select("doc_id", "lang", "ws"),
-    )
+    lc12, lc1, _lv = _staged_ccnet_lm(spark, sf_dir)
     c12 = lc12.groupBy("w1", "w2").agg(F.sum("c12").alias("c12"))
     c1 = persist_tracked(
         lc1.groupBy("w1").agg(F.sum("c1").alias("c1"))
@@ -556,9 +552,14 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v))
         .select("w1", "w2", nll6.alias("nll6"))
     )
-    terms = big.join(F.broadcast(nlltab), ["w1", "w2"]).select(
-        "doc_id", "nll6"
-    )
+    # Size-gated broadcast (see curation.NLL_BROADCAST_MAX_BYTES): bigram
+    # TYPE counts grow near-linearly with corpus size, so past the staged
+    # LM size ceiling the lookup falls back to a shuffle hash join.
+    from .curation import _nll_broadcast
+
+    terms = big.join(
+        _nll_broadcast(spark, sf_dir, nlltab), ["w1", "w2"]
+    ).select("doc_id", "nll6")
     return (
         terms.groupBy("doc_id")
         .agg(

@@ -335,9 +335,10 @@ RECALL_ORACLES: dict[str, dict] = {
         "id_col": "neighbor_id",
         "score_col": "cosine",  # IVF re-scores exactly → bitwise agreement
         # staged seeded codebook (r9) → deterministic per corpus; measured
-        # 0.50/0.66/0.48 at sf0.001/0.01/0.1 with nprobe 4/16; floor from
-        # test_ivf_trained_recall_floor
-        "min_recall": 0.4,
+        # 0.92/0.80/0.88 pooled at sf0.001/0.01/0.1 with nprobe 8/16 and
+        # ≥2 true hits per query (the per-group gate); floors leave slack
+        "min_recall": 0.6,
+        "min_group_recall": 0.2,
     },
 }
 

@@ -40,7 +40,16 @@ def keyed_staging_dir(prefix: str, key: str) -> tuple[str, bool]:
     lifecycle, where testdata directories are only regenerated between
     driver rounds, i.e. between processes). If in-process regeneration of
     a source path ever becomes possible, callers should fold a cheap
-    content fingerprint (e.g. source-parquet mtime) into ``key``."""
+    content fingerprint (e.g. source-parquet mtime) into ``key``.
+
+    Single-threaded driver assumed (like invalidation above): callers
+    follow an isdir-then-build-then-os.rename pattern inside the returned
+    directory, so two concurrent builders of the same key would race on
+    the shared _tmp_* dir and the rename. That matches Spark's driver
+    model — one query plan is built at a time on the driver thread; a
+    multi-threaded embedding would need a per-key lock around the build
+    or a unique tmp suffix plus rename-if-absent (first rename wins,
+    losers discard)."""
     import os
 
     k = (prefix, key)

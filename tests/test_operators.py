@@ -178,10 +178,12 @@ def test_bucketed_near_dup_precision_exact_recall_bounded(spark, sf_dir):
 def test_ivf_trained_recall_floor(spark, sf_dir):
     """The k-means-trained IVF must return full top-k shape per query with
     exactly re-scored cosines (any hit agrees with brute force to the bit)
-    and clear a recall floor vs brute force — measured 0.76/0.46/0.66 at
-    sf0.001/0.01/0.1 with nprobe 4/16 and the staged driver-side-trained
-    codebook (r9), floor set at 0.4. tools/verify_local.py checks the
-    same contract against the exact DuckDB oracle (status recall_ok)."""
+    and clear a recall floor vs brute force — measured 0.92/0.80/0.88 at
+    sf0.001/0.01/0.1 with nprobe 8/16 (N_PROBE_TRAINED) and the staged
+    driver-side-trained codebook (r9), floor set at 0.6; the sweep
+    additionally gates per-query recall (min_group_recall 0.2, no
+    zero-hit queries). tools/verify_local.py checks the same contract
+    against the exact DuckDB oracle (status recall_ok)."""
     bf = {
         (r.query_id, r.neighbor_id): r.cosine
         for r in similarity.brute_force_topk(spark, sf_dir).collect()
@@ -193,7 +195,7 @@ def test_ivf_trained_recall_floor(spark, sf_dir):
             assert abs(r.cosine - bf[(r.query_id, r.neighbor_id)]) < 1e-9
     hits = sum(1 for r in rows if (r.query_id, r.neighbor_id) in bf)
     recall = hits / len(bf)
-    assert recall >= 0.4, f"trained-IVF recall {recall:.2f} below floor"
+    assert recall >= 0.6, f"trained-IVF recall {recall:.2f} below floor"
 
 
 def test_quality_score_in_unit_interval(spark, sf_dir):

@@ -79,8 +79,10 @@ def _bounded_compare(scols, srows, ocols, orows, approx_cols):
 
 def _recall_compare(scols, srows, ocols, orows, spec):
     """ANN result-set check: same row count and columns, (group, id)
-    overlap with the exact oracle at or above the recall floor, and every
-    overlapping hit's score bitwise-equal (via _norm) to the oracle's.
+    overlap with the exact oracle at or above the recall floor — gated on
+    BOTH the pooled recall and the worst single group (a per-query
+    regression must not hide in the aggregate) — and every overlapping
+    hit's score bitwise-equal (via _norm) to the oracle's.
     Returns (problems, measured_recall)."""
     problems = []
     if sorted(scols) != sorted(ocols):
@@ -103,6 +105,30 @@ def _recall_compare(scols, srows, ocols, orows, spec):
         problems.append(
             f"recall {recall:.3f} below floor {spec['min_recall']}"
         )
+    # Per-group floor: a single group (query point) returning nothing true
+    # would otherwise be masked by the others clearing the pooled floor.
+    # One zero-recall group is an outright failure; the declared floor is
+    # pooled, so the per-group gate is the weaker min_group_recall if the
+    # spec sets one, else "every group must have at least one true hit".
+    ngroup = len(spec["group_cols"])
+    per_group_exact: dict = {}
+    per_group_hits: dict = {}
+    for k in exact:
+        g = k[:ngroup]
+        per_group_exact[g] = per_group_exact.get(g, 0) + 1
+        if k in hits:
+            per_group_hits[g] = per_group_hits.get(g, 0) + 1
+    group_floor = spec.get("min_group_recall", 0.0)
+    for g in sorted(per_group_exact):
+        g_recall = per_group_hits.get(g, 0) / per_group_exact[g]
+        if g_recall < group_floor or per_group_hits.get(g, 0) == 0:
+            problems.append(
+                f"group {g}: recall {g_recall:.3f} below per-group floor "
+                f"(min_group_recall={group_floor}, zero-hit groups always "
+                "fail)"
+            )
+            if len(problems) >= 3:
+                break
     for k in sorted(hits):
         if _norm(got[k]) != _norm(exact[k]):
             problems.append(
