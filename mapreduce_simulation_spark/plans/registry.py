@@ -349,6 +349,45 @@ def recall_oracles() -> dict[str, dict]:
     return dict(RECALL_ORACLES)
 
 
+# ---------------------------------------------------------------------------
+# Sketch oracles: frequency-sketch queries whose RESULT VALUES are
+# partitioning-dependent lower bounds with a PROVABLE error bound — the
+# classic Misra-Gries guarantee. The checkable contract: every returned
+# (key, count) must satisfy  exact - N/capacity <= count <= exact  where N
+# is the total stream length and exact comes from a DuckDB exact count.
+# Neither exact hashing (values vary with partitioning) nor a fixed
+# relative error (the bound is absolute, N/capacity) applies — this is the
+# sketch-native containment check. tools/verify_local.py reports status
+# "sketch_ok" with the worst observed error as a fraction of the bound.
+# ---------------------------------------------------------------------------
+
+SKETCH_ORACLES: dict[str, dict] = {
+    "heavy_hitters_sketch": {
+        # Exact token counts over the same tokenizer (lowercased
+        # whitespace split, empties dropped) heavy_hitters_sketch streams.
+        "sql": r"""
+SELECT word, count(*) AS exact_count
+FROM (
+  SELECT unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+GROUP BY word
+""",
+        "word_col": "word",
+        "count_col": "sketch_count",
+        "capacity": 64,  # pandas_ops.MG_CAPACITY — bound is N/capacity
+        "expected_rows": 20,  # pandas_ops.HEAVY_HITTERS_TOP
+    },
+}
+
+
+def sketch_oracles() -> dict[str, dict]:
+    """name → {sql, word_col, count_col, capacity, expected_rows} for
+    frequency sketches checked by the Misra-Gries containment bound."""
+    return dict(SKETCH_ORACLES)
+
+
 def bounded_oracles() -> dict[str, dict]:
     """name → {sql, approx_cols: {col: max relative error}} for queries
     whose oracle is exact-valued only up to estimator error."""

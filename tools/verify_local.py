@@ -139,6 +139,41 @@ def _recall_compare(scols, srows, ocols, orows, spec):
     return problems, round(recall, 3)
 
 
+def _sketch_compare(scols, srows, ocols, orows, spec):
+    """Misra-Gries containment check: every returned (key, count) must be
+    a lower bound on the exact count, within N/capacity of it, where N is
+    the total stream length (sum of exact counts). Returns
+    (problems, worst observed error as a fraction of the bound)."""
+    problems = []
+    kc, cc = spec["word_col"], spec["count_col"]
+    if kc not in scols or cc not in scols:
+        return [f"cols {scols} missing {kc}/{cc}"], None
+    if len(srows) != spec["expected_rows"]:
+        return [f"rows {len(srows)} != expected {spec['expected_rows']}"], None
+    od = {r[ocols.index(kc)]: r[ocols.index("exact_count")] for r in orows}
+    n_total = sum(od.values())
+    bound = n_total / spec["capacity"]
+    worst = 0.0
+    ki, ci = scols.index(kc), scols.index(cc)
+    for r in srows:
+        key, cnt = r[ki], r[ci]
+        exact = od.get(key)
+        if exact is None:
+            problems.append(f"{key}: not in exact counts (phantom key)")
+        elif cnt > exact:
+            problems.append(f"{key}: sketch {cnt} EXCEEDS exact {exact}")
+        elif exact - cnt > bound:
+            problems.append(
+                f"{key}: undercount {exact - cnt} exceeds N/capacity "
+                f"bound {bound:.1f}"
+            )
+        else:
+            worst = max(worst, (exact - cnt) / bound if bound else 0.0)
+        if len(problems) >= 3:
+            break
+    return problems, round(worst, 3)
+
+
 def main() -> int:
     import duckdb
 
@@ -167,11 +202,13 @@ def main() -> int:
     from mapreduce_simulation_spark.plans.registry import (
         bounded_oracles,
         recall_oracles,
+        sketch_oracles,
     )
 
     qs, oracles = e.queries(), e.oracle_sql()
     bounded = bounded_oracles()
     recalls = recall_oracles()
+    sketches = sketch_oracles()
     failures = 0
     n_ok = n_rows_only = 0
     from mapreduce_simulation_spark.streaming.stateful import _HAS_TWS
@@ -266,6 +303,38 @@ def main() -> int:
                         "seconds": secs,
                         "recall": recall,
                         "min_recall": spec["min_recall"],
+                    }
+                continue
+            if name in sketches:
+                spec = sketches[name]
+                try:
+                    res = con.execute(spec["sql"])
+                    ocols = [d[0] for d in res.description]
+                    orows = res.fetchall()
+                except Exception as ex:  # noqa: BLE001
+                    print(f"FAIL  {name}: duckdb error: {ex}")
+                    results[name] = {"status": "fail", "error": str(ex)[:300]}
+                    failures += 1
+                    continue
+                problems, worst = _sketch_compare(
+                    scols, srows, ocols, orows, spec
+                )
+                if problems:
+                    print(f"FAIL  {name}: " + "; ".join(problems))
+                    results[name] = {"status": "fail", "problems": problems}
+                    failures += 1
+                else:
+                    n_ok += 1
+                    print(
+                        f"OK    {name}: {len(srows)} rows (MG containment "
+                        f"bound, worst error {worst} of N/capacity) "
+                        f"[{secs}s]"
+                    )
+                    results[name] = {
+                        "status": "sketch_ok",
+                        "rows": len(srows),
+                        "seconds": secs,
+                        "worst_error_vs_bound": worst,
                     }
                 continue
             n_rows_only += 1
