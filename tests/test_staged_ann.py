@@ -1,0 +1,166 @@
+"""Round-9 regressions: staged ANN index builders (deterministic
+driver-side codebook training, staging identity) and the two new
+verify-tier checkers (Misra-Gries containment, per-group recall).
+
+The builders' end-to-end recall contracts live in test_operators
+(test_pq_topk_recall_floor, test_ivf_trained_recall_floor); these tests
+pin the pieces those contracts stand on, so a regression points at the
+broken piece instead of a recall drop.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import SF_DIR
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Codebook training: deterministic, capped, exactly-k
+# ---------------------------------------------------------------------------
+
+
+def test_train_sample_deterministic_and_capped(spark):
+    from mapreduce_simulation_spark.operators import similarity as S
+
+    a = S._train_sample(spark, SF_DIR)
+    b = S._train_sample(spark, SF_DIR)
+    # Bitwise-identical across calls (TakeOrdered by seeded hash + vec_id
+    # sort — no dependence on partition order), and never corpus-sized.
+    assert a.shape == b.shape
+    assert (a == b).all()
+    assert a.shape[0] <= S.TRAIN_CAP
+    assert a.shape[1] == S.EMBED_DIM
+
+
+def test_seeded_kmeans_deterministic_exact_k():
+    from mapreduce_simulation_spark.operators.similarity import (
+        _seeded_kmeans,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(500, 8))
+    c1 = _seeded_kmeans(X, 16, seed=42)
+    c2 = _seeded_kmeans(X, 16, seed=42)
+    assert c1.shape == (16, 8)
+    assert (c1 == c2).all()
+    # A different seed must actually move the centroids (the per-subspace
+    # fits use seed=42+m — identical seeds would collapse the subspaces).
+    c3 = _seeded_kmeans(X, 16, seed=43)
+    assert not (c1 == c3).all()
+
+
+def test_seeded_kmeans_exact_k_on_degenerate_sample():
+    from mapreduce_simulation_spark.operators.similarity import (
+        _seeded_kmeans,
+    )
+
+    # Fewer distinct points than k: k-means++ d² weighting degenerates to
+    # zero — the trainer must still return exactly k rows (the PQ ADC LUT
+    # indexes the codebook positionally).
+    X = np.repeat(np.eye(4), 3, axis=0)  # 12 rows, 4 distinct
+    c = _seeded_kmeans(X, 8, seed=1)
+    assert c.shape == (8, 4)
+
+
+# ---------------------------------------------------------------------------
+# Staging identity: a staged index must serve the same result it computed
+# ---------------------------------------------------------------------------
+
+
+def test_pq_and_trained_ivf_staging_identity(spark):
+    from mapreduce_simulation_spark.operators import similarity as S
+
+    for fn in (S.pq_topk, S.ivf_trained_topk):
+        first = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+        again = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+        assert first == again, f"{fn.__name__}: staged serve differs"
+        assert len(first) == S.N_QUERIES * S.TOP_K
+
+
+# ---------------------------------------------------------------------------
+# verify_local checkers (imported from the tool itself, not re-derived)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def vl():
+    import verify_local
+
+    return verify_local
+
+
+MG_SPEC = {
+    "word_col": "word",
+    "count_col": "sketch_count",
+    "capacity": 10,
+    "expected_rows": 2,
+}
+MG_COLS = ["word", "sketch_count"]
+MG_OCOLS = ["word", "exact_count"]
+# N = 100 → bound = 10
+MG_ORACLE = [("a", 60), ("b", 30), ("c", 10)]
+
+
+def test_sketch_compare_accepts_in_bound(vl):
+    probs, worst = vl._sketch_compare(
+        MG_COLS, [("a", 55), ("b", 30)], MG_OCOLS, MG_ORACLE, MG_SPEC
+    )
+    assert probs == []
+    assert worst == 0.5  # a undercounts by 5 of a 10 bound
+
+
+def test_sketch_compare_rejects_overcount_and_blown_bound(vl):
+    probs, _ = vl._sketch_compare(
+        MG_COLS, [("a", 61), ("b", 30)], MG_OCOLS, MG_ORACLE, MG_SPEC
+    )
+    assert any("EXCEEDS" in p for p in probs)
+    probs, _ = vl._sketch_compare(
+        MG_COLS, [("a", 49), ("b", 30)], MG_OCOLS, MG_ORACLE, MG_SPEC
+    )
+    assert any("bound" in p for p in probs)
+    probs, _ = vl._sketch_compare(
+        MG_COLS, [("zz", 5), ("b", 30)], MG_OCOLS, MG_ORACLE, MG_SPEC
+    )
+    assert any("phantom" in p for p in probs)
+
+
+RECALL_SPEC = {
+    "group_cols": ["q"],
+    "id_col": "n",
+    "score_col": "s",
+    "min_recall": 0.5,
+}
+RC = ["q", "n", "s"]
+
+
+def test_recall_compare_flags_zero_hit_group(vl):
+    # Pooled recall 3/4 = 0.75 clears the 0.5 floor, but group 2 has no
+    # true hit — the per-group gate must fail it anyway.
+    exact = [(1, 10, 0.9), (1, 11, 0.8), (2, 20, 0.7), (2, 21, 0.6)]
+    got = [(1, 10, 0.9), (1, 11, 0.8), (2, 20, 0.7), (2, 99, 0.1)]
+    probs, recall = vl._recall_compare(RC, got, RC, exact, RECALL_SPEC)
+    assert probs == [] and recall == 0.75
+    got_bad = [(1, 10, 0.9), (1, 11, 0.8), (2, 98, 0.2), (2, 99, 0.1)]
+    probs, _ = vl._recall_compare(RC, got_bad, RC, exact, RECALL_SPEC)
+    assert any("per-group floor" in p for p in probs)
+
+
+def test_recall_compare_min_group_recall(vl):
+    spec = dict(RECALL_SPEC, min_group_recall=0.6)
+    exact = [(1, 10, 0.9), (1, 11, 0.8), (2, 20, 0.7), (2, 21, 0.6)]
+    # group 1 has 1/2 = 0.5 < 0.6 → fails even though no group is zero-hit
+    got = [(1, 10, 0.9), (1, 99, 0.1), (2, 20, 0.7), (2, 21, 0.6)]
+    probs, _ = vl._recall_compare(RC, got, RC, exact, spec)
+    assert any("per-group floor" in p for p in probs)
