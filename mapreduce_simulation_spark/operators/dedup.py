@@ -637,6 +637,66 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*mins)
 
 
+def narrow_minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key): MinHash LSH band keys computed per-row, with
+    NO shuffle and NO window — the streaming-compatible formulation of the
+    shingle → signature → band pipeline that feeds the ingestion dedup
+    gate (streaming/stateful.streaming_minhash_dedup).
+
+    The batch pipeline (_shingles → minhash_signatures) uses a per-doc
+    lead() window and a groupBy min — both need an exchange, and a
+    streaming groupBy would force update-mode stateful aggregation. Here
+    the token-hash array, the 3-gram shingle set, and all 16 permutation
+    minima are array expressions over one row, so the operator stays a
+    stateless projection any micro-batch can run. (For batch use the row
+    formulation remains faster — see _shingles' docstring — because
+    Catalyst re-inlines the token-hash array into each lambda reference;
+    per-row that re-inline is bounded by document length.)
+
+    Band keys are the SIGNATURE-VALUE strings "m_i:m_j" (not xxhash64 of
+    them): the batch LSH can afford hash-collision candidates because its
+    exact-jaccard verification filters them, but the gate emits verdicts
+    straight from bucket membership, so its keys must be collision-free —
+    and the value string is exactly reproducible in the DuckDB oracle.
+    Numerically identical to minhash_signatures: same char-fold token
+    hash, same shingle combine, same (A, B) permutations, same distinct
+    semantics (asserted in tests/test_staged_ann.py)."""
+    hs = F.transform(tokens(F.col("text")), lambda t: H.char_hash(t))
+    with_hs = docs.select("doc_id", hs.alias("hs")).where(F.size("hs") >= 3)
+    shingle_at = lambda i: (  # noqa: E731 — 0-based via F.get
+        (
+            F.get("hs", i) * SHINGLE_COMBINE + F.get("hs", i + 1)
+        ) % H.P * SHINGLE_COMBINE + F.get("hs", i + 2)
+    ) % H.P
+    sh_arr = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.size("hs") - 3), shingle_at)
+    )
+    with_sh = with_hs.select("doc_id", sh_arr.alias("sh"))
+    ms = [
+        F.array_min(
+            F.transform("sh", lambda s: H.perm_hash(s, i))
+        ).alias(f"m{i}")
+        for i in range(len(H.MINHASH_PERMS))
+    ]
+    sig = with_sh.select("doc_id", *ms)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    ":",
+                    F.col(f"m{b * H.ROWS_PER_BAND}"),
+                    F.col(f"m{b * H.ROWS_PER_BAND + 1}"),
+                ).alias("key"),
+            )
+            for b in range(H.N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def _staged_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, m0..m15, n_sh): the per-corpus MinHash signature table,
     COMPUTED ONCE from the staged shingle store and served from parquet —
@@ -786,6 +846,54 @@ ORDER BY doc_a, doc_b
 
 
 DEDUP_MINHASH_SQL = _minhash_oracle_sql()
+
+
+def _minhash_gate_oracle_sql() -> str:
+    """Oracle for the streaming ingestion gate: a doc is dup-in-a-band iff
+    a LOWER-id doc shares that band's signature-value key — no jaccard
+    verification stage, because the gate's contract is bucket membership
+    (its keys are the exact signature values, so there are no hash
+    collisions to filter). Shares the shingle/signature/banded CTEs with
+    the batch minhash oracle."""
+    n = len(H.MINHASH_PERMS)
+    min_exprs = ",\n    ".join(
+        f"min({H.perm_hash_sql('h', i)}) AS m{i}" for i in range(n)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, m{i0} || ':' || m{i1} AS key FROM sig".format(
+            b=b, i0=b * H.ROWS_PER_BAND, i1=b * H.ROWS_PER_BAND + 1
+        )
+        for b in range(H.N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+hashed AS (SELECT doc_id, shingle AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {min_exprs}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+  {band_selects}
+),
+verdict AS (
+  SELECT a.doc_id, a.band,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM banded b
+           WHERE b.band = a.band AND b.key = a.key AND b.doc_id < a.doc_id
+         ) THEN 1 ELSE 0 END AS dup
+  FROM banded a
+)
+SELECT doc_id,
+       CAST(sum(dup) AS BIGINT) AS dup_bands,
+       CAST(max(dup) AS INTEGER) AS is_candidate_dup
+FROM verdict
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+STREAMING_MINHASH_GATE_SQL = _minhash_gate_oracle_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -1042,6 +1042,18 @@ from ..streaming.stateful import (  # noqa: E402
 register("stateful_user_rollup", _stateful_rollup, _stateful_sql)
 
 from ..streaming.stateful import (  # noqa: E402
+    streaming_minhash_dedup as _minhash_gate,
+)
+from ..operators.dedup import (  # noqa: E402
+    STREAMING_MINHASH_GATE_SQL as _minhash_gate_sql,
+)
+
+# Streaming ingestion near-dup gate: narrow per-row MinHash banding +
+# per-bucket min-id state (applyInPandasWithState). Round-10 window
+# candidate; exact oracle (signature-value band keys, no collisions).
+register("streaming_minhash_dedup", _minhash_gate, _minhash_gate_sql)
+
+from ..streaming.stateful import (  # noqa: E402
     stateful_user_rollup_tws as _stateful_tws,
 )
 

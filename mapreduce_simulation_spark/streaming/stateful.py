@@ -26,7 +26,12 @@ from typing import Any, Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -241,3 +246,112 @@ def stateful_user_rollup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(key, prev)
     return spark.table("stateful_user_rollup_tws")
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash dedup gate: near-dup candidate flagging at ingestion.
+# ---------------------------------------------------------------------------
+
+GATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band", IntegerType()),
+        StructField("dup", IntegerType()),
+    ]
+)
+
+GATE_STATE_SCHEMA = StructType([StructField("mn", LongType())])
+
+
+def _gate_fn(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-LSH-bucket state = the smallest doc_id ever seen in the bucket.
+    Each arriving doc is flagged dup-in-this-band unless it IS the bucket
+    minimum (greedy lowest-id-wins, the same canonical-representative rule
+    the batch dedup family uses). State is one long per bucket."""
+    band = int(key[0])
+    prev = state.get[0] if state.exists else None
+    ids: list[int] = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    if not ids:
+        return
+    mn = min(ids) if prev is None else min(prev, min(ids))
+    state.update((mn,))
+    yield pd.DataFrame(
+        {
+            "doc_id": ids,
+            "band": [band] * len(ids),
+            "dup": [0 if i == mn else 1 for i in ids],
+        }
+    )
+
+
+def minhash_dedup_gate(doc_stream: DataFrame) -> DataFrame:
+    """Attach the ingestion near-dup gate to a streaming documents frame:
+    per-row narrow MinHash band keys (operators/dedup.narrow_minhash_bands
+    — no shuffle, no window, so it runs as a stateless projection inside
+    the micro-batch), then one stateful step keyed by (band, key) whose
+    state is the bucket's minimum doc_id. Emits one (doc_id, band, dup)
+    verdict per band per doc.
+
+    This is the streaming face of dedup_minhash_lsh: a production
+    pipeline gates documents AT INGESTION against everything already
+    ingested instead of re-running corpus-wide batch dedup per snapshot.
+    State size is one long per occupied LSH bucket — O(corpus bands),
+    the same table the batch path stages as its band-key index — and each
+    micro-batch shuffles only its own 8 keys per doc.
+    """
+    from ..operators.dedup import narrow_minhash_bands
+
+    banded = narrow_minhash_bands(doc_stream)
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        _gate_fn,
+        GATE_OUTPUT_SCHEMA,
+        GATE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: stage documents as a single-file parquet
+    stream, run the MinHash ingestion gate, drain with
+    Trigger.AvailableNow, roll the per-band verdicts up per document —
+    (doc_id, dup_bands, is_candidate_dup), where a document is a
+    candidate near-dup iff it shares ≥1 LSH band bucket with a LOWER-id
+    document.
+
+    Single-batch staging makes the kept-set deterministic (the bucket
+    minimum is a batch-global min, not arrival-order-first), so the
+    oracle is plain SQL over the same signature arithmetic — exact, since
+    the gate's band keys are signature-value strings, not lossy hashes.
+    Multi-batch incremental gating (batch N flagged against buckets from
+    batches 1..N-1) is exercised in tests."""
+    from ..staging import staging_dir
+    from ..tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = staging_dir("docs_minhash_gate_")
+    docs.coalesce(1).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    q = (
+        minhash_dedup_gate(stream)
+        .writeStream.format("memory")
+        .queryName("stream_minhash_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("stream_minhash_gate")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dup").cast("bigint").alias("dup_bands"),
+            F.max("dup").cast("int").alias("is_candidate_dup"),
+        )
+        .orderBy("doc_id")
+    )

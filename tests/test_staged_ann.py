@@ -164,3 +164,43 @@ def test_recall_compare_min_group_recall(vl):
     got = [(1, 10, 0.9), (1, 99, 0.1), (2, 20, 0.7), (2, 21, 0.6)]
     probs, _ = vl._recall_compare(RC, got, RC, exact, spec)
     assert any("per-group floor" in p for p in probs)
+
+
+def test_narrow_minhash_bands_match_batch_signatures(spark):
+    """The streaming gate's per-row band computation must be numerically
+    identical to the batch shingle → signature pipeline (same char-fold
+    token hash, shingle combine, permutations, distinct semantics) — a
+    divergence would make the gate's verdicts disagree with the batch
+    dedup family over the same corpus."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_simulation_spark.functions import hashing as H
+    from mapreduce_simulation_spark.operators import dedup
+    from mapreduce_simulation_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    narrow = {
+        (r.doc_id, r.band): r.key
+        for r in dedup.narrow_minhash_bands(docs).collect()
+    }
+    sig = dedup.minhash_signatures(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    ":",
+                    F.col(f"m{b * H.ROWS_PER_BAND}"),
+                    F.col(f"m{b * H.ROWS_PER_BAND + 1}"),
+                ).alias("key"),
+            )
+            for b in range(H.N_BANDS)
+        ]
+    )
+    batch = {
+        (r.doc_id, r.band): r.key
+        for r in sig.select("doc_id", F.explode(bands).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .collect()
+    }
+    assert narrow == batch and len(narrow) > 0

@@ -921,3 +921,55 @@ def test_kvtext_sink_replayed_batch_is_exactly_once(spark, sf_dir, tmp_path):
     assert back.select("key").distinct().count() == n_total
     with open(os.path.join(out, "_batches")) as fh:
         assert fh.read() == manifest_before  # no duplicate manifest line
+
+
+def test_minhash_gate_carries_state_across_batches(spark, tmp_path):
+    """The ingestion gate's value is CROSS-batch dedup: a batch-2 document
+    duplicating a batch-1 document must be flagged from the bucket-minimum
+    state, not from anything in its own batch. Two single-file micro-batches
+    via maxFilesPerTrigger=1; doc 30 copies doc 10's text (all 8 bands
+    shared), doc 40 is distinct."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_simulation_spark.streaming.stateful import (
+        minhash_dedup_gate,
+    )
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely different words appear in this other document body"
+    batch1 = spark.createDataFrame(
+        [(10, dup_text), (20, "some middling unrelated text goes right here")],
+        "doc_id bigint, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(30, dup_text), (40, uniq)], "doc_id bigint, text string"
+    )
+    src = str(tmp_path / "gate_src")
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+    # second file appended after the first so trigger order is by mod time
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        minhash_dedup_gate(stream)
+        .writeStream.format("memory")
+        .queryName("gate_multibatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table("gate_multibatch")
+        .groupBy("doc_id")
+        .agg(F.sum("dup").alias("dup_bands"))
+        .collect()
+    )
+    got = {r.doc_id: r.dup_bands for r in out}
+    assert got[10] == 0  # bucket minima — never flagged
+    assert got[20] == 0 and got[40] == 0  # no shared buckets
+    assert got[30] == 8  # identical text → all 8 bands hit batch-1 state
