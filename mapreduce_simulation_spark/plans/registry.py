@@ -175,8 +175,9 @@ _PROMOTE = (
 # props_map_explode, quantiles_summary, referential_audit,
 # salted_supplier_revenue, skewed_distinct_users, stats_correlation,
 # table_checksum, table_profile_orders, trailing_window_revenue,
-# volume_shipping, zorder_layout — plus the 10 remaining slots back-filled
-# from the least-recently-driver-checked greens.
+# volume_shipping, zorder_layout — plus streaming_minhash_dedup (new in
+# r9, exact oracle, sweep-green at both SFs) and the remaining slots
+# back-filled from the least-recently-driver-checked greens.
 _DEMOTE = (
     # round-8 demotions: r4/r6/r7 driver-green single-mechanism rows whose
     # families keep stronger representatives in the window (each remains

@@ -204,3 +204,21 @@ def test_narrow_minhash_bands_match_batch_signatures(spark):
         .collect()
     }
     assert narrow == batch and len(narrow) > 0
+
+
+def test_narrow_minhash_bands_plan_has_no_exchange(spark):
+    """The gate's banding must stay a stateless projection — an Exchange
+    in its plan would make it illegal inside a streaming micro-batch
+    (and void the 'no shuffle before the stateful step' scale claim)."""
+    from mapreduce_simulation_spark.operators import dedup
+    from mapreduce_simulation_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (
+        dedup.narrow_minhash_bands(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the band explode is the only wide-ish node
