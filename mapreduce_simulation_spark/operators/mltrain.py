@@ -1,0 +1,241 @@
+"""Distributed ML training as aggregation: full-batch logistic regression
+with a hard-sigmoid link, trained by gradient descent where every
+iteration is ONE distributed aggregate.
+
+This is the shape MLlib's own LogisticRegression uses (treeAggregate the
+gradient, update the driver-held coefficient vector, broadcast back) —
+expressed directly on DataFrames: the executors never see the loop, the
+driver never sees a row. At 100 TB each iteration shuffles exactly
+P × (d+2) partial sums (features+count+correct per partition) — the
+weight vector is driver-held like the PQ/IVF codebooks, and per-doc
+feature extraction is a stateless projection over the corpus scan.
+
+Cross-engine exactness (the PageRank trick, extended to training): IEEE
+float training cannot be hash-checked across engines (sum order varies,
+libm exp() differs in the last ulp), so every quantity is an integer in
+1e-6 units and every division is an explicit FLOOR division that both
+engines compute exactly:
+
+  - Spark:  (a - pmod(a, b)) DIV b   (pmod >= 0 makes the numerator
+            divisible, so DIV's truncation equals floor regardless of
+            sign);
+  - DuckDB: (a - ((a % b + b) % b)) // b   (same construction — never
+            rely on the engines' native negative-division semantics);
+  - driver: Python's // (exact arbitrary-precision floor).
+
+  - the logistic sigmoid is replaced by the HARD sigmoid
+    clamp(z/4 + 1/2, 0, 1) — a real technique (used where exp() is
+    expensive or non-portable), and here the property that matters:
+    it is exact integer arithmetic, so training is bit-identical in
+    Spark, DuckDB (fully unrolled CTE chain, one per iteration), and
+    the driver's update rule.
+
+Magnitude audit (longs never overflow): features are O(1e6) in 1e-6
+units, weights stay O(1e7) over 5 iterations, so per-doc gradient terms
+are <= ~5e13 and corpus sums <= ~2.5e17 at sf0.1 — inside int64 with
+headroom; the driver's Python ints are unbounded anyway.
+
+Model quality note: the testdata corpus is synthetic (the same token
+distribution for every lang), so the label is a deterministic
+length-threshold (n_chars >= LABEL_CHARS) that IS linearly learnable
+from the token-count feature — train_acc demonstrates the optimizer
+moving, which is the operator's contract; feature engineering is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .text import tokens
+
+SCALE = 1_000_000
+LOGREG_ITERS = 5
+LOGREG_LR = 2  # integer multiplier on the 1e-6-scaled mean gradient
+LABEL_CHARS = 300
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is")
+FEATURES = ("x0", "x1", "x2", "x3")  # bias, tokens/100, stop ratio, len/10
+TERM_NAMES = ("bias", "tokens_c", "stop_ratio", "mean_len_10")
+
+
+def _floordiv_spark(a: str, b: int) -> str:
+    return f"(({a}) - pmod(({a}), {b})) DIV {b}"
+
+
+def _floordiv_duck(a: str, b: int) -> str:
+    return f"((({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b}))"
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc integer features in 1e-6 units + the label. A stateless
+    projection over the documents scan (one explode-free pass; the
+    stopword count and length sum are array folds). Zero-token docs are
+    dropped (no ratios exist), mirrored in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = docs.select(
+        F.col("n_chars"),
+        F.size(ws).cast("long").alias("ntok"),
+        F.size(
+            F.filter(ws, lambda w: F.array_contains(stop_lit, w))
+        ).cast("long").alias("nstop"),
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("sumlen"),
+    ).where(F.col("ntok") > 0)
+    # positive-operand divisions: floor == truncate, so plain DIV / //
+    # are already identical across engines here
+    return base.selectExpr(
+        f"CAST({SCALE} AS BIGINT) AS x0",
+        "ntok * 10000 AS x1",
+        f"(({SCALE} * nstop) DIV ntok) AS x2",
+        "((100000 * sumlen) DIV ntok) AS x3",
+        f"CAST(CASE WHEN n_chars >= {LABEL_CHARS} THEN {SCALE} ELSE 0 END"
+        " AS BIGINT) AS y6",
+    )
+
+
+def _iteration_exprs(w: list[int]) -> tuple[str, str]:
+    """(z6 SQL, s6 SQL) for the current weights, inlined as literals —
+    the broadcast of the driver-held coefficient vector."""
+    dot = " + ".join(
+        f"CAST({w[j]} AS BIGINT) * {FEATURES[j]}" for j in range(4)
+    )
+    z6 = _floordiv_spark(dot, SCALE)
+    s6 = f"least(greatest(({_floordiv_spark('(' + z6 + ')', 4)}) + 500000, 0), {SCALE})"
+    return z6, s6
+
+
+def distributed_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the hard-sigmoid logistic model for LOGREG_ITERS full-batch
+    GD iterations; return the coefficient vector (1e-6-scaled and as
+    doubles) plus the final training accuracy — 5 rows, bit-identical to
+    the oracle's unrolled-CTE replay of the same integer recurrence."""
+    from .caching import persist_tracked, release_tracked
+
+    feat = persist_tracked(_features(spark, sf_dir))
+    try:
+        w = [0, 0, 0, 0]
+        for _ in range(LOGREG_ITERS):
+            _z6, s6 = _iteration_exprs(w)
+            row = feat.selectExpr(
+                *[
+                    f"sum((({s6}) - y6) * {FEATURES[j]}) AS g{j}"
+                    for j in range(4)
+                ],
+                "count(*) AS n",
+            ).collect()[0]
+            n = row["n"]
+            for j in range(4):
+                g6 = (int(row[f"g{j}"]) // n) // SCALE
+                w[j] -= LOGREG_LR * g6
+        _z6, s6 = _iteration_exprs(w)
+        acc_row = feat.selectExpr(
+            f"sum(CASE WHEN (({s6}) >= 500000) = (y6 = {SCALE}) "
+            "THEN 1 ELSE 0 END) AS correct",
+            "count(*) AS n",
+        ).collect()[0]
+        acc6 = (SCALE * int(acc_row["correct"])) // int(acc_row["n"])
+    finally:
+        release_tracked()
+    rows = [
+        (TERM_NAMES[j], w[j], w[j] / SCALE) for j in range(4)
+    ] + [("train_acc", acc6, acc6 / SCALE)]
+    return spark.createDataFrame(
+        rows, "term string, value6 bigint, value double"
+    ).orderBy("term")
+
+
+def _logreg_oracle_sql() -> str:
+    """The same integer recurrence, fully unrolled: one weights CTE per
+    iteration, each derived from a cross join of the feature CTE with the
+    previous single-row weights CTE."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    parts = [
+        rf"""
+WITH raw AS (
+  SELECT n_chars,
+         list_filter(str_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+feat AS (
+  SELECT CAST({SCALE} AS BIGINT) AS x0,
+         CAST(len(ws) * 10000 AS BIGINT) AS x1,
+         CAST(({SCALE} * len(list_filter(ws, w -> w IN ({stop_list}))))
+              // len(ws) AS BIGINT) AS x2,
+         CAST((100000 * list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                              list_transform(ws, w -> CAST(len(w) AS BIGINT))),
+                 (a, b) -> a + b)) // len(ws) AS BIGINT) AS x3,
+         CAST(CASE WHEN n_chars >= {LABEL_CHARS} THEN {SCALE} ELSE 0 END
+              AS BIGINT) AS y6
+  FROM raw WHERE len(ws) > 0
+),
+w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+              CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS d)"""
+    ]
+    for t in range(LOGREG_ITERS):
+        dot = "w.a * x0 + w.b * x1 + w.c * x2 + w.d * x3"
+        z6 = _floordiv_duck(dot, SCALE)
+        s6 = (
+            f"least(greatest(({_floordiv_duck('(' + z6 + ')', 4)})"
+            f" + 500000, 0), {SCALE})"
+        )
+        upd = {
+            name: (
+                f"w.{name} - {LOGREG_LR} * "
+                + _floordiv_duck(
+                    _floordiv_duck(
+                        f"sum(({s6} - y6) * {col})", "count(*)"
+                    ),
+                    SCALE,
+                )
+            )
+            for name, col in zip("abcd", FEATURES)
+        }
+        parts.append(
+            f""",
+w{t + 1} AS (
+  SELECT CAST({upd['a']} AS BIGINT) AS a,
+         CAST({upd['b']} AS BIGINT) AS b,
+         CAST({upd['c']} AS BIGINT) AS c,
+         CAST({upd['d']} AS BIGINT) AS d
+  FROM feat, w{t} w
+  GROUP BY w.a, w.b, w.c, w.d
+)"""
+        )
+    dot = "w.a * x0 + w.b * x1 + w.c * x2 + w.d * x3"
+    z6 = _floordiv_duck(dot, SCALE)
+    s6 = (
+        f"least(greatest(({_floordiv_duck('(' + z6 + ')', 4)})"
+        f" + 500000, 0), {SCALE})"
+    )
+    parts.append(
+        f""",
+acc AS (
+  SELECT CAST(({SCALE} * sum(CASE WHEN ({s6} >= 500000) = (y6 = {SCALE})
+                             THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         AS acc6
+  FROM feat, w{LOGREG_ITERS} w
+  GROUP BY w.a, w.b, w.c, w.d
+)
+SELECT * FROM (
+  SELECT 'bias' AS term, a AS value6, a / {SCALE}.0 AS value
+    FROM w{LOGREG_ITERS}
+  UNION ALL
+  SELECT 'tokens_c', b, b / {SCALE}.0 FROM w{LOGREG_ITERS}
+  UNION ALL
+  SELECT 'stop_ratio', c, c / {SCALE}.0 FROM w{LOGREG_ITERS}
+  UNION ALL
+  SELECT 'mean_len_10', d, d / {SCALE}.0 FROM w{LOGREG_ITERS}
+  UNION ALL
+  SELECT 'train_acc', acc6, acc6 / {SCALE}.0 FROM acc
+) ORDER BY term
+"""
+    )
+    return "".join(parts)
+
+
+DISTRIBUTED_LOGREG_SQL = _logreg_oracle_sql()

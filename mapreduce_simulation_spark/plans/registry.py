@@ -1850,6 +1850,18 @@ register(
 # Iterative graph analytics in exact fixed-point arithmetic.
 register("pagerank_order_chain", _ext.pagerank_order_chain, _ext.PAGERANK_SQL)
 
+from ..operators import mltrain as _mltrain  # noqa: E402
+
+# Distributed ML training as aggregation (MLlib's GD shape on DataFrames):
+# hard-sigmoid logistic regression, exact scaled-integer arithmetic, the
+# oracle replays the identical recurrence as unrolled CTEs (the PageRank
+# trick extended to training). Round-10 window candidate.
+register(
+    "distributed_logreg_train",
+    _mltrain.distributed_logreg_train,
+    _mltrain.DISTRIBUTED_LOGREG_SQL,
+)
+
 # Fuzzy entity matching: q-gram candidate join + exact edit-distance verify
 # (the exhaustive oracle proves candidate completeness).
 register("fuzzy_name_pairs", text.fuzzy_name_pairs, text.FUZZY_NAME_PAIRS_SQL)

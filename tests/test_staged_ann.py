@@ -222,3 +222,72 @@ def test_narrow_minhash_bands_plan_has_no_exchange(spark):
     )
     assert "Exchange" not in plan
     assert "Generate" in plan  # the band explode is the only wide-ish node
+
+
+# ---------------------------------------------------------------------------
+# Distributed logreg training (operators/mltrain.py)
+# ---------------------------------------------------------------------------
+
+
+def test_logreg_matches_pure_python_replay(spark):
+    """Strongest exactness check: collect the integer features once and
+    replay the full GD recurrence in pure Python ints (arbitrary
+    precision, floor division) — the distributed aggregates must land on
+    the exact same weights and accuracy. A divergence means a division or
+    overflow bug in the SQL arithmetic, independent of the DuckDB oracle."""
+    from mapreduce_simulation_spark.operators import mltrain as M
+
+    feats = [
+        (r.x0, r.x1, r.x2, r.x3, r.y6)
+        for r in M._features(spark, SF_DIR).collect()
+    ]
+    n = len(feats)
+    w = [0, 0, 0, 0]
+    for _ in range(M.LOGREG_ITERS):
+        gs = [0, 0, 0, 0]
+        for x0, x1, x2, x3, y6 in feats:
+            z6 = (w[0] * x0 + w[1] * x1 + w[2] * x2 + w[3] * x3) // M.SCALE
+            s6 = min(max(z6 // 4 + 500000, 0), M.SCALE)
+            for j, xj in enumerate((x0, x1, x2, x3)):
+                gs[j] += (s6 - y6) * xj
+        for j in range(4):
+            w[j] -= M.LOGREG_LR * ((gs[j] // n) // M.SCALE)
+    correct = 0
+    for x0, x1, x2, x3, y6 in feats:
+        z6 = (w[0] * x0 + w[1] * x1 + w[2] * x2 + w[3] * x3) // M.SCALE
+        s6 = min(max(z6 // 4 + 500000, 0), M.SCALE)
+        correct += (s6 >= 500000) == (y6 == M.SCALE)
+    acc6 = (M.SCALE * correct) // n
+
+    got = {
+        r.term: r.value6
+        for r in M.distributed_logreg_train(spark, SF_DIR).collect()
+    }
+    assert got == {
+        "bias": w[0],
+        "tokens_c": w[1],
+        "stop_ratio": w[2],
+        "mean_len_10": w[3],
+        "train_acc": acc6,
+    }
+    # the optimizer must beat the majority class on the learnable label
+    pos = sum(1 for f in feats if f[4] == M.SCALE)
+    majority = max(pos, n - pos) / n
+    assert acc6 / M.SCALE > majority + 0.05
+
+
+def test_floordiv_sql_is_sign_safe(spark, duck):
+    """The shared FLOOR-division construction must floor (not truncate)
+    for negative dividends, identically on both engines and matching
+    Python's //."""
+    from mapreduce_simulation_spark.operators import mltrain as M
+
+    cases = [(-7, 4), (7, 4), (-8, 4), (-1, 1000000), (999999, 4)]
+    for a, b in cases:
+        s = spark.sql(
+            f"SELECT {M._floordiv_spark(str(a), b)} AS q"
+        ).collect()[0].q
+        d = duck.execute(
+            f"SELECT {M._floordiv_duck(str(a), b)} AS q"
+        ).fetchone()[0]
+        assert s == d == a // b, (a, b, s, d, a // b)
