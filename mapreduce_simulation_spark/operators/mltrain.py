@@ -239,3 +239,180 @@ SELECT * FROM (
 
 
 DISTRIBUTED_LOGREG_SQL = _logreg_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means with exact integer arithmetic — the unsupervised
+# member of the exact-iterative family (pagerank = graph, logreg =
+# supervised, this = clustering). MLlib's KMeans shape: the E-step
+# (assignment) is a distributed projection against broadcast centroids,
+# the M-step is one aggregation; the k×dim centroid table is driver-held
+# between iterations (MLlib collects it per iteration too).
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def _quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v): embeddings as 1e-6-scaled longs via FLOOR — floor is
+    unambiguous in both engines, unlike round() whose half-way tie rule
+    differs (HALF_UP vs engine-dependent); float32 → double is exact and
+    ×1e6 stays under 2^53, so the double multiply is the identical IEEE
+    op on both sides and floor lands on the same integer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast(
+                "long"
+            ),
+        ).alias("v"),
+    )
+
+
+def distributed_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Lloyd's: KMEANS_ITERS iterations over the
+    quantized corpus, seeded deterministically with the first KMEANS_K
+    vectors by vec_id (no RNG → reproducible everywhere). Per iteration:
+
+      E-step: vectors are exploded to (vec_id, dim, val) and joined to
+        the BROADCAST (cid, dim, cval) centroid table; per-(vec, cid)
+        squared distances and the per-vec argmin are partial-aggregable
+        max(struct) group-bys — the fixed-IVF assignment shape, entirely
+        inside whole-stage codegen. (A zero-shuffle array-expression
+        formulation — zip_with/aggregate folds under a transform —
+        was measured 6 s/step at sf0.1: higher-order-function lambdas
+        are interpreted, not codegen'd. The exploded shape shuffles
+        k rows per vector after map-side combine and runs ~5× faster;
+        at 100 TB the exchanged volume is k×|corpus| tiny rows, the
+        documented trade.)
+      M-step: one (cid, dim) aggregation over the same exploded frame;
+        new component = FLOOR(sum / count) in driver Python (exact),
+        empty clusters keep their centroid.
+
+    Distances are exact long arithmetic (≤ 64·(2e6)² ≈ 2.6e14 per pair),
+    ties to the smaller cid. Output: (cid, dim, value6, value) — k×dim
+    rows, bit-identical to the DuckDB oracle's unrolled-CTE replay at
+    every SF."""
+    from pyspark.sql.functions import broadcast
+
+    from .caching import persist_tracked, release_tracked
+
+    qe = _quantized_embeddings(spark, sf_dir)
+    dims = persist_tracked(
+        qe.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    )
+    try:
+        seed_rows = (
+            qe.where(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+        )
+        cents: list[list[int]] = [list(r.v) for r in seed_rows]
+        dim = len(cents[0])
+        for _ in range(KMEANS_ITERS):
+            cdf = spark.createDataFrame(
+                [
+                    (cid, d, cents[cid][d])
+                    for cid in range(KMEANS_K)
+                    for d in range(dim)
+                ],
+                "cid int, dim int, cval bigint",
+            )
+            diff = F.col("val") - F.col("cval")
+            assign = (
+                dims.join(broadcast(cdf), "dim")
+                .groupBy("vec_id", "cid")
+                .agg(F.sum(diff * diff).alias("d"))
+                .groupBy("vec_id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            (-F.col("d")).alias("nd"),
+                            (-F.col("cid")).alias("nc"),
+                        )
+                    ).alias("best")
+                )
+                .select("vec_id", (-F.col("best.nc")).alias("cid"))
+            )
+            stats = (
+                dims.join(assign, "vec_id")
+                .groupBy("cid", "dim")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new = [list(c) for c in cents]  # empty clusters keep centroid
+            for r in stats:
+                new[r.cid][r.dim] = int(r.s) // int(r.n)
+            cents = new
+        rows = [
+            (cid, d, cents[cid][d], cents[cid][d] / SCALE)
+            for cid in range(KMEANS_K)
+            for d in range(dim)
+        ]
+    finally:
+        release_tracked()
+    return spark.createDataFrame(
+        rows, "cid int, dim int, value6 bigint, value double"
+    ).orderBy("cid", "dim")
+
+
+def _kmeans_oracle_sql() -> str:
+    """The identical Lloyd's recurrence as unrolled CTEs: assignment by
+    row_number over exact integer distances (ties to the smaller cid),
+    per-dim centroid components by sign-safe floor division, empty
+    clusters inheriting the previous centroid via left join + coalesce.
+    Output dims are rebased to 0 to match posexplode."""
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v FROM e
+       WHERE vec_id < {KMEANS_K})"""
+    ]
+    dist = """list_reduce(
+        list_transform(list_zip(e.v, c.v)::STRUCT(a BIGINT, b BIGINT)[],
+                       p -> (p.a - p.b) * (p.a - p.b)),
+        (acc, x) -> acc + x)"""
+    comp = _floordiv_duck("sum(val)", "count(*)")
+    for t in range(KMEANS_ITERS):
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM e, c{t} c
+  ) WHERE rn = 1
+),
+s{t} AS (
+  SELECT cid, dim, CAST({comp} AS BIGINT) AS comp
+  FROM (SELECT cid, unnest(v) AS val,
+               generate_subscripts(v, 1) AS dim FROM a{t})
+  GROUP BY cid, dim
+),
+c{t + 1} AS (
+  SELECT p.cid, coalesce(n.v, p.v) AS v
+  FROM c{t} p LEFT JOIN (
+    SELECT cid, list(comp ORDER BY dim) AS v FROM s{t} GROUP BY cid
+  ) n ON n.cid = p.cid
+)"""
+        )
+    parts.append(
+        f"""
+SELECT cid, CAST(dim - 1 AS INTEGER) AS dim,
+       val AS value6, val / {SCALE}.0 AS value
+FROM (SELECT cid, unnest(v) AS val,
+             generate_subscripts(v, 1) AS dim FROM c{KMEANS_ITERS})
+ORDER BY cid, dim
+"""
+    )
+    return "".join(parts)
+
+
+DISTRIBUTED_KMEANS_SQL = _kmeans_oracle_sql()

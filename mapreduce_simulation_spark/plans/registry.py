@@ -1861,6 +1861,14 @@ register(
     _mltrain.distributed_logreg_train,
     _mltrain.DISTRIBUTED_LOGREG_SQL,
 )
+# The unsupervised member: exact distributed Lloyd's over the quantized
+# embeddings (E-step = broadcast-codebook projection, M-step = one k×dim
+# aggregation), deterministic seed = first k vectors. Round-10 candidate.
+register(
+    "distributed_kmeans_train",
+    _mltrain.distributed_kmeans_train,
+    _mltrain.DISTRIBUTED_KMEANS_SQL,
+)
 
 # Fuzzy entity matching: q-gram candidate join + exact edit-distance verify
 # (the exhaustive oracle proves candidate completeness).

@@ -291,3 +291,46 @@ def test_floordiv_sql_is_sign_safe(spark, duck):
             f"SELECT {M._floordiv_duck(str(a), b)} AS q"
         ).fetchone()[0]
         assert s == d == a // b, (a, b, s, d, a // b)
+
+
+def test_kmeans_matches_pure_python_replay(spark):
+    """Same discipline as the logreg replay: quantize the embeddings once,
+    run exact Lloyd's in pure Python ints, and require the distributed
+    E/M steps to land on identical centroids."""
+    from mapreduce_simulation_spark.operators import mltrain as M
+
+    vecs = {
+        r.vec_id: list(r.v)
+        for r in M._quantized_embeddings(spark, SF_DIR).collect()
+    }
+    cents = [list(vecs[i]) for i in range(M.KMEANS_K)]
+    dim = len(cents[0])
+    for _ in range(M.KMEANS_ITERS):
+        sums = [[0] * dim for _ in range(M.KMEANS_K)]
+        counts = [0] * M.KMEANS_K
+        for v in vecs.values():
+            best = min(
+                range(M.KMEANS_K),
+                key=lambda c: (
+                    sum((a - b) * (a - b) for a, b in zip(v, cents[c])),
+                    c,
+                ),
+            )
+            counts[best] += 1
+            for d in range(dim):
+                sums[best][d] += v[d]
+        for c in range(M.KMEANS_K):
+            if counts[c]:
+                cents[c] = [sums[c][d] // counts[c] for d in range(dim)]
+    got = {
+        (r.cid, r.dim): r.value6
+        for r in M.distributed_kmeans_train(spark, SF_DIR).collect()
+    }
+    expect = {
+        (c, d): cents[c][d]
+        for c in range(M.KMEANS_K)
+        for d in range(dim)
+    }
+    assert got == expect
+    # the centroids must have moved off the seed vectors (training ran)
+    assert any(cents[c] != list(vecs[c]) for c in range(M.KMEANS_K))
