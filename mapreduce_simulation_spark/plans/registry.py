@@ -1855,7 +1855,7 @@ from ..operators import mltrain as _mltrain  # noqa: E402
 # Distributed ML training as aggregation (MLlib's GD shape on DataFrames):
 # hard-sigmoid logistic regression, exact scaled-integer arithmetic, the
 # oracle replays the identical recurrence as unrolled CTEs (the PageRank
-# trick extended to training). Round-10 window candidate.
+# trick extended to training). Round-10 window candidates (both).
 register(
     "distributed_logreg_train",
     _mltrain.distributed_logreg_train,
