@@ -416,3 +416,131 @@ ORDER BY cid, dim
 
 
 DISTRIBUTED_KMEANS_SQL = _kmeans_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed split finding — the gradient-boosted-tree primitive
+# (LightGBM/XGBoost's histogram method): bin the feature, aggregate one
+# (bin → class counts) histogram distributedly, scan the tiny histogram
+# for the best split. Here with an integer-exact criterion so the whole
+# operator is oracle-checkable bit-for-bit.
+# ---------------------------------------------------------------------------
+
+STUMP_BIN_WIDTH = 4  # token-count bin width; |bins| stays feature-bounded
+
+
+def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single split of the documents corpus on the binned
+    token-count feature against the length label (the logreg label):
+    choose t minimizing the misclassification count
+    err(t) = min(pos_L, neg_L) + min(pos_R, neg_R) over splits
+    "bin <= t", ties to the smallest t.
+
+    Misclassification (not Gini) is the criterion BECAUSE it is pure
+    integer arithmetic: Gini comparisons across candidate splits divide
+    by different (n_L · n_R) products, so exact cross-multiplication has
+    no common denominator — while err(t) compares directly. The
+    distributed shape is exactly the histogram method of production GBDT
+    trainers: ONE corpus-scale aggregation builds the (bin, pos, neg)
+    histogram (map-side combine; shuffle = |bins| rows per partition),
+    then the candidate scan runs over the collected histogram — LightGBM
+    reduces per-feature histograms to a worker and scans serially too;
+    |bins| is bounded by the bin width, not the corpus.
+
+    Output: 6 (term, value) rows — the chosen bin, the side counts, and
+    the training error — bit-identical to the DuckDB oracle, which
+    replays the same scan with window cumulative sums."""
+    from .text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _tokens(F.col("text"))
+    hist = (
+        docs.select(
+            (F.size(ws).cast("long") / STUMP_BIN_WIDTH)
+            .cast("long")
+            .alias("bin"),
+            F.when(F.col("n_chars") >= LABEL_CHARS, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("y"),
+        )
+        .where(F.size(ws) > 0)
+        .groupBy("bin")
+        .agg(
+            F.sum("y").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+        )
+        .orderBy("bin")
+        .collect()
+    )
+    tot_pos = sum(int(r.pos) for r in hist)
+    tot_neg = sum(int(r.neg) for r in hist)
+    best = None  # (err, t, left_n, left_pos)
+    cp = cn = 0
+    for r in hist[:-1]:  # the max bin is no split (right side empty)
+        cp += int(r.pos)
+        cn += int(r.neg)
+        err = min(cp, cn) + min(tot_pos - cp, tot_neg - cn)
+        cand = (err, int(r.bin), cp + cn, cp)
+        if best is None or cand < best:
+            best = cand
+    err, t, left_n, left_pos = best
+    rows = [
+        ("split_bin", t),
+        ("left_n", left_n),
+        ("left_pos", left_pos),
+        ("right_n", tot_pos + tot_neg - left_n),
+        ("right_pos", tot_pos - left_pos),
+        ("train_err", err),
+    ]
+    return spark.createDataFrame(
+        rows, "term string, value bigint"
+    ).orderBy("term")
+
+
+def _stump_oracle_sql() -> str:
+    return rf"""
+WITH raw AS (
+  SELECT n_chars,
+         list_filter(str_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+hist AS (
+  SELECT CAST(len(ws) // {STUMP_BIN_WIDTH} AS BIGINT) AS bin,
+         CAST(sum(CASE WHEN n_chars >= {LABEL_CHARS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN n_chars >= {LABEL_CHARS} THEN 0 ELSE 1 END)
+              AS BIGINT) AS neg
+  FROM raw WHERE len(ws) > 0
+  GROUP BY 1
+),
+tot AS (SELECT sum(pos) AS tp, sum(neg) AS tn FROM hist),
+cand AS (
+  SELECT bin,
+         sum(pos) OVER (ORDER BY bin) AS cp,
+         sum(neg) OVER (ORDER BY bin) AS cn
+  FROM hist
+  QUALIFY bin < (SELECT max(bin) FROM hist)
+),
+scored AS (
+  SELECT bin, cp, cn,
+         least(cp, cn) + least(t.tp - cp, t.tn - cn) AS err
+  FROM cand, tot t
+),
+best AS (
+  SELECT * FROM scored
+  ORDER BY err ASC, bin ASC
+  LIMIT 1
+)
+SELECT * FROM (
+  SELECT 'split_bin' AS term, bin AS value FROM best
+  UNION ALL SELECT 'left_n', cp + cn FROM best
+  UNION ALL SELECT 'left_pos', cp FROM best
+  UNION ALL SELECT 'right_n', (SELECT tp + tn FROM tot) - cp - cn FROM best
+  UNION ALL SELECT 'right_pos', (SELECT tp FROM tot) - cp FROM best
+  UNION ALL SELECT 'train_err', err FROM best
+) ORDER BY term
+"""
+
+
+DECISION_STUMP_SQL = _stump_oracle_sql()

@@ -1869,6 +1869,14 @@ register(
     _mltrain.distributed_kmeans_train,
     _mltrain.DISTRIBUTED_KMEANS_SQL,
 )
+# The tree primitive: histogram-method split finding (LightGBM's shape —
+# one corpus-scale histogram aggregation, driver-side candidate scan)
+# with the integer-exact misclassification criterion. Round-10 candidate.
+register(
+    "decision_stump_split",
+    _mltrain.decision_stump_split,
+    _mltrain.DECISION_STUMP_SQL,
+)
 
 # Fuzzy entity matching: q-gram candidate join + exact edit-distance verify
 # (the exhaustive oracle proves candidate completeness).

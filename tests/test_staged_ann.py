@@ -334,3 +334,49 @@ def test_kmeans_matches_pure_python_replay(spark):
     assert got == expect
     # the centroids must have moved off the seed vectors (training ran)
     assert any(cents[c] != list(vecs[c]) for c in range(M.KMEANS_K))
+
+
+def test_stump_split_is_optimal_by_exhaustive_scan(spark):
+    """Replay split finding exhaustively in Python over the collected
+    per-document (bin, y) pairs: the distributed histogram scan must pick
+    the globally minimal misclassification split with smallest-bin ties,
+    and the reported side counts must be internally consistent."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_simulation_spark.operators import mltrain as M
+    from mapreduce_simulation_spark.operators.text import tokens
+    from mapreduce_simulation_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ws = tokens(F.col("text"))
+    pairs = [
+        (r.b, r.y)
+        for r in docs.select(
+            (F.size(ws).cast("long") / M.STUMP_BIN_WIDTH)
+            .cast("long")
+            .alias("b"),
+            F.when(F.col("n_chars") >= M.LABEL_CHARS, 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .where(F.size(ws) > 0)
+        .collect()
+    ]
+    bins = sorted({b for b, _ in pairs})
+    tp = sum(y for _, y in pairs)
+    tn = len(pairs) - tp
+    best = None
+    for t in bins[:-1]:
+        cp = sum(y for b, y in pairs if b <= t)
+        cn = sum(1 - y for b, y in pairs if b <= t)
+        err = min(cp, cn) + min(tp - cp, tn - cn)
+        cand = (err, t)
+        if best is None or cand < best:
+            best = cand
+    got = {
+        r.term: r.value
+        for r in M.decision_stump_split(spark, SF_DIR).collect()
+    }
+    assert (got["train_err"], got["split_bin"]) == best
+    assert got["left_n"] + got["right_n"] == len(pairs)
+    assert got["left_pos"] + got["right_pos"] == tp
