@@ -544,3 +544,103 @@ SELECT * FROM (
 
 
 DECISION_STUMP_SQL = _stump_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact closed-form OLS — the fourth training shape beside GD (logreg),
+# EM (k-means), and histogram scan (stump): sufficient statistics are ONE
+# distributed aggregation (n, Σx, Σy, Σx², Σxy — map-side combinable
+# int64 sums), the normal-equation solve is exact rational arithmetic on
+# the driver (Python unbounded ints) and HUGEINT in the oracle.
+# ---------------------------------------------------------------------------
+
+
+def exact_ols_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple linear regression of n_chars on the token count, solved
+    exactly: slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²), intercept =
+    (Σy·Σxx − Σx·Σxy) / det, emitted as 1e-6-scaled FLOOR values (and
+    doubles). The five sufficient statistics are raw-integer sums — no
+    scaling needed corpus-side, so the aggregate stays a plain long sum
+    with map-side combine; the numerators × 1e6 exceed int64, which is
+    exactly why the solve lives on the driver (unbounded Python ints) and
+    in HUGEINT on the oracle side. At extreme corpus sizes the int64
+    sufficient statistics themselves would saturate first — the upgrade
+    path is decimal(38,0) sums, same shape.
+
+    n_chars is near-affine in the token count on this corpus (chars ≈
+    tokens·(mean_len+1)), so the fit is also a sanity signal: slope ≈
+    mean token length + 1."""
+    from .text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _tokens(F.col("text"))
+    row = (
+        docs.select(
+            F.size(ws).cast("long").alias("x"),
+            F.col("n_chars").cast("long").alias("y"),
+        )
+        .where(F.col("x") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        .collect()[0]
+    )
+    n, sx, sy, sxx, sxy = (
+        int(row.n), int(row.sx), int(row.sy), int(row.sxx), int(row.sxy)
+    )
+    det = n * sxx - sx * sx
+    slope6 = (SCALE * (n * sxy - sx * sy)) // det
+    intercept6 = (SCALE * (sy * sxx - sx * sxy)) // det
+    rows = [
+        ("slope", slope6, slope6 / SCALE),
+        ("intercept", intercept6, intercept6 / SCALE),
+        ("n", n, float(n)),
+    ]
+    return spark.createDataFrame(
+        rows, "term string, value6 bigint, value double"
+    ).orderBy("term")
+
+
+def _ols_oracle_sql() -> str:
+    # sign-safe floor division in HUGEINT (numerator × 1e6 exceeds int64).
+    # NB: // not / — DuckDB's / on integers is DOUBLE division, and a
+    # ~1e23 hugeint numerator is not exactly representable as a double;
+    # // on the exactly-divisible numerator stays in integer arithmetic.
+    fd = (
+        lambda a, b: f"((({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b}))"
+    )
+    num_s = f"CAST({SCALE} AS HUGEINT) * (n * sxy - sx * sy)"
+    num_i = f"CAST({SCALE} AS HUGEINT) * (sy * sxx - sx * sxy)"
+    det = "(n * sxx - sx * sx)"
+    return rf"""
+WITH raw AS (
+  SELECT CAST(len(list_filter(str_split_regex(lower(text), '\s+'),
+                              w -> w <> '')) AS HUGEINT) AS x,
+         CAST(n_chars AS HUGEINT) AS y
+  FROM documents
+),
+s AS (
+  SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM raw WHERE x > 0
+),
+sol AS (
+  SELECT CAST({fd(num_s, det)} AS BIGINT) AS slope6,
+         CAST({fd(num_i, det)} AS BIGINT) AS intercept6,
+         CAST(n AS BIGINT) AS nn
+  FROM s
+)
+SELECT * FROM (
+  SELECT 'slope' AS term, slope6 AS value6, slope6 / {SCALE}.0 AS value
+    FROM sol
+  UNION ALL SELECT 'intercept', intercept6, intercept6 / {SCALE}.0 FROM sol
+  UNION ALL SELECT 'n', nn, CAST(nn AS DOUBLE) FROM sol
+) ORDER BY term
+"""
+
+
+EXACT_OLS_SQL = _ols_oracle_sql()

@@ -1877,6 +1877,10 @@ register(
     _mltrain.decision_stump_split,
     _mltrain.DECISION_STUMP_SQL,
 )
+# Closed-form member: exact OLS via normal equations — sufficient
+# statistics are one map-side-combinable aggregation, the solve is exact
+# rational arithmetic (driver Python ints / oracle HUGEINT).
+register("exact_ols_train", _mltrain.exact_ols_train, _mltrain.EXACT_OLS_SQL)
 
 # Fuzzy entity matching: q-gram candidate join + exact edit-distance verify
 # (the exhaustive oracle proves candidate completeness).

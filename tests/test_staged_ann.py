@@ -380,3 +380,46 @@ def test_stump_split_is_optimal_by_exhaustive_scan(spark):
     assert (got["train_err"], got["split_bin"]) == best
     assert got["left_n"] + got["right_n"] == len(pairs)
     assert got["left_pos"] + got["right_pos"] == tp
+
+
+def test_exact_ols_matches_fraction_solve(spark):
+    """Exact-rational independent check: solve the normal equations with
+    Python Fractions over the collected (x, y) pairs — the distributed
+    sufficient-statistics solve must land on the identical floor-scaled
+    coefficients, and the slope must be positive (chars grow with
+    tokens)."""
+    from fractions import Fraction
+
+    import pyspark.sql.functions as F
+
+    from mapreduce_simulation_spark.operators import mltrain as M
+    from mapreduce_simulation_spark.operators.text import tokens
+    from mapreduce_simulation_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = [
+        (r.x, r.y)
+        for r in docs.select(
+            F.size(tokens(F.col("text"))).cast("long").alias("x"),
+            F.col("n_chars").cast("long").alias("y"),
+        )
+        .where(F.col("x") > 0)
+        .collect()
+    ]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    slope = Fraction(n * sxy - sx * sy, n * sxx - sx * sx)
+    intercept = Fraction(sy * sxx - sx * sxy, n * sxx - sx * sx)
+    got = {
+        r.term: r.value6
+        for r in M.exact_ols_train(spark, SF_DIR).collect()
+    }
+    import math
+
+    assert got["slope"] == math.floor(slope * M.SCALE)
+    assert got["intercept"] == math.floor(intercept * M.SCALE)
+    assert got["n"] == n
+    assert got["slope"] > 0
