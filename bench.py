@@ -88,6 +88,17 @@ EXTENDED = [
     "cdc_chunking",
 ]
 
+# Round-9 additions tracked as their OWN group so the cross-round
+# headline/extended totals keep comparing identical query sets: the
+# streaming ingestion dedup gate and the four exact training shapes.
+TRAINING = [
+    "streaming_minhash_dedup",
+    "distributed_logreg_train",
+    "distributed_kmeans_train",
+    "decision_stump_split",
+    "exact_ols_train",
+]
+
 
 def _cpu_calibration() -> float:
     """Fixed single-thread Python loop — a host-speed yardstick recorded
@@ -219,6 +230,7 @@ def main() -> None:
     # regression in r6 on one sample), and one-time layout steps (the DPP
     # staging write) otherwise dominate the recorded number.
     extended = run(EXTENDED, repeats=3)
+    training = run(TRAINING, repeats=3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -238,6 +250,9 @@ def main() -> None:
         "n_expected": len([n for n in HEADLINE if n in qs]),
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
+        # separate group (r9+): totals above stay set-identical to r8
+        "training": training,
+        "training_total": round(sum(training.values()), 3),
         "cpu_calib_sec": cpu_calib,
         "spark_calib_sec": spark_calib,
         # PRIMARY cross-round comparison metric (see README "Benchmark"):
