@@ -423,3 +423,32 @@ def test_exact_ols_matches_fraction_solve(spark):
     assert got["intercept"] == math.floor(intercept * M.SCALE)
     assert got["n"] == n
     assert got["slope"] > 0
+
+
+def test_floordiv_sql_bulk_randomized(spark, duck):
+    """Bulk randomized check of the shared floor-division construction —
+    it underpins every exact-training recurrence, so verify it against
+    Python // over a wide seeded sample of magnitudes and signs in ONE
+    evaluation per engine (per-case roundtrips would be too slow)."""
+    import random
+
+    rng = random.Random(20260815)
+    cases = [
+        (rng.randint(-10**15, 10**15), rng.choice([1, 2, 3, 4, 7, 10**6]))
+        for _ in range(300)
+    ]
+    from mapreduce_simulation_spark.operators import mltrain as M
+
+    values = ", ".join(f"({a}, {b}, {i})" for i, (a, b) in enumerate(cases))
+    srows = spark.sql(
+        f"SELECT i, {M._floordiv_spark('CAST(a AS BIGINT)', 'b')} AS q "
+        f"FROM VALUES {values} AS t(a, b, i)"
+    ).collect()
+    got_s = {r.i: r.q for r in srows}
+    drows = duck.execute(
+        f"SELECT i, {M._floordiv_duck('CAST(a AS BIGINT)', 'b')} AS q "
+        f"FROM (VALUES {values}) t(a, b, i)"
+    ).fetchall()
+    got_d = {i: q for i, q in drows}
+    for i, (a, b) in enumerate(cases):
+        assert got_s[i] == got_d[i] == a // b, (a, b)
