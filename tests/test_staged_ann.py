@@ -452,3 +452,31 @@ def test_floordiv_sql_bulk_randomized(spark, duck):
     got_d = {i: q for i, q in drows}
     for i, (a, b) in enumerate(cases):
         assert got_s[i] == got_d[i] == a // b, (a, b)
+
+
+def test_registry_tier_census():
+    """Every registry entry must carry a check: an exact oracle in the
+    main registry, or a bounded/recall/sketch spec. The no-oracle set is
+    frozen — adding a query without any checkable contract (a true
+    rows-only entry) should be a deliberate, reviewed decision that
+    updates this census."""
+    from mapreduce_simulation_spark.plans.registry import (
+        _REGISTRY,
+        bounded_oracles,
+        recall_oracles,
+        sketch_oracles,
+    )
+
+    no_oracle = {k for k, v in _REGISTRY.items() if v[1] is None}
+    tiered = (
+        set(bounded_oracles()) | set(recall_oracles()) | set(sketch_oracles())
+    )
+    assert no_oracle == tiered == {
+        "similarity_ivf_trained_topk",
+        "similarity_topk_pandas",
+        "events_daily_approx",
+        "heavy_hitters_sketch",
+        "similarity_pq_topk",
+        "hll_monthly_users",
+    }
+    assert len(_REGISTRY) >= 197
