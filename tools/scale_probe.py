@@ -1,0 +1,132 @@
+"""Measured scale-up probe: replicate the sf0.1 documents corpus N×
+(with shifted doc_ids and a per-copy marker token so copies are distinct
+documents, not byte-dups) into a temp directory, then time a set of
+corpus-scale queries and staged-index builds at sf0.1 AND at N× — the
+empirical answer to "would this hold at the next order of magnitude",
+one scale decade at a time.
+
+The driver's fixed testdata tops out at sf0.1; this synthesizes the next
+decade from it rather than trusting extrapolation. Queries are timed
+through the same noop-sink forcing bench.py uses. Only document-table
+queries are probed (the embeddings tables' ANN query-set semantics pin
+vec_id ranges, so replication would change the operators' meaning, not
+just their scale).
+
+Usage: python tools/scale_probe.py [N]    (default N=10)
+Prints per-query seconds at both scales + the ratio, and one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+BASE = "/root/testdata/sf0.1"
+
+PROBES = [
+    # scan/agg + text analysis
+    "word_count",
+    "text_stats",
+    "gopher_quality_rules",
+    # staged-artifact consumers (tokdocs, tf index, LM)
+    "bm25_topk",
+    "ccnet_perplexity_buckets",
+    "lm_perplexity_score",
+    "dsir_importance",
+    # dedup: exact (hash groupBy) and the banded LSH path. Replication
+    # makes every copy-group a near-dup clique, so the LSH pair count
+    # grows ~N²/2 per original document — that IS the dedup workload's
+    # scaling law for duplicated corpora; report it, don't hide it.
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    # training shapes (one aggregate per iteration — should scale ~N)
+    "distributed_logreg_train",
+    "decision_stump_split",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as e
+    from mapreduce_simulation_spark.operators.caching import release_tracked
+    from mapreduce_simulation_spark.session import build_session
+    from mapreduce_simulation_spark.staging import staging_dir
+    from mapreduce_simulation_spark.tables import load_table
+
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = build_session("scale-probe")
+    qs = e.queries()
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, BASE, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    big_dir = staging_dir("scaleprobe_")
+    parts = []
+    for k in range(n_copies):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * max_id)).alias("doc_id"),
+                # distinct marker token per copy: copies are near-dups
+                # (high jaccard), not byte-identical rows — the honest
+                # shape of a replicated web crawl
+                F.concat(F.lit(f"copy{k} "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + F.lit(len(f"copy{k} "))).alias(
+                    "n_chars"
+                ),
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    os.makedirs(f"{big_dir}/d", exist_ok=True)
+    big.repartition(32).write.mode("overwrite").parquet(
+        f"{big_dir}/d/documents.parquet"
+    )
+    # the probed queries read only the documents table; symlink the rest
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings".split()
+    ):
+        os.symlink(f"{BASE}/{t}.parquet", f"{big_dir}/d/{t}.parquet")
+    big_sf = f"{big_dir}/d"
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm the session on the base dir
+    force(qs["word_count"](spark, BASE))
+
+    results = []
+    for name in PROBES:
+        row = {"query": name}
+        for label, sf in (("base", BASE), ("big", big_sf)):
+            t0 = time.perf_counter()
+            try:
+                force(qs[name](spark, sf))
+                row[label] = round(time.perf_counter() - t0, 2)
+            except Exception as ex:  # noqa: BLE001
+                row[label] = None
+                row["error"] = str(ex)[:120]
+            finally:
+                release_tracked()
+        if row.get("base") and row.get("big"):
+            row["ratio"] = round(row["big"] / row["base"], 1)
+        results.append(row)
+        print(
+            f"{name:28s} base {row.get('base')}s  "
+            f"x{n_copies} {row.get('big')}s  ratio {row.get('ratio')}"
+        )
+    print(json.dumps({"n_copies": n_copies, "probes": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
