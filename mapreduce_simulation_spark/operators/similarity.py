@@ -994,7 +994,14 @@ ORDER BY p.anchor_id
 PQ_SUBSPACES = 8
 PQ_SUBDIM = EMBED_DIM // PQ_SUBSPACES
 PQ_CODEBOOK = 16
-PQ_REFINE = 8  # re-rank the top K×PQ_REFINE approx candidates exactly
+# Re-rank the top K×PQ_REFINE approx candidates exactly. 16 (r9, was 8):
+# the sf0.001 per-group sweep caught one query point with ZERO true hits
+# at 8× — ADC ordering at a degenerate corpus size can push a true
+# neighbor past rank 40. 16× gives ≥2 true hits per query at every SF
+# (pooled 0.62/0.84/0.86 at sf0.1/0.01/0.001) and the refine step stays a
+# K×16-candidate semi-join — still touching 80 full vectors per query, a
+# rounding error beside the encoded scan it filters.
+PQ_REFINE = 16
 
 
 def _staged_pq_index(

@@ -324,9 +324,11 @@ RECALL_ORACLES: dict[str, dict] = {
         "group_cols": ["query_id"],
         "id_col": "neighbor_id",
         "score_col": "cosine",  # overlapping hits must agree bitwise
-        # floor from test_pq_topk_recall_floor: measured 0.46 at sf0.001
-        # (seeded k-means → deterministic); asserted ≥ 0.35 there too
-        "min_recall": 0.35,
+        # floors from test_pq_topk_recall_floor: measured pooled
+        # 0.86/0.84/0.62 at sf0.001/0.01/0.1 with 16× refinement (r9),
+        # ≥2 true hits per query at every SF
+        "min_recall": 0.5,
+        "min_group_recall": 0.2,
     },
     "similarity_ivf_trained_topk": {
         # Exact search space matches ivf_trained_topk: queries are

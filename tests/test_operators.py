@@ -548,9 +548,10 @@ def test_pq_topk_recall_floor(spark, sf_dir):
     """Product-quantization ANN: full top-k shape per query, every
     returned cosine is the EXACT score (refinement re-ranks with the true
     fold, so overlapping hits agree with brute force to the bit), and the
-    recall floor holds — measured 0.52/0.72/0.52 at sf0.001/0.01/0.1 with
+    recall floor holds — measured 0.86/0.84/0.62 at sf0.001/0.01/0.1 with
     8×16 staged codebooks (driver-side seeded k-means over a capped
-    sample, r9) and 8× refinement; deterministic per corpus.
+    sample, r9) and 16× refinement (raised from 8× after the sf0.001
+    per-group sweep caught a zero-hit query); deterministic per corpus.
     tools/verify_local.py checks the same contract against the exact
     DuckDB oracle per sweep (status recall_ok)."""
     bf = {
@@ -564,7 +565,7 @@ def test_pq_topk_recall_floor(spark, sf_dir):
             assert abs(r.cosine - bf[(r.query_id, r.neighbor_id)]) < 1e-9
     hits = sum(1 for r in rows if (r.query_id, r.neighbor_id) in bf)
     recall = hits / len(bf)
-    assert recall >= 0.35, f"PQ recall {recall:.2f} below floor"
+    assert recall >= 0.5, f"PQ recall {recall:.2f} below floor"
 
 
 def test_hll_monthly_users_error_bound(spark, sf_dir):
