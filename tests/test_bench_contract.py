@@ -1,0 +1,58 @@
+"""Bench output contract: the driver records only the last ~2000 chars of
+stdout, so bench.py's FINAL printed line must be a self-contained JSON
+summary comfortably inside that budget (round 9 regression: the single
+full-detail line outgrew the tail and BENCH_r09 recorded parsed: null).
+"""
+
+import json
+
+import bench
+
+
+def _worst_case_result() -> dict:
+    # Pessimistic field widths: every headline query present with a
+    # 4-digit-seconds timing, errors populated, large totals.
+    queries = {name: 9999.999 for name in bench.HEADLINE}
+    return {
+        "metric": "headline_queries_total",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "n_ok": len(queries),
+        "n_expected": len(queries),
+        "extended": {f"extended_query_{i}": 9999.999 for i in range(200)},
+        "extended_total": 99999.999,
+        "training": {name: 9999.999 for name in bench.TRAINING},
+        "training_total": 99999.999,
+        "cpu_calib_sec": 99.999,
+        "spark_calib_sec": 99.999,
+        "calib_normalized_total": 9999.99,
+        "calib_normalized_extended": 9999.99,
+        "primary_comparison_metric": "calib_normalized_total",
+        "per_query_stat": "median_of_3",
+        "cold_first_run": {f"q{i}": 9999.999 for i in range(200)},
+        "errors": {f"q{i}": "x" * 200 for i in range(50)},
+    }
+
+
+def test_summary_line_fits_driver_tail():
+    line = json.dumps(bench.summarize(_worst_case_result()))
+    assert len(line) < 1800, len(line)
+
+
+def test_summary_is_self_contained_json_with_required_fields():
+    summary = bench.summarize(_worst_case_result())
+    round_trip = json.loads(json.dumps(summary))
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in round_trip
+    # Big maps must NOT leak into the tail line.
+    for key in ("extended", "training", "cold_first_run", "errors"):
+        assert key not in round_trip
+    assert round_trip["n_errors"] == 50
+
+
+def test_summary_omits_missing_optional_fields():
+    summary = bench.summarize({"metric": "m", "value": 1, "unit": "sec"})
+    assert "n_errors" not in summary
+    assert summary["metric"] == "m"
