@@ -11,6 +11,38 @@ from mapreduce_simulation_spark.streaming import events as sev
 from mapreduce_simulation_spark.tables import load_table
 
 
+def _force_mtime_after(src_dir: str, earlier_files: set[str]) -> None:
+    """FileStreamSource orders micro-batches by file modification time; a
+    file appended moments after the first write can land on the SAME
+    coarse-granularity mtime, making batch order undefined. Stamp every
+    data file NOT in ``earlier_files`` strictly past the earlier batch's
+    newest mtime so trigger order is deterministic."""
+    import os
+
+    names = [
+        f
+        for f in os.listdir(src_dir)
+        if not f.startswith((".", "_")) and not f.endswith(".crc")
+    ]
+    earlier = [f for f in names if f in earlier_files]
+    later = [f for f in names if f not in earlier_files]
+    assert earlier and later, (earlier, later)
+    base = max(os.path.getmtime(os.path.join(src_dir, f)) for f in earlier)
+    for f in later:
+        t = base + 10
+        os.utime(os.path.join(src_dir, f), (t, t))
+
+
+def _data_files(src_dir: str) -> set[str]:
+    import os
+
+    return {
+        f
+        for f in os.listdir(src_dir)
+        if not f.startswith((".", "_")) and not f.endswith(".crc")
+    }
+
+
 @pytest.fixture(scope="module")
 def event_files(spark, sf_dir, tmp_path_factory):
     """Events re-written as µs-timestamp parquet split into several files —
@@ -412,15 +444,12 @@ def test_stream_stream_left_outer_join_emits_unmatched(
     far-future sentinel batch (one click + one purchase) advances the
     watermark past every real event, so the emitted set equals the batch
     left-outer join over the real data."""
-    import os
-    import time
-
     stage = str(tmp_path / "outer_join_events")
     real = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
     )
     real.coalesce(1).write.mode("overwrite").parquet(stage)
-    time.sleep(1.1)
+    first = _data_files(stage)
     far = real.agg(
         F.max("ts").alias("m"), F.max("event_id").alias("e")
     ).collect()[0]
@@ -440,12 +469,7 @@ def test_stream_stream_left_outer_join_emits_unmatched(
     )
     sentinel.coalesce(1).write.mode("append").parquet(stage)
     # file-source batch order = modification time: make the sentinel newest
-    paths = sorted(
-        (os.path.getmtime(os.path.join(stage, f)), f)
-        for f in os.listdir(stage)
-        if f.endswith(".parquet")
-    )
-    assert len(paths) == 2
+    _force_mtime_after(stage, first)
 
     ev = sev.read_event_stream(spark, stage, max_files_per_trigger=1)
     clicks = ev.where(F.col("event_type") == "click")
@@ -946,8 +970,10 @@ def test_minhash_gate_carries_state_across_batches(spark, tmp_path):
     )
     src = str(tmp_path / "gate_src")
     batch1.coalesce(1).write.mode("overwrite").parquet(src)
-    # second file appended after the first so trigger order is by mod time
+    first = _data_files(src)
     batch2.coalesce(1).write.mode("append").parquet(src)
+    # trigger order is by mod time — force batch2 strictly after batch1
+    _force_mtime_after(src, first)
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -973,3 +999,50 @@ def test_minhash_gate_carries_state_across_batches(spark, tmp_path):
     assert got[10] == 0  # bucket minima — never flagged
     assert got[20] == 0 and got[40] == 0  # no shared buckets
     assert got[30] == 8  # identical text → all 8 bands hit batch-1 state
+
+
+def test_minhash_gate_occupied_bucket_flags_lower_id(spark, tmp_path):
+    """Occupancy semantics: a LOWER doc_id arriving in a later micro-batch
+    into an occupied bucket is still flagged dup — the first kept doc owns
+    the bucket. A cross-batch min-id rule would emit both the earlier kept
+    doc (immutable in append mode) and the later lower-id doc as dup=0,
+    so a keep-if-not-dup consumer would retain two near-duplicates."""
+    from mapreduce_simulation_spark.streaming.stateful import (
+        minhash_dedup_gate,
+    )
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    batch1 = spark.createDataFrame(
+        [(50, dup_text)], "doc_id bigint, text string"
+    )
+    batch2 = spark.createDataFrame(
+        [(10, dup_text)], "doc_id bigint, text string"
+    )
+    src = str(tmp_path / "gate_src_lowid")
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+    first = _data_files(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    _force_mtime_after(src, first)
+
+    q = (
+        minhash_dedup_gate(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("gate_lowid")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table("gate_lowid")
+        .groupBy("doc_id")
+        .agg(F.sum("dup").alias("dup_bands"))
+        .collect()
+    )
+    got = {r.doc_id: r.dup_bands for r in out}
+    assert got[50] == 0  # first occupant keeps the bucket
+    assert got[10] == 8  # later lower id flagged in every shared band
