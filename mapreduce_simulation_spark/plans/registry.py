@@ -52,8 +52,70 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # entries would downgrade their slot to the driver's weaker rows-only
 # check and get their stronger checks locally anyway.
 _PROMOTE = (
-    # ---- round-9 window: 50 first-time names (none has a CORRECTNESS
-    # row in r1-r8; all sweep-green in VERIFYLOCAL_r8) ----
+    # ---- round-10 window: the 45 exact-oracle names that have NEVER had
+    # a driver CORRECTNESS row (union of r1-r9 greens computed against the
+    # full registry; excludes the env-gated stateful_user_rollup_tws, kept
+    # pinned behind the window) plus 5 back-fill greens last checked in
+    # round 1 (the stalest driver evidence in the registry) ----
+    # round-9 additions (first driver exposure)
+    "streaming_minhash_dedup",   # streaming LSH ingestion dedup gate
+    "distributed_logreg_train",  # GD as one aggregate per iteration
+    "distributed_kmeans_train",  # EM (Lloyd's) as exploded-join argmin
+    "decision_stump_split",      # histogram-scan split finding
+    "exact_ols_train",           # closed-form normal equations
+    # relational / TPC-H-adjacent shapes
+    "above_avg_orders",          # correlated scalar-subquery filter
+    "exists_returned_orders",    # EXISTS semi-join shape
+    "large_quantity_orders",     # HAVING on grouped sum (Q18 shape)
+    "important_parts",           # IN-subquery with aggregate threshold
+    "min_cost_supplier",         # per-group argmin join-back (Q2 shape)
+    "max_revenue_supplier",      # per-group argmax with view CTE (Q15)
+    "market_share",              # two-level agg ratio (Q8 shape)
+    "profit_by_nation_year",     # multi-join profit rollup (Q9 shape)
+    "volume_shipping",           # cross-nation volume matrix (Q7 shape)
+    "promo_revenue_ratio",       # conditional-sum ratio (Q14 shape)
+    "idle_high_balance_customers",  # NOT EXISTS + avg-threshold (Q22)
+    # window / sequence analytics
+    "moving_avg_orders",         # row-frame moving average
+    "trailing_window_revenue",   # range-frame trailing window
+    "order_gap_days",            # lag-based gap analysis
+    "customer_balance_ntiles",   # global ntile banding
+    "event_peak_concurrency",    # interval sweep-line max overlap
+    "price_trend_by_nation",     # per-group OLS slope via window stats
+    # aggregation / profiling
+    "quantiles_summary",         # exact multi-quantile summary
+    "priority_conditional_agg",  # FILTER-clause conditional aggregates
+    "stats_correlation",         # corr/covar/stddev battery
+    "table_profile_orders",      # per-column null/distinct/minmax profile
+    "table_checksum",            # order-insensitive whole-table checksum
+    "balance_distribution",      # width_bucket balance histogram
+    "price_histogram",           # equi-width price histogram
+    "key_skew_profile",          # per-key skew stats (top heavy keys)
+    "skewed_distinct_users",     # high-cardinality distinct under skew
+    "referential_audit",         # FK orphan audit across tables
+    "priority_transition_matrix",  # Markov transition counts
+    # semi-structured / json
+    "json_props_extract",        # JSON path extraction
+    "props_map_explode",         # map explode + pivot on props
+    # set ops / sampling / layout
+    "intersect_segments",        # INTERSECT on derived segments
+    "observed_quality_gate",     # quality-rule gate with observed stats
+    "zorder_layout",             # interleaved-bit z-order layout key
+    "dynamic_partition_pruning",  # DPP-shaped star filter join
+    "salted_supplier_revenue",   # skew-salted two-phase aggregate
+    # text / retrieval / graph
+    "cms_word_freq",             # count-min sketch (seeded, exact twin)
+    "fuzzy_name_pairs",          # edit-distance blocked self-join
+    "association_rules",         # co-occurrence lift/confidence rules
+    "embedding_label_stats",     # per-label embedding norm stats
+    "nation_top_customer_lists",  # per-group collect_list top-k
+    # back-fill: greens last driver-checked in ROUND 1 (stalest evidence)
+    "media_frame_sample",        # multimodal frame sampling
+    "media_metadata",            # multimodal metadata projection
+    "media_resize",              # multimodal resize plumbing
+    "stateful_user_rollup",      # applyInPandasWithState rollup
+    "streaming_click_attribution",  # stream-stream inner join
+    # ---- history: the round-9 window, all 50 driver-green in r9 ----
     # sources / formats
     "csv_source_revenue",        # CSV source (schema'd read)
     "csv_bad_records",           # CSV PERMISSIVE corrupt-record capture
@@ -161,23 +223,15 @@ _PROMOTE = (
     "rfm_segmentation",           # distributed-ntile RFM segmentation
     "schema_evolution_union",     # schema-evolution union (mergeSchema)
 )
-# Round-10 rotation candidates (the 40 oracle-exact entries that will
-# STILL have no driver row after round 9 — promote them all next round):
-# above_avg_orders, association_rules, balance_distribution, cms_word_freq,
-# customer_balance_ntiles, dynamic_partition_pruning, embedding_label_stats,
-# event_peak_concurrency, exists_returned_orders, fuzzy_name_pairs,
-# idle_high_balance_customers, important_parts, intersect_segments,
-# json_props_extract, key_skew_profile, large_quantity_orders, market_share,
-# max_revenue_supplier, min_cost_supplier, moving_avg_orders,
-# nation_top_customer_lists, observed_quality_gate, order_gap_days,
-# price_histogram, price_trend_by_nation, priority_conditional_agg,
-# priority_transition_matrix, profit_by_nation_year, promo_revenue_ratio,
-# props_map_explode, quantiles_summary, referential_audit,
-# salted_supplier_revenue, skewed_distinct_users, stats_correlation,
-# table_checksum, table_profile_orders, trailing_window_revenue,
-# volume_shipping, zorder_layout — plus streaming_minhash_dedup (new in
-# r9, exact oracle, sweep-green at both SFs) and the remaining slots
-# back-filled from the least-recently-driver-checked greens.
+# Round-10 rotation APPLIED above: all 45 exact-oracle never-driver-checked
+# names are now in the window, so after round 10 the cumulative driver-green
+# union should reach ~190/197. The permanent residue (never driver-HASHABLE)
+# is the six no-oracle entries — similarity_topk_pandas, events_daily_approx,
+# heavy_hitters_sketch, similarity_pq_topk, hll_monthly_users,
+# similarity_ivf_trained_topk (each carries a bounded/recall/containment
+# oracle in tools/verify_local.py instead; see PLANS.md "driver-evidence
+# endgame" table) — plus stateful_user_rollup_tws (env-gated on protobuf,
+# pinned behind the window so its position never depends on the driver env).
 _DEMOTE = (
     # round-8 demotions: r4/r6/r7 driver-green single-mechanism rows whose
     # families keep stronger representatives in the window (each remains

@@ -113,57 +113,57 @@ def test_loaded_schema_matches_contract(spark, sf_dir, table):
 # registry._PROMOTE/_DEMOTE) must update this list deliberately.
 # ---------------------------------------------------------------------------
 
-DRIVER_WINDOW_R9 = [
-    "csv_source_revenue",
-    "csv_bad_records",
-    "json_source_segments",
-    "orc_source_parts",
-    "binary_file_source",
-    "metadata_agg_pushdown",
-    "variant_props_extract",
-    "media_decode",
-    "media_dedup",
-    "media_ahash_near_dup",
-    "streaming_sessions",
-    "streaming_events_sliding",
-    "streaming_dedup_within_watermark",
-    "streaming_static_enrichment",
-    "streaming_attribution_outer",
-    "streaming_events_hourly_append",
-    "pandas_api_priority_stats",
-    "pandas_group_rank",
-    "pandas_scalar_digit_stats",
-    "embedding_argmax_arrow",
-    "merge_upsert_orders",
-    "scd2_point_in_time",
-    "scd2_priority_history",
-    "snapshot_diff",
-    "deterministic_sample",
-    "domain_cap_sample",
-    "pps_sample",
-    "temperature_sample",
-    "percentile_trim",
-    "bigram_lm_counts",
-    "bigram_perplexity",
-    "vocab_encode",
-    "chunk_for_training",
-    "contrastive_triples",
-    "pii_scrub",
-    "pseudonymize_customers",
-    "dedup_canonical",
-    "incremental_dedup",
-    "co_purchase_pairs",
-    "triangle_count_nations",
-    "funnel_conversion",
-    "cohort_retention",
-    "cube_revenue",
-    "pivot_revenue_by_status",
-    "unpivot_revenue",
-    "lateral_top_suppliers",
-    "range_join_promos",
-    "exact_global_percentiles",
-    "ewma_daily_revenue",
-    "densify_daily_revenue",
+DRIVER_WINDOW_R10 = [
+    "streaming_minhash_dedup",
+    "distributed_logreg_train",
+    "distributed_kmeans_train",
+    "decision_stump_split",
+    "exact_ols_train",
+    "above_avg_orders",
+    "exists_returned_orders",
+    "large_quantity_orders",
+    "important_parts",
+    "min_cost_supplier",
+    "max_revenue_supplier",
+    "market_share",
+    "profit_by_nation_year",
+    "volume_shipping",
+    "promo_revenue_ratio",
+    "idle_high_balance_customers",
+    "moving_avg_orders",
+    "trailing_window_revenue",
+    "order_gap_days",
+    "customer_balance_ntiles",
+    "event_peak_concurrency",
+    "price_trend_by_nation",
+    "quantiles_summary",
+    "priority_conditional_agg",
+    "stats_correlation",
+    "table_profile_orders",
+    "table_checksum",
+    "balance_distribution",
+    "price_histogram",
+    "key_skew_profile",
+    "skewed_distinct_users",
+    "referential_audit",
+    "priority_transition_matrix",
+    "json_props_extract",
+    "props_map_explode",
+    "intersect_segments",
+    "observed_quality_gate",
+    "zorder_layout",
+    "dynamic_partition_pruning",
+    "salted_supplier_revenue",
+    "cms_word_freq",
+    "fuzzy_name_pairs",
+    "association_rules",
+    "embedding_label_stats",
+    "nation_top_customer_lists",
+    "media_frame_sample",
+    "media_metadata",
+    "media_resize",
+    "stateful_user_rollup",
+    "streaming_click_attribution",
 ]
 
 
@@ -171,11 +171,11 @@ def test_driver_hash_window_is_frozen():
     from mapreduce_simulation_spark.plans import registry
 
     got = list(registry.queries())[:50]
-    assert got == DRIVER_WINDOW_R9, (
+    assert got == DRIVER_WINDOW_R10, (
         "the driver's first-50 hash window shifted — if this is an intended "
-        "promotion/demotion, update DRIVER_WINDOW_R9; otherwise find the "
+        "promotion/demotion, update DRIVER_WINDOW_R10; otherwise find the "
         "import/registration reorder that moved it.\n"
-        f"got:  {got}\nwant: {DRIVER_WINDOW_R9}"
+        f"got:  {got}\nwant: {DRIVER_WINDOW_R10}"
     )
 
 
@@ -183,7 +183,7 @@ def test_driver_window_queries_all_have_oracles():
     from mapreduce_simulation_spark.plans import registry
 
     oracles = registry.oracle_sql()
-    missing = [n for n in DRIVER_WINDOW_R9 if n not in oracles]
+    missing = [n for n in DRIVER_WINDOW_R10 if n not in oracles]
     assert missing == [], (
         f"driver-window queries without an exact oracle: {missing} — the "
         "gate would fall back to the weaker rows-only check"
