@@ -484,6 +484,12 @@ def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = (err, int(r.bin), cp + cn, cp)
         if best is None or cand < best:
             best = cand
+    if best is None:
+        # Degenerate corpus: every doc falls in one token-count bin, so
+        # there is no candidate split. The oracle's QUALIFY filters every
+        # row for the same input, so the matched deliberate output is an
+        # EMPTY result with the contract schema (not a TypeError).
+        return spark.createDataFrame([], "term string, value bigint")
     err, t, left_n, left_pos = best
     rows = [
         ("split_bin", t),

@@ -695,8 +695,15 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _corpus_with_norm(spark, sf_dir)
     cents = _staged_trained_centroids(spark, sf_dir)
+    # TRAIN_CAP folded into the variant so the assignment can never pair
+    # with a codebook trained under a different cap if staging ever
+    # outlives the process (the codebook key includes it too).
     assign = _staged_ivf_assign(
-        spark, sf_dir, corpus, cents, variant=f"trained_k{N_CENTROIDS}s42_v2"
+        spark,
+        sf_dir,
+        corpus,
+        cents,
+        variant=f"trained_k{N_CENTROIDS}s42cap{TRAIN_CAP}_v2",
     )
     return _ivf_search(
         corpus, cents, assign=assign, n_probe=N_PROBE_TRAINED

@@ -382,6 +382,26 @@ def test_stump_split_is_optimal_by_exhaustive_scan(spark):
     assert got["left_pos"] + got["right_pos"] == tp
 
 
+def test_stump_split_single_bin_corpus_returns_empty(spark, tmp_path):
+    """Degenerate corpus — every document lands in one token-count bin, so
+    no candidate split exists. The DuckDB oracle's QUALIFY filters every
+    row for this input; the Spark side must return the matched EMPTY
+    result with the contract schema, not unpack best=None (TypeError)."""
+    from mapreduce_simulation_spark.operators import mltrain as M
+
+    sf = str(tmp_path / "sf_onebin")
+    # 3 docs, all with exactly STUMP_BIN_WIDTH-1 tokens → same bin.
+    txt = " ".join(["tok"] * (M.STUMP_BIN_WIDTH - 1))
+    spark.createDataFrame(
+        [(i, txt, "en", "web", len(txt)) for i in range(3)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.mode("overwrite").parquet(sf + "/documents.parquet")
+    out = M.decision_stump_split(spark, sf)
+    assert out.schema.simpleString() == "struct<term:string,value:bigint>"
+    assert out.count() == 0
+
+
 def test_exact_ols_matches_fraction_solve(spark):
     """Exact-rational independent check: solve the normal equations with
     Python Fractions over the collected (x, y) pairs — the distributed
