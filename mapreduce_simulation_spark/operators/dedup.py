@@ -762,6 +762,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # best, because without exchanges there is nothing for AQE to reuse
     # and the interpreted hash pipeline re-runs once per subtree branch.
     # The exchanges below double as shared materialization points.)
+    return _minhash_verified_pairs(sh, sig)
+
+
+def _minhash_verified_pairs(sh: DataFrame, sig: DataFrame) -> DataFrame:
+    """Banded candidate generation + exact-jaccard verification over an
+    arbitrary (shingles, signatures) corpus slice — the shared core of
+    dedup_minhash_lsh (full corpus) and gated_dedup_pipeline (gate-kept
+    subset)."""
     bands = F.array(
         *[
             F.struct(
@@ -894,6 +902,88 @@ ORDER BY doc_id
 
 
 STREAMING_MINHASH_GATE_SQL = _minhash_gate_oracle_sql()
+
+
+def _gated_pipeline_oracle_sql() -> str:
+    """Oracle for streaming.stateful.gated_dedup_pipeline: the gate verdict
+    CTEs (signature-value band keys, lower-id occupancy) compute the
+    flagged set; the batch CTEs (candidates → exact jaccard) compute
+    verified pairs once over the full corpus, and the kept-set residual is
+    the same verified relation restricted to pairs whose BOTH endpoints
+    survived the gate — equivalent to re-running the batch dedup on the
+    kept slice, because dropping documents changes neither the surviving
+    docs' shingles nor their band keys."""
+    n = len(H.MINHASH_PERMS)
+    min_exprs = ",\n    ".join(
+        f"min({H.perm_hash_sql('h', i)}) AS m{i}" for i in range(n)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, m{i0} || ':' || m{i1} AS key FROM sig".format(
+            b=b, i0=b * H.ROWS_PER_BAND, i1=b * H.ROWS_PER_BAND + 1
+        )
+        for b in range(H.N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+hashed AS (SELECT doc_id, shingle AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {min_exprs}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+  {band_selects}
+),
+verdict AS (
+  SELECT a.doc_id, a.band,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM banded b
+           WHERE b.band = a.band AND b.key = a.key AND b.doc_id < a.doc_id
+         ) THEN 1 ELSE 0 END AS dup
+  FROM banded a
+),
+flagged AS (
+  SELECT doc_id FROM verdict GROUP BY doc_id HAVING max(dup) = 1
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM common c
+  JOIN candidates k ON k.doc_a = c.doc_a AND k.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        >= {JACCARD_THRESHOLD}
+)
+SELECT term, CAST(value AS BIGINT) AS value FROM (
+  SELECT 'docs_total' AS term,
+         (SELECT count(*) FROM documents) AS value
+  UNION ALL SELECT 'gated_docs', (SELECT count(*) FROM sig)
+  UNION ALL SELECT 'flagged_docs', (SELECT count(*) FROM flagged)
+  UNION ALL SELECT 'kept_docs',
+         (SELECT count(*) FROM documents)
+         - (SELECT count(*) FROM flagged)
+  UNION ALL SELECT 'full_pairs', (SELECT count(*) FROM verified)
+  UNION ALL SELECT 'residual_pairs',
+         (SELECT count(*) FROM verified
+          WHERE doc_a NOT IN (SELECT doc_id FROM flagged)
+            AND doc_b NOT IN (SELECT doc_id FROM flagged))
+) ORDER BY term
+"""
+
+
+GATED_PIPELINE_SQL = _gated_pipeline_oracle_sql()
 
 
 # ---------------------------------------------------------------------------

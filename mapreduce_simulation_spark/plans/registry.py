@@ -1111,6 +1111,20 @@ from ..operators.dedup import (  # noqa: E402
 register("streaming_minhash_dedup", _minhash_gate, _minhash_gate_sql)
 
 from ..streaming.stateful import (  # noqa: E402
+    gated_dedup_pipeline as _gated_pipeline,
+)
+from ..operators.dedup import (  # noqa: E402
+    GATED_PIPELINE_SQL as _gated_pipeline_sql,
+)
+
+# Gate → filter → batch LSH pipeline (the reference manager's chained-job
+# shape): drops gate-flagged docs, recomputes the batch near-dup pairs on
+# the kept slice, and reports full vs residual pair counts — proving the
+# "ingestion gate keeps near-dup cliques out of the batch path" claim as
+# an exact-oracle query rather than prose.
+register("gated_dedup_pipeline", _gated_pipeline, _gated_pipeline_sql)
+
+from ..streaming.stateful import (  # noqa: E402
     stateful_user_rollup_tws as _stateful_tws,
 )
 

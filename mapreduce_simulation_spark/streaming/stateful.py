@@ -371,3 +371,75 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def gated_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion gate feeding the batch path — the multi-job pipeline the
+    reference's manager chains (manager/__main__.py:313-319), re-expressed
+    as gate → filter → batch LSH: run the streaming MinHash gate over the
+    corpus, DROP every flagged candidate, then re-run the full banded
+    MinHash + exact-jaccard batch dedup on the kept set and REPORT what it
+    finds. The residual pair count is computed, not assumed: the gate's
+    contract (no two kept docs share an LSH band bucket) implies zero
+    banded candidates on the kept set, and this query proves it against
+    the full-corpus pair count — the documented "the gate keeps near-dup
+    cliques out of the batch path" story as an oracle-checked query.
+
+    Output (term, value) bigint rows:
+      docs_total     — corpus size
+      gated_docs     — docs long enough to shingle (entered the gate)
+      flagged_docs   — gate verdicts with ≥1 dup band
+      kept_docs      — docs_total − flagged_docs
+      full_pairs     — verified near-dup pairs on the FULL corpus
+      residual_pairs — verified near-dup pairs on the kept set (gate
+                       contract ⇒ 0, asserted by the oracle's identical
+                       computation, not by fiat)
+
+    Plan audit: flagged MID_SINGLE_PARTITION — each unioned term is a
+    global count, so the plan carries six Exchange SinglePartition nodes
+    that each move exactly ONE partial-aggregated row; the corpus-scale
+    work (banded self-joins, jaccard verification) all happens below the
+    partial aggregates on hash-partitioned exchanges.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        _minhash_verified_pairs,
+        _staged_minhash_sig,
+        staged_shingles,
+    )
+    from ..tables import load_table
+
+    gate = streaming_minhash_dedup(spark, sf_dir)
+    flagged = gate.where(F.col("is_candidate_dup") == 1).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    sh = staged_shingles(spark, sf_dir)
+    sig = _staged_minhash_sig(spark, sf_dir)
+    # Kept slice = left-anti on the flagged ids. |flagged| is a near-dup
+    # head, orders of magnitude smaller than the corpus, so at scale both
+    # anti-joins broadcast the flagged side — no extra corpus shuffle.
+    kept_sh = sh.join(flagged, "doc_id", "left_anti")
+    kept_sig = sig.join(flagged, "doc_id", "left_anti")
+
+    def term(name: str, df_count: DataFrame) -> DataFrame:
+        return df_count.select(
+            F.lit(name).alias("term"), F.col("value").cast("bigint")
+        )
+
+    cnt = lambda df: df.agg(F.count(F.lit(1)).alias("value"))  # noqa: E731
+    parts = [
+        term("docs_total", cnt(docs)),
+        term("gated_docs", cnt(sig)),
+        term("flagged_docs", cnt(flagged)),
+        term(
+            "kept_docs", cnt(docs.join(flagged, "doc_id", "left_anti"))
+        ),
+        term("full_pairs", cnt(_minhash_verified_pairs(sh, sig))),
+        term(
+            "residual_pairs",
+            cnt(_minhash_verified_pairs(kept_sh, kept_sig)),
+        ),
+    ]
+    return reduce(DataFrame.unionAll, parts).orderBy("term")

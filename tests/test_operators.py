@@ -55,6 +55,29 @@ def test_minhash_candidates_subset_of_exhaustive(spark, sf_dir):
     assert lsh <= full
 
 
+def test_gated_pipeline_kept_set_has_no_residual_pairs(spark, sf_dir):
+    """The gate contract, asserted end-to-end: after dropping every
+    gate-flagged document, the batch LSH dedup finds ZERO verified pairs
+    on the kept set (no two kept docs share an LSH band bucket), the
+    flagged/kept split partitions the corpus, and the full-corpus pair
+    count is nonzero whenever anything was flagged with something to
+    verify against."""
+    from mapreduce_simulation_spark.streaming.stateful import (
+        gated_dedup_pipeline,
+    )
+
+    got = {
+        r.term: r.value
+        for r in gated_dedup_pipeline(spark, sf_dir).collect()
+    }
+    assert got["residual_pairs"] == 0
+    assert got["kept_docs"] + got["flagged_docs"] == got["docs_total"]
+    assert 0 <= got["gated_docs"] <= got["docs_total"]
+    # every verified full-corpus pair has a flagged (higher-id) endpoint,
+    # so pairs can't exceed what flagging could explain
+    assert got["full_pairs"] == 0 or got["flagged_docs"] > 0
+
+
 def test_cc_star_contraction_handles_long_chain(spark):
     """A 200-node path graph has diameter 199: min-label propagation needs
     ~199 rounds (far beyond its cap and any sane budget), while star
