@@ -12,8 +12,16 @@ queries are probed (the embeddings tables' ANN query-set semantics pin
 vec_id ranges, so replication would change the operators' meaning, not
 just their scale).
 
-Usage: python tools/scale_probe.py [N]    (default N=10)
+Usage: python tools/scale_probe.py [N] [--unique]   (default N=10)
 Prints per-query seconds at both scales + the ratio, and one JSON line.
+
+--unique replicates WITHOUT creating cross-copy near-dup cliques: every
+token in copy k is rewritten to "c{k}<token>" (injective, so each copy's
+INTERNAL jaccard structure — sizes, overlaps, its own near-dup pairs —
+is preserved bit-for-bit while no shingle is shared across copies). The
+pair workload then scales exactly N×, isolating the banded plan's
+shuffle/join law from the N²-per-clique pair blowup that replicated
+near-dup corpora impose by construction. Probes only the dedup family.
 """
 
 from __future__ import annotations
@@ -58,9 +66,12 @@ def main() -> None:
     from mapreduce_simulation_spark.staging import staging_dir
     from mapreduce_simulation_spark.tables import load_table
 
-    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if a != "--unique"]
+    unique = "--unique" in sys.argv[1:]
+    n_copies = int(args[0]) if args else 10
     spark = build_session("scale-probe")
     qs = e.queries()
+    probes = ["dedup_exact", "dedup_minhash_lsh"] if unique else PROBES
 
     from pyspark.sql import functions as F
 
@@ -69,13 +80,20 @@ def main() -> None:
     big_dir = staging_dir("scaleprobe_")
     parts = []
     for k in range(n_copies):
+        if unique:
+            # clique-free replication: prefix EVERY token with the copy
+            # marker — injective per copy, so within-copy jaccard
+            # structure is preserved exactly and no shingle crosses copies
+            txt = F.regexp_replace("text", r"(\S+)", f"c{k}$1")
+        else:
+            # distinct marker token per copy: copies are near-dups
+            # (high jaccard), not byte-identical rows — the honest
+            # shape of a replicated web crawl
+            txt = F.concat(F.lit(f"copy{k} "), F.col("text"))
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(k * max_id)).alias("doc_id"),
-                # distinct marker token per copy: copies are near-dups
-                # (high jaccard), not byte-identical rows — the honest
-                # shape of a replicated web crawl
-                F.concat(F.lit(f"copy{k} "), F.col("text")).alias("text"),
+                txt.alias("text"),
                 "lang",
                 "source",
                 (F.col("n_chars") + F.lit(len(f"copy{k} "))).alias(
@@ -105,7 +123,7 @@ def main() -> None:
     force(qs["word_count"](spark, BASE))
 
     results = []
-    for name in PROBES:
+    for name in probes:
         row = {"query": name}
         for label, sf in (("base", BASE), ("big", big_sf)):
             t0 = time.perf_counter()
@@ -124,7 +142,11 @@ def main() -> None:
             f"{name:28s} base {row.get('base')}s  "
             f"x{n_copies} {row.get('big')}s  ratio {row.get('ratio')}"
         )
-    print(json.dumps({"n_copies": n_copies, "probes": results}))
+    print(
+        json.dumps(
+            {"n_copies": n_copies, "unique": unique, "probes": results}
+        )
+    )
     spark.stop()
 
 
