@@ -29,6 +29,9 @@ model, SURVEY.md §2e); these operators are that idea made first-class.
 
 from __future__ import annotations
 
+from typing import Iterable, Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -695,6 +698,115 @@ def narrow_minhash_bands(docs: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def narrow_minhash_bands_arrow(docs: DataFrame) -> DataFrame:
+    """Numerically identical twin of narrow_minhash_bands, computed by a
+    numpy-vectorized mapInPandas instead of Catalyst HOF expressions.
+
+    Why it exists: higher-order-function lambdas never enter whole-stage
+    codegen, so the per-row tokenize → char-fold → shingle → 16-perm-min
+    pipeline runs interpreted — measured as the dominant cost of the
+    streaming ingestion gate (~5.5 s of a 5.8 s drain at sf0.1/local[32];
+    partition-count sweep showed the stage is CPU-bound, not
+    overhead-bound). mapInPandas is stateless, so it is streaming-legal
+    ahead of the stateful gate step, and every fold is int64-safe modular
+    arithmetic (max intermediate ≈ 1e18 < 2^63), so numpy reproduces the
+    JVM fold bit-for-bit:
+
+      token hash  = Σ code_j · 31^(L-1-j) mod P  (the strict left fold in
+                    closed polynomial form; per-element products are taken
+                    mod P before the ≤ maxlen·P segmented sum)
+      shingle     = ((h0·131 + h1) mod P · 131 + h2) mod P
+      signature   = min_i (shingle·A_i + B_i) mod P  over DISTINCT shingles
+      band key    = "m_{2b}:m_{2b+1}"  (signature-value string)
+
+    Equality with the expression twin is asserted over the full corpus in
+    tests (and transitively against the DuckDB oracle). Boundary: char
+    codes come from UTF-32 codepoints, which matches F.ascii / DuckDB
+    ascii on the BMP text this engine's corpora contain; the expression
+    twin's F.split(c, "") would see UTF-16 surrogate halves on astral
+    chars — neither side's contract covers those.
+    """
+    import numpy as np
+
+    n_perms = len(H.MINHASH_PERMS)
+    P = H.P
+
+    def batches(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "band": pd.Series([], dtype="int32"),
+                "key": pd.Series([], dtype="object"),
+            }
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                yield empty
+                continue
+            tok_lists = [t.lower().split() for t in pdf["text"]]
+            ntok = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(pdf)
+            )
+            keep = ntok >= 3
+            if not keep.any():
+                yield empty
+                continue
+            ids = pdf["doc_id"].to_numpy()[keep]
+            flat: list[str] = []
+            for tl, k in zip(tok_lists, keep):
+                if k:
+                    flat.extend(tl)
+            tok_lens = np.fromiter(
+                (len(t) for t in flat), dtype=np.int64, count=len(flat)
+            )
+            codes = np.frombuffer(
+                "".join(flat).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            ends = np.cumsum(tok_lens)
+            starts = ends - tok_lens
+            # 31^k mod P table; exponent of a char = chars left of token end
+            pw = np.ones(int(tok_lens.max()), dtype=np.int64)
+            for i in range(1, len(pw)):
+                pw[i] = pw[i - 1] * 31 % P
+            expo = np.repeat(ends - 1, tok_lens) - np.arange(len(codes))
+            prod = codes * pw[expo] % P
+            th = np.add.reduceat(prod, starts) % P  # per-token hashes
+            # consecutive 3-gram shingles within each doc
+            dtok = ntok[keep]
+            nsh = dtok - 2
+            off = np.cumsum(nsh) - nsh
+            i0 = np.repeat(np.cumsum(dtok) - dtok, nsh) + (
+                np.arange(int(nsh.sum())) - np.repeat(off, nsh)
+            )
+            sh = ((th[i0] * SHINGLE_COMBINE + th[i0 + 1]) % P
+                  * SHINGLE_COMBINE + th[i0 + 2]) % P
+            # distinct per doc: pack (doc_index, shingle) into one int64
+            dix = np.repeat(np.arange(len(ids), dtype=np.int64), nsh)
+            packed = np.unique(dix * (1 << 33) + sh)
+            u_doc = packed >> 33
+            u_sh = packed & ((1 << 33) - 1)
+            seg = np.flatnonzero(
+                np.diff(u_doc, prepend=np.int64(-1))
+            )  # first index of each doc's run (every kept doc has ≥1)
+            sig = np.empty((len(ids), n_perms), dtype=np.int64)
+            for i, (a, b) in enumerate(H.MINHASH_PERMS):
+                sig[:, i] = np.minimum.reduceat((u_sh * a + b) % P, seg)
+            out_ids = np.repeat(ids, H.N_BANDS)
+            out_band = np.tile(
+                np.arange(H.N_BANDS, dtype=np.int32), len(ids)
+            )
+            keys = [
+                f"{sig[d, 2 * b]}:{sig[d, 2 * b + 1]}"
+                for d in range(len(ids))
+                for b in range(H.N_BANDS)
+            ]
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "band": out_band, "key": keys}
+            )
+
+    return docs.mapInPandas(batches, "doc_id long, band int, key string")
 
 
 def _staged_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -311,9 +311,9 @@ def minhash_dedup_gate(doc_stream: DataFrame) -> DataFrame:
     the same table the batch path stages as its band-key index — and each
     micro-batch shuffles only its own 8 keys per doc.
     """
-    from ..operators.dedup import narrow_minhash_bands
+    from ..operators.dedup import narrow_minhash_bands_arrow
 
-    banded = narrow_minhash_bands(doc_stream)
+    banded = narrow_minhash_bands_arrow(doc_stream)
     return banded.groupBy("band", "key").applyInPandasWithState(
         _gate_fn,
         GATE_OUTPUT_SCHEMA,

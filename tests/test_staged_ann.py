@@ -206,6 +206,31 @@ def test_narrow_minhash_bands_match_batch_signatures(spark):
     assert narrow == batch and len(narrow) > 0
 
 
+def test_arrow_banding_is_bitwise_twin_of_expression_banding(spark):
+    """narrow_minhash_bands_arrow (numpy mapInPandas, the gate's hot path)
+    must reproduce the Catalyst-expression twin bit-for-bit over the full
+    corpus — same token fold, shingle combine, permutation minima, and
+    signature-value band keys. Any drift here silently changes which
+    near-dups the ingestion gate flags."""
+    from mapreduce_simulation_spark.operators import dedup
+    from mapreduce_simulation_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    expr = {tuple(r) for r in dedup.narrow_minhash_bands(docs).collect()}
+    arrow = {
+        tuple(r) for r in dedup.narrow_minhash_bands_arrow(docs).collect()
+    }
+    assert arrow == expr and len(arrow) > 0
+    # stateless for streaming legality, like the expression twin
+    plan = (
+        dedup.narrow_minhash_bands_arrow(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_narrow_minhash_bands_plan_has_no_exchange(spark):
     """The gate's banding must stay a stateless projection — an Exchange
     in its plan would make it illegal inside a streaming micro-batch
