@@ -866,6 +866,96 @@ FROM seq s JOIN (
 """
 
 
+N_EXPORT_SHARDS = 16
+
+
+def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export stage of a training pipeline: assign packed sequences to
+    fixed output shards (seq_id mod N — round-robin over the dense
+    sequence ids, so shards are balanced by construction) and emit the
+    per-shard MANIFEST a production writer publishes next to its files:
+    sequence/document/token counts, the seq_id range, and an
+    order-insensitive content checksum (Σ doc_id·n_tokens mod P — exact
+    integer arithmetic, partitioning-independent).
+
+    The physical write is write_training_shards (tested separately): one
+    repartition on shard_id so each shard is one writer task producing
+    one file — the shape that holds at 100 TB, where a shard is a few GB
+    and the manifest is the unit of downstream bookkeeping (loader
+    sharding, resumable ingestion, integrity audit). The manifest query
+    itself adds ONE partial-aggregable groupBy on top of the packing's
+    distributed cumsum — no new total order."""
+    packed = sequence_packing(spark, sf_dir)
+    with_shard = packed.withColumn(
+        "shard_id", F.pmod(F.col("seq_id"), F.lit(N_EXPORT_SHARDS))
+    )
+    return (
+        with_shard.groupBy("shard_id")
+        .agg(
+            F.countDistinct("seq_id").alias("n_seqs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("seq_id").alias("first_seq"),
+            F.max("seq_id").alias("last_seq"),
+            F.pmod(
+                F.sum(
+                    F.pmod(F.col("doc_id") * F.col("n_tokens"), F.lit(H.P))
+                ),
+                F.lit(H.P),
+            ).alias("checksum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+SHARD_MANIFEST_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(str_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+seq AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {PACK_CAPACITY}) AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT seq_id % {N_EXPORT_SHARDS} AS shard_id,
+       count(DISTINCT seq_id) AS n_seqs,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(seq_id) AS first_seq,
+       max(seq_id) AS last_seq,
+       CAST(sum((doc_id * n_tokens) % {H.P}) % {H.P} AS BIGINT) AS checksum
+FROM seq
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def write_training_shards(
+    packed_docs: DataFrame, out_dir: str
+) -> None:
+    """Physically export packed documents as one parquet file per shard:
+    repartition on shard_id (each shard = exactly one writer task = one
+    part file) + partitionBy(shard_id) directory layout. At scale this is
+    the final exchange of the pipeline — N_EXPORT_SHARDS writer tasks,
+    each streaming its shard's rows; no global sort, no driver
+    materialization."""
+    with_shard = packed_docs.withColumn(
+        "shard_id", F.pmod(F.col("seq_id"), F.lit(N_EXPORT_SHARDS))
+    )
+    (
+        with_shard.repartition(N_EXPORT_SHARDS, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+
+
 # Encode only the first N token positions (context-window prefix) so the
 # encoded output is bounded per document.
 ENCODE_MAX_POS = 32

@@ -1714,6 +1714,16 @@ register(
     curation.sequence_packing,
     curation.SEQUENCE_PACKING_SQL,
 )
+# Shard-export manifest: seq_id-mod-N shard assignment over the packed
+# corpus + per-shard counts/range/order-insensitive checksum — the
+# bookkeeping row a production training-data writer publishes per shard
+# file (physical write = curation.write_training_shards, tested on layout
+# and read-back parity).
+register(
+    "shard_export_manifest",
+    curation.shard_export_manifest,
+    curation.SHARD_MANIFEST_SQL,
+)
 
 # Watermark-bounded streaming dedup: state TTL = watermark horizon.
 from ..streaming.events import (  # noqa: E402

@@ -481,6 +481,51 @@ def test_sequence_packing_capacity_and_order(spark, sf_dir):
             assert total >= 1
 
 
+def test_write_training_shards_layout_and_manifest_parity(
+    spark, sf_dir, tmp_path
+):
+    """The physical shard export must produce one parquet part file per
+    shard_id partition directory, and reading the export back must
+    reproduce the manifest's per-shard counts/token sums exactly —
+    the integrity audit a loader runs against a published manifest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.operators import curation
+
+    out = str(tmp_path / "shards")
+    packed = curation.sequence_packing(spark, sf_dir)
+    curation.write_training_shards(packed, out)
+
+    shard_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("shard_id=")
+    )
+    assert len(shard_dirs) >= 2  # dense seq_ids hit multiple shards
+    for d in shard_dirs:
+        parts = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, (d, parts)  # one writer task per shard
+
+    back = (
+        spark.read.parquet(out)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    got = {r.shard_id: (r.n_docs, r.n_tokens) for r in back.collect()}
+    manifest = {
+        r.shard_id: (r.n_docs, r.n_tokens)
+        for r in curation.shard_export_manifest(spark, sf_dir).collect()
+    }
+    assert got == manifest
+
+
 def test_chunk_for_training_overlap(spark, sf_dir):
     """Consecutive chunks of one document must overlap by
     WINDOW_TOKENS - WINDOW_STRIDE tokens, and concatenating stride-aligned
