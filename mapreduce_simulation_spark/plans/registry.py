@@ -1125,6 +1125,17 @@ from ..operators.dedup import (  # noqa: E402
 register("gated_dedup_pipeline", _gated_pipeline, _gated_pipeline_sql)
 
 from ..streaming.stateful import (  # noqa: E402
+    STREAMING_SHARD_INGEST_SQL as _shard_ingest_sql,
+    streaming_shard_ingest as _shard_ingest,
+)
+
+# Streaming export: per-micro-batch sharded parquet write + idempotent
+# batch-keyed manifest deltas via foreachBatch; the returned manifest
+# rollup composes mod-P partials so it equals the one-shot batch manifest
+# (the exact oracle). Streaming twin of shard_export_manifest.
+register("streaming_shard_ingest", _shard_ingest, _shard_ingest_sql)
+
+from ..streaming.stateful import (  # noqa: E402
     stateful_user_rollup_tws as _stateful_tws,
 )
 

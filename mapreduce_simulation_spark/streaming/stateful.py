@@ -443,3 +443,124 @@ def gated_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return reduce(DataFrame.unionAll, parts).orderBy("term")
+
+
+N_INGEST_SHARDS = 16
+
+
+def streaming_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion → sharded parquet export with an exactly-once
+    per-batch manifest — the streaming face of the batch export stage
+    (operators/curation.shard_export_manifest). Each micro-batch:
+
+      1. assigns docs to shard_id = doc_id mod N (hash-free, balanced,
+         and — unlike the batch path's seq_id sharding — independent of
+         any global order, so it is computable per batch);
+      2. writes the batch's rows under out/batch=<id>/shard_id=*/ with
+         OVERWRITE — a replayed batch (sink committed, engine commit
+         lost) rewrites the same bytes at the same path, so the export
+         is idempotent without a transaction log;
+      3. writes the batch's manifest DELTA (batch_id, shard_id, n_docs,
+         n_tokens, checksum) under manifest/batch=<id>/, same overwrite
+         idempotence.
+
+    The returned DataFrame aggregates the deltas per shard. Counts and
+    token sums are plain sums; the checksum is Σ(doc_id·n_tokens mod P)
+    mod P, whose per-batch partials compose mod P — so the drained
+    manifest equals the one-shot batch manifest over the corpus, which is
+    the exact DuckDB oracle. Four range-split input files exercise real
+    multi-batch accumulation (asserted in tests).
+
+    Scale: nothing here is corpus-global — per batch it is one narrow
+    projection, one partial agg on 16 keys, and a 16-task repartitioned
+    write; manifest deltas are 16 rows per batch, and the final rollup
+    reads only deltas (batches × 16 rows), never the exported data.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import P as _P
+    from ..operators.text import tokens as _tokens
+    from ..staging import keyed_staging_dir, staging_dir
+    from ..tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage, already = keyed_staging_dir(
+        "docs_shard_ingest_", f"sf={sf_dir}"
+    )
+    if not already:
+        docs.repartitionByRange(4, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(stage)
+    out_root = staging_dir("shard_ingest_out_")
+    data_dir = f"{out_root}/data"
+    manifest_dir = f"{out_root}/manifest"
+
+    def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = batch_df.select(
+            "doc_id",
+            F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            F.pmod(F.col("doc_id"), F.lit(N_INGEST_SHARDS)).alias(
+                "shard_id"
+            ),
+        )
+        (
+            enriched.repartition(N_INGEST_SHARDS, "shard_id")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(f"{data_dir}/batch={batch_id}")
+        )
+        delta = enriched.groupBy("shard_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.pmod(
+                F.sum(
+                    F.pmod(
+                        F.col("doc_id") * F.col("n_tokens"), F.lit(_P)
+                    )
+                ),
+                F.lit(_P),
+            ).alias("checksum"),
+        )
+        delta.repartition(1).write.mode("overwrite").parquet(
+            f"{manifest_dir}/batch={batch_id}"
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(_ingest_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    deltas = spark.read.option("basePath", manifest_dir).parquet(
+        f"{manifest_dir}/batch=*"
+    )
+    return (
+        deltas.groupBy("shard_id")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.pmod(F.sum("checksum"), F.lit(_P)).alias("checksum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+STREAMING_SHARD_INGEST_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(str_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id % 16 AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum((doc_id * n_tokens) % 1000000007) % 1000000007 AS BIGINT)
+         AS checksum
+FROM toks
+GROUP BY 1
+ORDER BY 1
+"""

@@ -1001,6 +1001,58 @@ def test_minhash_gate_carries_state_across_batches(spark, tmp_path):
     assert got[30] == 8  # identical text → all 8 bands hit batch-1 state
 
 
+def test_streaming_shard_ingest_multibatch_manifest_parity(spark, sf_dir):
+    """The streaming export must (a) actually run multiple micro-batches
+    (4 range-split input files × maxFilesPerTrigger=1), and (b) produce a
+    manifest whose per-shard counts, token sums, and mod-P checksums equal
+    the one-shot batch aggregation over the corpus — the partials-compose
+    property that makes the batch-keyed delta design exactly-once."""
+    import os
+
+    from mapreduce_simulation_spark.functions.hashing import P
+    from mapreduce_simulation_spark.operators.text import tokens
+    from mapreduce_simulation_spark.staging import keyed_staging_dir
+    from mapreduce_simulation_spark.streaming.stateful import (
+        streaming_shard_ingest,
+    )
+
+    got = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.checksum)
+        for r in streaming_shard_ingest(spark, sf_dir).collect()
+    }
+    # the staged input must split into ≥2 files → ≥2 micro-batches
+    stage, already = keyed_staging_dir(
+        "docs_shard_ingest_", f"sf={sf_dir}"
+    )
+    assert already  # the query call above staged it
+    n_files = sum(
+        1 for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    assert n_files >= 2
+
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .groupBy(F.pmod("doc_id", F.lit(16)).alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.pmod(
+                F.sum(F.pmod(F.col("doc_id") * F.col("n_tokens"), F.lit(P))),
+                F.lit(P),
+            ).alias("checksum"),
+        )
+    )
+    want = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.checksum)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == 16
+
+
 def test_minhash_gate_occupied_bucket_flags_lower_id(spark, tmp_path):
     """Occupancy semantics: a LOWER doc_id arriving in a later micro-batch
     into an occupied bucket is still flagged dup — the first kept doc owns
