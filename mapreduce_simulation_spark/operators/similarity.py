@@ -579,6 +579,12 @@ def _staged_ivf_assign(
 # selected by a single TakeOrdered over xxhash64 (uniform, deterministic).
 TRAIN_CAP = 16384
 
+# Trained-IVF assignment staging variant: shared by the query path and
+# tools/staging_costs.py so the two can never build divergent artifacts;
+# folds TRAIN_CAP so the assignment can't pair with a codebook trained
+# under a different sample cap.
+TRAINED_ASSIGN_VARIANT = f"trained_k{N_CENTROIDS}s42cap{TRAIN_CAP}_v2"
+
 
 def _train_sample(spark: SparkSession, sf_dir: str) -> "object":
     """Deterministic bounded training sample for codebook fits, as a
@@ -699,11 +705,7 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with a codebook trained under a different cap if staging ever
     # outlives the process (the codebook key includes it too).
     assign = _staged_ivf_assign(
-        spark,
-        sf_dir,
-        corpus,
-        cents,
-        variant=f"trained_k{N_CENTROIDS}s42cap{TRAIN_CAP}_v2",
+        spark, sf_dir, corpus, cents, variant=TRAINED_ASSIGN_VARIANT
     )
     return _ivf_search(
         corpus, cents, assign=assign, n_probe=N_PROBE_TRAINED

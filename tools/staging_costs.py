@@ -79,8 +79,15 @@ def main() -> None:
             sf_dir,
             corpus,
             cents,
-            variant=f"trained_k{similarity.N_CENTROIDS}s42_v2",
+            variant=similarity.TRAINED_ASSIGN_VARIANT,
         )
+
+    def _gate_verdicts(spark, sf_dir):
+        from mapreduce_simulation_spark.streaming.stateful import (
+            _staged_gate_verdicts,
+        )
+
+        _staged_gate_verdicts(spark, sf_dir).count()
 
     # (label, prefix, build) — dependency order: tokdocs first, then the
     # artifacts derived from it, then the embedding-side artifacts.
@@ -110,6 +117,9 @@ def main() -> None:
         ("ivf_trained_codebook+assign", "ivf_cb_", ivf_trained),
         ("pq_codebooks+codes", "pq_idx_",
          lambda s, d: similarity._staged_pq_index(s, d)[1].count()),
+        # r10: ingestion-gate verdicts (drains the streaming gate once;
+        # includes the gate's own single-file corpus staging)
+        ("gate_verdicts", "gate_verdicts_", _gate_verdicts),
     ]
 
     # Warm the session (JVM codegen, parquet reader init) so the first
