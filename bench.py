@@ -105,6 +105,7 @@ PIPELINE = [
     "gated_dedup_pipeline",
     "shard_export_manifest",
     "streaming_shard_ingest",
+    "logreg_score_corpus",
 ]
 
 

@@ -76,6 +76,7 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = tokens(F.col("text"))
     stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
     base = docs.select(
+        F.col("doc_id"),
         F.col("n_chars"),
         F.size(ws).cast("long").alias("ntok"),
         F.size(
@@ -88,6 +89,7 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # positive-operand divisions: floor == truncate, so plain DIV / //
     # are already identical across engines here
     return base.selectExpr(
+        "doc_id",
         f"CAST({SCALE} AS BIGINT) AS x0",
         "ntok * 10000 AS x1",
         f"(({SCALE} * nstop) DIV ntok) AS x2",
@@ -108,6 +110,28 @@ def _iteration_exprs(w: list[int]) -> tuple[str, str]:
     return z6, s6
 
 
+def _train_logreg_weights(feat: DataFrame) -> list[int]:
+    """The GD loop: LOGREG_ITERS full-batch iterations, one distributed
+    aggregate each, weights held on the driver (MLlib's treeAggregate
+    pattern). Deterministic integer recurrence — same weights on every
+    host and in the oracle's unrolled replay."""
+    w = [0, 0, 0, 0]
+    for _ in range(LOGREG_ITERS):
+        _z6, s6 = _iteration_exprs(w)
+        row = feat.selectExpr(
+            *[
+                f"sum((({s6}) - y6) * {FEATURES[j]}) AS g{j}"
+                for j in range(4)
+            ],
+            "count(*) AS n",
+        ).collect()[0]
+        n = row["n"]
+        for j in range(4):
+            g6 = (int(row[f"g{j}"]) // n) // SCALE
+            w[j] -= LOGREG_LR * g6
+    return w
+
+
 def distributed_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the hard-sigmoid logistic model for LOGREG_ITERS full-batch
     GD iterations; return the coefficient vector (1e-6-scaled and as
@@ -117,20 +141,7 @@ def distributed_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feat = persist_tracked(_features(spark, sf_dir))
     try:
-        w = [0, 0, 0, 0]
-        for _ in range(LOGREG_ITERS):
-            _z6, s6 = _iteration_exprs(w)
-            row = feat.selectExpr(
-                *[
-                    f"sum((({s6}) - y6) * {FEATURES[j]}) AS g{j}"
-                    for j in range(4)
-                ],
-                "count(*) AS n",
-            ).collect()[0]
-            n = row["n"]
-            for j in range(4):
-                g6 = (int(row[f"g{j}"]) // n) // SCALE
-                w[j] -= LOGREG_LR * g6
+        w = _train_logreg_weights(feat)
         _z6, s6 = _iteration_exprs(w)
         acc_row = feat.selectExpr(
             f"sum(CASE WHEN (({s6}) >= 500000) = (y6 = {SCALE}) "
@@ -148,20 +159,22 @@ def distributed_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("term")
 
 
-def _logreg_oracle_sql() -> str:
-    """The same integer recurrence, fully unrolled: one weights CTE per
-    iteration, each derived from a cross join of the feature CTE with the
-    previous single-row weights CTE."""
+def _logreg_cte_prefix() -> str:
+    """The shared WITH chain: feature CTE + one weights CTE per unrolled
+    iteration, ending at w{LOGREG_ITERS} — used by both the training
+    oracle (selects the weights + accuracy) and the scoring oracle
+    (applies w{LOGREG_ITERS} back onto every feature row)."""
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     parts = [
         rf"""
 WITH raw AS (
-  SELECT n_chars,
+  SELECT doc_id, n_chars,
          list_filter(str_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
   FROM documents
 ),
 feat AS (
-  SELECT CAST({SCALE} AS BIGINT) AS x0,
+  SELECT doc_id,
+         CAST({SCALE} AS BIGINT) AS x0,
          CAST(len(ws) * 10000 AS BIGINT) AS x1,
          CAST(({SCALE} * len(list_filter(ws, w -> w IN ({stop_list}))))
               // len(ws) AS BIGINT) AS x2,
@@ -206,14 +219,27 @@ w{t + 1} AS (
   GROUP BY w.a, w.b, w.c, w.d
 )"""
         )
+    return "".join(parts)
+
+
+def _final_s6_duck() -> str:
+    """s6 under the FINAL weights w{LOGREG_ITERS} (aliased w), DuckDB."""
     dot = "w.a * x0 + w.b * x1 + w.c * x2 + w.d * x3"
     z6 = _floordiv_duck(dot, SCALE)
-    s6 = (
+    return (
         f"least(greatest(({_floordiv_duck('(' + z6 + ')', 4)})"
         f" + 500000, 0), {SCALE})"
     )
-    parts.append(
-        f""",
+
+
+def _logreg_oracle_sql() -> str:
+    """The same integer recurrence, fully unrolled: one weights CTE per
+    iteration, each derived from a cross join of the feature CTE with the
+    previous single-row weights CTE."""
+    s6 = _final_s6_duck()
+    return (
+        _logreg_cte_prefix()
+        + f""",
 acc AS (
   SELECT CAST(({SCALE} * sum(CASE WHEN ({s6} >= 500000) = (y6 = {SCALE})
                              THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
@@ -235,10 +261,66 @@ SELECT * FROM (
 ) ORDER BY term
 """
     )
-    return "".join(parts)
 
 
 DISTRIBUTED_LOGREG_SQL = _logreg_oracle_sql()
+
+
+def logreg_score_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → serve in one query: run the exact GD training
+    (_train_logreg_weights — LOGREG_ITERS distributed aggregates, weights
+    on the driver), then apply the final weights back onto every document
+    as a STATELESS scoring projection — the corpus-scale inference pass a
+    quality-filter deployment runs nightly. Output per doc: the
+    1e-6-scaled hard-sigmoid score, the predicted label, and whether the
+    prediction matches the length label — all integer arithmetic, so the
+    oracle (the same unrolled weights CTE chain re-applied to the feature
+    CTE) hash-matches bit-for-bit.
+
+    Scale: training cost is LOGREG_ITERS corpus aggregates (map-side
+    combined, 5-row shuffles); scoring is one pass, no shuffle, no state —
+    the weights ride into the executors as four inlined literals exactly
+    like a broadcast of the coefficient vector."""
+    from .caching import persist_tracked, release_tracked
+
+    feat_cached = persist_tracked(_features(spark, sf_dir))
+    try:
+        w = _train_logreg_weights(feat_cached)
+    finally:
+        release_tracked()
+    _z6, s6 = _iteration_exprs(w)
+    return (
+        _features(spark, sf_dir)
+        .selectExpr(
+            "doc_id",
+            f"CAST({s6} AS BIGINT) AS score6",
+            f"CAST(CASE WHEN ({s6}) >= 500000 THEN 1 ELSE 0 END AS INT)"
+            " AS predicted",
+            f"CAST(CASE WHEN (({s6}) >= 500000) = (y6 = {SCALE})"
+            " THEN 1 ELSE 0 END AS INT) AS correct",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _logreg_score_oracle_sql() -> str:
+    s6 = _final_s6_duck()
+    return (
+        _logreg_cte_prefix()
+        + f"""
+SELECT doc_id,
+       CAST({s6} AS BIGINT) AS score6,
+       CAST(CASE WHEN {s6} >= 500000 THEN 1 ELSE 0 END AS INTEGER)
+         AS predicted,
+       CAST(CASE WHEN ({s6} >= 500000) = (y6 = {SCALE})
+            THEN 1 ELSE 0 END AS INTEGER) AS correct
+FROM feat, w{LOGREG_ITERS} w
+ORDER BY doc_id
+"""
+    )
+
+
+LOGREG_SCORE_SQL = _logreg_score_oracle_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -1952,6 +1952,14 @@ register(
     _mltrain.distributed_logreg_train,
     _mltrain.DISTRIBUTED_LOGREG_SQL,
 )
+# Train → serve: the trained coefficient vector applied back to every
+# document as a stateless scoring projection (corpus-scale inference);
+# same unrolled-CTE oracle re-applied per row, bit-exact.
+register(
+    "logreg_score_corpus",
+    _mltrain.logreg_score_corpus,
+    _mltrain.LOGREG_SCORE_SQL,
+)
 # The unsupervised member: exact distributed Lloyd's over the quantized
 # embeddings (E-step = broadcast-codebook projection, M-step = one k×dim
 # aggregation), deterministic seed = first k vectors. Round-10 candidate.
