@@ -106,6 +106,7 @@ PIPELINE = [
     "shard_export_manifest",
     "streaming_shard_ingest",
     "logreg_score_corpus",
+    "kmeans_assign_corpus",
 ]
 
 

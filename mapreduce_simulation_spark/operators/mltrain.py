@@ -387,46 +387,8 @@ def distributed_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         qe.select("vec_id", F.posexplode("v").alias("dim", "val"))
     )
     try:
-        seed_rows = (
-            qe.where(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
-        )
-        cents: list[list[int]] = [list(r.v) for r in seed_rows]
+        cents = _train_kmeans_centroids(spark, qe, dims)
         dim = len(cents[0])
-        for _ in range(KMEANS_ITERS):
-            cdf = spark.createDataFrame(
-                [
-                    (cid, d, cents[cid][d])
-                    for cid in range(KMEANS_K)
-                    for d in range(dim)
-                ],
-                "cid int, dim int, cval bigint",
-            )
-            diff = F.col("val") - F.col("cval")
-            assign = (
-                dims.join(broadcast(cdf), "dim")
-                .groupBy("vec_id", "cid")
-                .agg(F.sum(diff * diff).alias("d"))
-                .groupBy("vec_id")
-                .agg(
-                    F.max(
-                        F.struct(
-                            (-F.col("d")).alias("nd"),
-                            (-F.col("cid")).alias("nc"),
-                        )
-                    ).alias("best")
-                )
-                .select("vec_id", (-F.col("best.nc")).alias("cid"))
-            )
-            stats = (
-                dims.join(assign, "vec_id")
-                .groupBy("cid", "dim")
-                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-            new = [list(c) for c in cents]  # empty clusters keep centroid
-            for r in stats:
-                new[r.cid][r.dim] = int(r.s) // int(r.n)
-            cents = new
         rows = [
             (cid, d, cents[cid][d], cents[cid][d] / SCALE)
             for cid in range(KMEANS_K)
@@ -439,12 +401,113 @@ def distributed_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cid", "dim")
 
 
-def _kmeans_oracle_sql() -> str:
+def _centroid_frame(spark: SparkSession, cents: list[list[int]]):
+    return spark.createDataFrame(
+        [
+            (cid, d, cents[cid][d])
+            for cid in range(KMEANS_K)
+            for d in range(len(cents[0]))
+        ],
+        "cid int, dim int, cval bigint",
+    )
+
+
+def _assign_with_dist(dims: DataFrame, cdf: DataFrame) -> DataFrame:
+    """(vec_id, cid, d): exact-integer argmin assignment against the
+    broadcast centroid table — the fixed-IVF shape, fully codegen'd."""
+    from pyspark.sql.functions import broadcast
+
+    diff = F.col("val") - F.col("cval")
+    return (
+        dims.join(broadcast(cdf), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(diff * diff).alias("d"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    (-F.col("d")).alias("nd"),
+                    (-F.col("cid")).alias("nc"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            (-F.col("best.nc")).cast("int").alias("cid"),
+            (-F.col("best.nd")).alias("d"),
+        )
+    )
+
+
+def _train_kmeans_centroids(
+    spark: SparkSession, qe: DataFrame, dims: DataFrame
+) -> list[list[int]]:
+    """The Lloyd's loop (E-step assignment, M-step floor-mean), weights
+    driver-held between iterations — shared by the training query and the
+    train→serve assignment query."""
+    seed_rows = (
+        qe.where(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    )
+    cents: list[list[int]] = [list(r.v) for r in seed_rows]
+    for _ in range(KMEANS_ITERS):
+        assign = _assign_with_dist(
+            dims, _centroid_frame(spark, cents)
+        ).select("vec_id", "cid")
+        stats = (
+            dims.join(assign, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep centroid
+        for r in stats:
+            new[r.cid][r.dim] = int(r.s) // int(r.n)
+        cents = new
+    return cents
+
+
+def kmeans_assign_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → serve for the unsupervised member: run the exact Lloyd's
+    training, then assign EVERY embedding to its nearest trained centroid
+    and emit the exact squared distance — the corpus-labeling pass a
+    clustering-based curation step (e.g. cluster-balanced sampling or
+    SemDeDup-style pruning) runs after fitting. Output (vec_id, cid,
+    dist6): all long arithmetic, ties to the smaller cid, bit-identical
+    to the oracle's unrolled replay + final row_number argmin."""
+    from .caching import persist_tracked, release_tracked
+
+    qe = _quantized_embeddings(spark, sf_dir)
+    dims = persist_tracked(
+        qe.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    )
+    try:
+        cents = _train_kmeans_centroids(spark, qe, dims)
+    finally:
+        # drop the training cache; the serving plan below re-derives the
+        # exploded frame lazily (one pass, no cache needed to serve)
+        release_tracked()
+    fresh_dims = qe.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    return (
+        _assign_with_dist(fresh_dims, _centroid_frame(spark, cents))
+        .select("vec_id", "cid", F.col("d").alias("dist6"))
+        .orderBy("vec_id")
+    )
+
+
+_KMEANS_DIST_SQL = """list_reduce(
+        list_transform(list_zip(e.v, c.v)::STRUCT(a BIGINT, b BIGINT)[],
+                       p -> (p.a - p.b) * (p.a - p.b)),
+        (acc, x) -> acc + x)"""
+
+
+def _kmeans_cte_prefix() -> str:
     """The identical Lloyd's recurrence as unrolled CTEs: assignment by
     row_number over exact integer distances (ties to the smaller cid),
     per-dim centroid components by sign-safe floor division, empty
     clusters inheriting the previous centroid via left join + coalesce.
-    Output dims are rebased to 0 to match posexplode."""
+    Ends at c{KMEANS_ITERS} — shared by the training oracle (selects the
+    centroid components) and the assignment oracle (argmin per vector
+    against the final centroids)."""
     parts = [
         f"""
 WITH e AS (
@@ -456,10 +519,7 @@ WITH e AS (
 c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v FROM e
        WHERE vec_id < {KMEANS_K})"""
     ]
-    dist = """list_reduce(
-        list_transform(list_zip(e.v, c.v)::STRUCT(a BIGINT, b BIGINT)[],
-                       p -> (p.a - p.b) * (p.a - p.b)),
-        (acc, x) -> acc + x)"""
+    dist = _KMEANS_DIST_SQL
     comp = _floordiv_duck("sum(val)", "count(*)")
     for t in range(KMEANS_ITERS):
         parts.append(
@@ -485,8 +545,13 @@ c{t + 1} AS (
   ) n ON n.cid = p.cid
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql() -> str:
+    return (
+        _kmeans_cte_prefix()
+        + f"""
 SELECT cid, CAST(dim - 1 AS INTEGER) AS dim,
        val AS value6, val / {SCALE}.0 AS value
 FROM (SELECT cid, unnest(v) AS val,
@@ -494,10 +559,28 @@ FROM (SELECT cid, unnest(v) AS val,
 ORDER BY cid, dim
 """
     )
-    return "".join(parts)
 
 
 DISTRIBUTED_KMEANS_SQL = _kmeans_oracle_sql()
+
+
+def _kmeans_assign_oracle_sql() -> str:
+    return (
+        _kmeans_cte_prefix()
+        + f"""
+SELECT vec_id, cid, d AS dist6 FROM (
+  SELECT e.vec_id, c.cid, {_KMEANS_DIST_SQL} AS d,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_KMEANS_DIST_SQL} ASC, c.cid ASC)
+           AS rn
+  FROM e, c{KMEANS_ITERS} c
+) WHERE rn = 1
+ORDER BY vec_id
+"""
+    )
+
+
+KMEANS_ASSIGN_SQL = _kmeans_assign_oracle_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -1968,6 +1968,14 @@ register(
     _mltrain.distributed_kmeans_train,
     _mltrain.DISTRIBUTED_KMEANS_SQL,
 )
+# Train → serve (unsupervised): assign every embedding to its nearest
+# trained centroid with the exact squared distance — the corpus-labeling
+# pass after a clustering fit; same unrolled-CTE oracle + final argmin.
+register(
+    "kmeans_assign_corpus",
+    _mltrain.kmeans_assign_corpus,
+    _mltrain.KMEANS_ASSIGN_SQL,
+)
 # The tree primitive: histogram-method split finding (LightGBM's shape —
 # one corpus-scale histogram aggregation, driver-side candidate scan)
 # with the integer-exact misclassification criterion. Round-10 candidate.
