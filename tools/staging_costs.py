@@ -89,6 +89,16 @@ def main() -> None:
 
         _staged_gate_verdicts(spark, sf_dir).count()
 
+    def _logreg_weights(spark, sf_dir):
+        from mapreduce_simulation_spark.operators import mltrain
+
+        mltrain._staged_logreg_weights(spark, sf_dir)
+
+    def _kmeans_centroids(spark, sf_dir):
+        from mapreduce_simulation_spark.operators import mltrain
+
+        mltrain._staged_kmeans_centroids(spark, sf_dir)
+
     # (label, prefix, build) — dependency order: tokdocs first, then the
     # artifacts derived from it, then the embedding-side artifacts.
     builders = [
@@ -120,6 +130,9 @@ def main() -> None:
         # r10: ingestion-gate verdicts (drains the streaming gate once;
         # includes the gate's own single-file corpus staging)
         ("gate_verdicts", "gate_verdicts_", _gate_verdicts),
+        # r10: trained-model artifacts (fit once per corpus, serve after)
+        ("logreg_weights", "logreg_w_", _logreg_weights),
+        ("kmeans_centroids", "kmeans_c_", _kmeans_centroids),
     ]
 
     # Warm the session (JVM codegen, parquet reader init) so the first
