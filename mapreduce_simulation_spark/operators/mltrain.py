@@ -48,7 +48,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .text import tokens
 
 SCALE = 1_000_000
 LOGREG_ITERS = 5
@@ -69,11 +68,16 @@ def _floordiv_duck(a: str, b: int) -> str:
 
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc integer features in 1e-6 units + the label. A stateless
-    projection over the documents scan (one explode-free pass; the
-    stopword count and length sum are array folds). Zero-token docs are
-    dropped (no ratios exist), mirrored in the oracle."""
-    docs = load_table(spark, sf_dir, "documents")
-    ws = tokens(F.col("text"))
+    projection over the staged pre-tokenized corpus (the token store
+    every curation/scoring pass reads — skips the regex re-tokenize; the
+    stopword count and length sum are array folds over the staged
+    arrays, bitwise-equal to folding tokens(text) since ws roundtrips
+    parquet exactly). Zero-token docs are dropped (no ratios exist),
+    mirrored in the oracle, which tokenizes the raw text itself."""
+    from .text import staged_tokenized_docs
+
+    docs = staged_tokenized_docs(spark, sf_dir)
+    ws = F.col("ws")
     stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
     base = docs.select(
         F.col("doc_id"),
