@@ -107,6 +107,7 @@ PIPELINE = [
     "streaming_shard_ingest",
     "logreg_score_corpus",
     "kmeans_assign_corpus",
+    "ols_residuals_corpus",
 ]
 
 

@@ -789,6 +789,44 @@ DECISION_STUMP_SQL = _stump_oracle_sql()
 # ---------------------------------------------------------------------------
 
 
+def _ols_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, x, y): token count vs n_chars over the staged token store
+    (ws roundtrips parquet bitwise, so x equals size(tokens(text)))."""
+    from .text import staged_tokenized_docs
+
+    return (
+        staged_tokenized_docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("x"),
+            F.col("n_chars").cast("long").alias("y"),
+        )
+        .where(F.col("x") > 0)
+    )
+
+
+def _ols_coeffs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, int, int]:
+    """(slope6, intercept6, n): ONE sufficient-statistics aggregation,
+    exact rational normal-equation solve on the driver (unbounded Python
+    ints) — shared by the training query and the residual-scoring serve."""
+    row = _ols_xy(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).collect()[0]
+    n, sx, sy, sxx, sxy = (
+        int(row.n), int(row.sx), int(row.sy), int(row.sxx), int(row.sxy)
+    )
+    det = n * sxx - sx * sx
+    slope6 = (SCALE * (n * sxy - sx * sy)) // det
+    intercept6 = (SCALE * (sy * sxx - sx * sxy)) // det
+    return slope6, intercept6, n
+
+
 def exact_ols_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simple linear regression of n_chars on the token count, solved
     exactly: slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²), intercept =
@@ -804,31 +842,7 @@ def exact_ols_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars is near-affine in the token count on this corpus (chars ≈
     tokens·(mean_len+1)), so the fit is also a sanity signal: slope ≈
     mean token length + 1."""
-    from .text import tokens as _tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    ws = _tokens(F.col("text"))
-    row = (
-        docs.select(
-            F.size(ws).cast("long").alias("x"),
-            F.col("n_chars").cast("long").alias("y"),
-        )
-        .where(F.col("x") > 0)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        )
-        .collect()[0]
-    )
-    n, sx, sy, sxx, sxy = (
-        int(row.n), int(row.sx), int(row.sy), int(row.sxx), int(row.sxy)
-    )
-    det = n * sxx - sx * sx
-    slope6 = (SCALE * (n * sxy - sx * sy)) // det
-    intercept6 = (SCALE * (sy * sxx - sx * sxy)) // det
+    slope6, intercept6, n = _ols_coeffs(spark, sf_dir)
     rows = [
         ("slope", slope6, slope6 / SCALE),
         ("intercept", intercept6, intercept6 / SCALE),
@@ -878,3 +892,65 @@ SELECT * FROM (
 
 
 EXACT_OLS_SQL = _ols_oracle_sql()
+
+
+def ols_residuals_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → serve for the closed-form member: solve the normal
+    equations exactly (one sufficient-statistics aggregate), then emit
+    every document's 1e-6-scaled prediction and residual — the
+    outlier-surfacing pass a length-model deployment runs to find docs
+    whose char count deviates from the corpus line (boilerplate, tables,
+    non-prose). yhat6 = slope6·x + intercept6 and
+    resid6 = 1e6·y − yhat6 are plain int64 arithmetic (|slope6·x| ≲
+    1e11), so the oracle — the same HUGEINT solve crossed back onto the
+    (doc_id, x, y) rows — hash-matches bit-for-bit. Scoring is a
+    stateless projection; the two coefficients ride in as literals."""
+    slope6, intercept6, _n = _ols_coeffs(spark, sf_dir)
+    yhat = F.lit(slope6) * F.col("x") + F.lit(intercept6)
+    return (
+        _ols_xy(spark, sf_dir)
+        .select(
+            "doc_id",
+            yhat.cast("long").alias("yhat6"),
+            (F.lit(SCALE) * F.col("y") - yhat).cast("long").alias(
+                "resid6"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ols_residuals_oracle_sql() -> str:
+    fd = (
+        lambda a, b: f"((({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b}))"
+    )
+    num_s = f"CAST({SCALE} AS HUGEINT) * (n * sxy - sx * sy)"
+    num_i = f"CAST({SCALE} AS HUGEINT) * (sy * sxx - sx * sxy)"
+    det = "(n * sxx - sx * sx)"
+    return rf"""
+WITH raw AS (
+  SELECT doc_id,
+         CAST(len(list_filter(str_split_regex(lower(text), '\s+'),
+                              w -> w <> '')) AS HUGEINT) AS x,
+         CAST(n_chars AS HUGEINT) AS y
+  FROM documents
+),
+s AS (
+  SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM raw WHERE x > 0
+),
+sol AS (
+  SELECT {fd(num_s, det)} AS slope6, {fd(num_i, det)} AS intercept6
+  FROM s
+)
+SELECT doc_id,
+       CAST(slope6 * x + intercept6 AS BIGINT) AS yhat6,
+       CAST({SCALE} * y - (slope6 * x + intercept6) AS BIGINT) AS resid6
+FROM raw, sol
+WHERE x > 0
+ORDER BY doc_id
+"""
+
+
+OLS_RESIDUALS_SQL = _ols_residuals_oracle_sql()

@@ -1988,6 +1988,13 @@ register(
 # statistics are one map-side-combinable aggregation, the solve is exact
 # rational arithmetic (driver Python ints / oracle HUGEINT).
 register("exact_ols_train", _mltrain.exact_ols_train, _mltrain.EXACT_OLS_SQL)
+# Train → serve (closed-form): per-doc prediction + residual against the
+# exact normal-equation fit — length-model outlier surfacing; bit-exact.
+register(
+    "ols_residuals_corpus",
+    _mltrain.ols_residuals_corpus,
+    _mltrain.OLS_RESIDUALS_SQL,
+)
 
 # Fuzzy entity matching: q-gram candidate join + exact edit-distance verify
 # (the exhaustive oracle proves candidate completeness).
