@@ -108,6 +108,7 @@ PIPELINE = [
     "logreg_score_corpus",
     "kmeans_assign_corpus",
     "ols_residuals_corpus",
+    "stump_classify_corpus",
 ]
 
 

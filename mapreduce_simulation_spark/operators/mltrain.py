@@ -780,6 +780,101 @@ SELECT * FROM (
 DECISION_STUMP_SQL = _stump_oracle_sql()
 
 
+def stump_classify_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → serve for the tree member: find the optimal stump split,
+    derive each side's majority label (ties to the positive class —
+    mirrored exactly in the oracle's CASE), then label every document by
+    which side of the split its token-count bin falls on. Output
+    (doc_id, bin, predicted, correct) — all integers; on a degenerate
+    single-bin corpus both engines emit ZERO rows (no split exists, so
+    there is no model to serve). Scoring is a stateless projection over
+    the staged token store; the split threshold and two labels ride in
+    as three literals."""
+    got = {
+        r.term: int(r.value)
+        for r in decision_stump_split(spark, sf_dir).collect()
+    }
+    if not got:
+        return spark.createDataFrame(
+            [], "doc_id bigint, bin bigint, predicted int, correct int"
+        )
+    t = got["split_bin"]
+    left_label = 1 if 2 * got["left_pos"] >= got["left_n"] else 0
+    right_pos = got["right_pos"]
+    right_n = got["right_n"]
+    right_label = 1 if 2 * right_pos >= right_n else 0
+    from .text import staged_tokenized_docs
+
+    docs = staged_tokenized_docs(spark, sf_dir)
+    b = (F.size("ws").cast("long") / STUMP_BIN_WIDTH).cast("long")
+    y = F.when(F.col("n_chars") >= LABEL_CHARS, 1).otherwise(0)
+    pred = F.when(b <= t, F.lit(left_label)).otherwise(
+        F.lit(right_label)
+    )
+    return (
+        docs.where(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            b.alias("bin"),
+            pred.cast("int").alias("predicted"),
+            (pred == y).cast("int").alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _stump_classify_oracle_sql() -> str:
+    return rf"""
+WITH raw AS (
+  SELECT doc_id, n_chars,
+         list_filter(str_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+hist AS (
+  SELECT CAST(len(ws) // {STUMP_BIN_WIDTH} AS BIGINT) AS bin,
+         CAST(sum(CASE WHEN n_chars >= {LABEL_CHARS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN n_chars >= {LABEL_CHARS} THEN 0 ELSE 1 END)
+              AS BIGINT) AS neg
+  FROM raw WHERE len(ws) > 0
+  GROUP BY 1
+),
+tot AS (SELECT sum(pos) AS tp, sum(neg) AS tn FROM hist),
+cand AS (
+  SELECT bin,
+         sum(pos) OVER (ORDER BY bin) AS cp,
+         sum(neg) OVER (ORDER BY bin) AS cn
+  FROM hist
+  QUALIFY bin < (SELECT max(bin) FROM hist)
+),
+best AS (
+  SELECT bin AS t, cp, cn,
+         least(cp, cn) + least(tt.tp - cp, tt.tn - cn) AS err,
+         CASE WHEN 2 * cp >= cp + cn THEN 1 ELSE 0 END AS left_label,
+         CASE WHEN 2 * (tt.tp - cp) >= (tt.tp + tt.tn) - (cp + cn)
+              THEN 1 ELSE 0 END AS right_label
+  FROM cand, tot tt
+  ORDER BY err ASC, bin ASC
+  LIMIT 1
+)
+SELECT doc_id,
+       CAST(len(ws) // {STUMP_BIN_WIDTH} AS BIGINT) AS bin,
+       CAST(CASE WHEN len(ws) // {STUMP_BIN_WIDTH} <= b.t
+            THEN b.left_label ELSE b.right_label END AS INTEGER)
+         AS predicted,
+       CAST(CASE WHEN (CASE WHEN len(ws) // {STUMP_BIN_WIDTH} <= b.t
+                       THEN b.left_label ELSE b.right_label END)
+                 = (CASE WHEN n_chars >= {LABEL_CHARS} THEN 1 ELSE 0 END)
+            THEN 1 ELSE 0 END AS INTEGER) AS correct
+FROM raw, best b
+WHERE len(ws) > 0
+ORDER BY doc_id
+"""
+
+
+STUMP_CLASSIFY_SQL = _stump_classify_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Exact closed-form OLS — the fourth training shape beside GD (logreg),
 # EM (k-means), and histogram scan (stump): sufficient statistics are ONE

@@ -1995,6 +1995,14 @@ register(
     _mltrain.ols_residuals_corpus,
     _mltrain.OLS_RESIDUALS_SQL,
 )
+# Train → serve (tree): label every document by the fitted stump's
+# majority-class sides; empty on a degenerate single-bin corpus (both
+# engines — no split exists, no model to serve).
+register(
+    "stump_classify_corpus",
+    _mltrain.stump_classify_corpus,
+    _mltrain.STUMP_CLASSIFY_SQL,
+)
 
 # Fuzzy entity matching: q-gram candidate join + exact edit-distance verify
 # (the exhaustive oracle proves candidate completeness).

@@ -425,6 +425,12 @@ def test_stump_split_single_bin_corpus_returns_empty(spark, tmp_path):
     out = M.decision_stump_split(spark, sf)
     assert out.schema.simpleString() == "struct<term:string,value:bigint>"
     assert out.count() == 0
+    # the serve twin has no model to apply — zero rows, matching schema
+    served = M.stump_classify_corpus(spark, sf)
+    assert served.count() == 0
+    assert served.schema.simpleString() == (
+        "struct<doc_id:bigint,bin:bigint,predicted:int,correct:int>"
+    )
 
 
 def test_exact_ols_matches_fraction_solve(spark):
