@@ -1049,3 +1049,83 @@ ORDER BY doc_id
 
 
 OLS_RESIDUALS_SQL = _ols_residuals_oracle_sql()
+
+
+def _stream_features(doc_stream: DataFrame) -> DataFrame:
+    """The logreg feature projection computed directly from raw text —
+    the streaming-side twin of _features (a stream can't read the staged
+    token store; it tokenizes arriving rows in place). Same integer
+    arithmetic, same zero-token drop."""
+    from .text import tokens as _tokens
+
+    ws = _tokens(F.col("text"))
+    base = doc_stream.select(
+        F.col("doc_id"),
+        F.col("n_chars"),
+        F.size(ws).cast("long").alias("ntok"),
+        F.size(
+            F.filter(ws, lambda w: F.array_contains(
+                F.array(*[F.lit(s) for s in STOPWORDS]), w
+            ))
+        ).cast("long").alias("nstop"),
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("sumlen"),
+    ).where(F.col("ntok") > 0)
+    return base.selectExpr(
+        "doc_id",
+        f"CAST({SCALE} AS BIGINT) AS x0",
+        "ntok * 10000 AS x1",
+        f"(({SCALE} * nstop) DIV ntok) AS x2",
+        "((100000 * sumlen) DIV ntok) AS x3",
+        f"CAST(CASE WHEN n_chars >= {LABEL_CHARS} THEN {SCALE} ELSE 0 END"
+        " AS BIGINT) AS y6",
+    )
+
+
+def streaming_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ML inference: score arriving documents against the
+    STAGED logistic model — the online face of logreg_score_corpus (a
+    quality gate scoring documents at ingestion with a model fit
+    offline). The model artifact is fetched once on the driver
+    (_staged_logreg_weights — fit if absent) and rides into every
+    micro-batch as four inlined literals; per batch the score is a
+    stateless projection (tokenize → integer features → hard sigmoid),
+    so the drained result over the corpus equals the batch scoring pass
+    and shares its bit-exact oracle. Four range-split input files
+    exercise multi-batch scoring."""
+    from ..staging import keyed_staging_dir
+    from ..tables import load_table
+
+    w = _staged_logreg_weights(spark, sf_dir)
+    _z6, s6 = _iteration_exprs(w)
+    docs = load_table(spark, sf_dir, "documents")
+    stage, already = keyed_staging_dir(
+        "docs_shard_ingest_", f"sf={sf_dir}"
+    )
+    if not already:
+        docs.repartitionByRange(4, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(stage)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    scored = _stream_features(stream).selectExpr(
+        "doc_id",
+        f"CAST({s6} AS BIGINT) AS score6",
+        f"CAST(CASE WHEN ({s6}) >= 500000 THEN 1 ELSE 0 END AS INT)"
+        " AS predicted",
+        f"CAST(CASE WHEN (({s6}) >= 500000) = (y6 = {SCALE})"
+        " THEN 1 ELSE 0 END AS INT) AS correct",
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("stream_logreg_score")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_logreg_score").orderBy("doc_id")

@@ -2003,6 +2003,14 @@ register(
     _mltrain.stump_classify_corpus,
     _mltrain.STUMP_CLASSIFY_SQL,
 )
+# Streaming ML inference: score arriving documents against the staged
+# logistic model (stateless per-batch projection, weights inlined as
+# literals); drained result equals the batch scoring pass — same oracle.
+register(
+    "streaming_logreg_score",
+    _mltrain.streaming_logreg_score,
+    _mltrain.LOGREG_SCORE_SQL,
+)
 
 # Fuzzy entity matching: q-gram candidate join + exact edit-distance verify
 # (the exhaustive oracle proves candidate completeness).
