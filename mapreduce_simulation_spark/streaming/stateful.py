@@ -473,6 +473,51 @@ def gated_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_INGEST_SHARDS = 16
 
 
+def make_ingest_batch_fn(data_dir: str, manifest_dir: str):
+    """The per-micro-batch export step (module-level so the crash-replay
+    test can drive it under its own checkpoint): shard-assign, write the
+    batch's rows under out/batch=<id>/shard_id=*/ and its manifest delta
+    under manifest/batch=<id>/ — both with OVERWRITE, so a replayed batch
+    rewrites identical bytes at identical paths (idempotent without a
+    transaction log)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import P as _P
+    from ..operators.text import tokens as _tokens
+
+    def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = batch_df.select(
+            "doc_id",
+            F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            F.pmod(F.col("doc_id"), F.lit(N_INGEST_SHARDS)).alias(
+                "shard_id"
+            ),
+        )
+        (
+            enriched.repartition(N_INGEST_SHARDS, "shard_id")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(f"{data_dir}/batch={batch_id}")
+        )
+        delta = enriched.groupBy("shard_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.pmod(
+                F.sum(
+                    F.pmod(
+                        F.col("doc_id") * F.col("n_tokens"), F.lit(_P)
+                    )
+                ),
+                F.lit(_P),
+            ).alias("checksum"),
+        )
+        delta.repartition(1).write.mode("overwrite").parquet(
+            f"{manifest_dir}/batch={batch_id}"
+        )
+
+    return _ingest_batch
+
+
 def streaming_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion → sharded parquet export with an exactly-once
     per-batch manifest — the streaming face of the batch export stage
@@ -520,41 +565,13 @@ def streaming_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir = f"{out_root}/data"
     manifest_dir = f"{out_root}/manifest"
 
-    def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
-        enriched = batch_df.select(
-            "doc_id",
-            F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
-            F.pmod(F.col("doc_id"), F.lit(N_INGEST_SHARDS)).alias(
-                "shard_id"
-            ),
-        )
-        (
-            enriched.repartition(N_INGEST_SHARDS, "shard_id")
-            .write.mode("overwrite")
-            .partitionBy("shard_id")
-            .parquet(f"{data_dir}/batch={batch_id}")
-        )
-        delta = enriched.groupBy("shard_id").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.pmod(
-                F.sum(
-                    F.pmod(
-                        F.col("doc_id") * F.col("n_tokens"), F.lit(_P)
-                    )
-                ),
-                F.lit(_P),
-            ).alias("checksum"),
-        )
-        delta.repartition(1).write.mode("overwrite").parquet(
-            f"{manifest_dir}/batch={batch_id}"
-        )
-
     q = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
-        .writeStream.foreachBatch(_ingest_batch)
+        .writeStream.foreachBatch(
+            make_ingest_batch_fn(data_dir, manifest_dir)
+        )
         .trigger(availableNow=True)
         .start()
     )

@@ -1053,6 +1053,81 @@ def test_streaming_shard_ingest_multibatch_manifest_parity(spark, sf_dir):
     assert got == want and len(got) == 16
 
 
+def test_shard_ingest_replayed_batch_is_exactly_once(spark, sf_dir, tmp_path):
+    """Crash-replay the shard export: drain with an explicit checkpoint,
+    delete the last engine commit (sink committed, commit lost — the
+    classic crash window), restart. The replayed batch must rewrite
+    IDENTICAL data and manifest bytes at identical batch-keyed paths —
+    total doc counts across batch dirs unchanged, manifest rollup
+    unchanged — proving the overwrite design is exactly-once without a
+    transaction log."""
+    import os
+
+    from mapreduce_simulation_spark.streaming.stateful import (
+        make_ingest_batch_fn,
+    )
+
+    src = str(tmp_path / "src")
+    load_table(spark, sf_dir, "documents").repartitionByRange(
+        4, "doc_id"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(make_ingest_batch_fn(out, manifest))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def snapshot():
+        data = spark.read.option("basePath", out).parquet(
+            f"{out}/batch=*"
+        )
+        man = spark.read.option("basePath", manifest).parquet(
+            f"{manifest}/batch=*"
+        )
+        return (
+            data.count(),
+            sorted(
+                (r.shard_id, r.n_docs, r.n_tokens, r.checksum)
+                for r in man.groupBy("shard_id")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("n_tokens").alias("n_tokens"),
+                    F.sum("checksum").alias("checksum"),
+                )
+                .collect()
+            ),
+        )
+
+    drain()
+    before = snapshot()
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert before[0] == n_docs_total
+
+    # crash window: drop the newest engine commit so the last batch replays
+    commits_dir = os.path.join(ckpt, "commits")
+    commits = sorted(
+        f for f in os.listdir(commits_dir) if not f.startswith(".")
+    )
+    os.remove(os.path.join(commits_dir, commits[-1]))
+    crc = os.path.join(commits_dir, f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    drain()  # replays the uncommitted batch
+    assert snapshot() == before  # same rows, same manifest — no dupes
+
+
 def test_minhash_gate_occupied_bucket_flags_lower_id(spark, tmp_path):
     """Occupancy semantics: a LOWER doc_id arriving in a later micro-batch
     into an occupied bucket is still flagged dup — the first kept doc owns
