@@ -22,6 +22,13 @@ is preserved bit-for-bit while no shingle is shared across copies). The
 pair workload then scales exactly N×, isolating the banded plan's
 shuffle/join law from the N²-per-clique pair blowup that replicated
 near-dup corpora impose by construction. Probes only the dedup family.
+
+--events replicates the EVENTS table instead (user_id and event_id
+shifted per copy, timestamps preserved — N× more users generating N×
+event density over the same wall-clock range, the honest shape of a
+service growing its user base) and probes the window/session/sequence
+family: per-user sessionization, daily windows, sweep-line concurrency,
+funnel, cohort retention, skew-proof distinct.
 """
 
 from __future__ import annotations
@@ -66,18 +73,100 @@ def main() -> None:
     from mapreduce_simulation_spark.staging import staging_dir
     from mapreduce_simulation_spark.tables import load_table
 
-    args = [a for a in sys.argv[1:] if a != "--unique"]
+    args = [
+        a for a in sys.argv[1:] if a not in ("--unique", "--events")
+    ]
     unique = "--unique" in sys.argv[1:]
+    events_mode = "--events" in sys.argv[1:]
     n_copies = int(args[0]) if args else 10
     spark = build_session("scale-probe")
     qs = e.queries()
-    probes = ["dedup_exact", "dedup_minhash_lsh"] if unique else PROBES
+    if unique:
+        probes = ["dedup_exact", "dedup_minhash_lsh"]
+    elif events_mode:
+        probes = [
+            "events_daily",
+            "sessionize_events",
+            "event_peak_concurrency",
+            "funnel_conversion",
+            "cohort_retention",
+            "skewed_distinct_users",
+        ]
+    else:
+        probes = PROBES
 
     from pyspark.sql import functions as F
 
+    big_dir = staging_dir("scaleprobe_")
+    if events_mode:
+        ev = load_table(spark, BASE, "events")
+        mx = ev.agg(
+            F.max("event_id").alias("e"), F.max("user_id").alias("u")
+        ).collect()[0]
+        eparts = []
+        for k in range(n_copies):
+            eparts.append(
+                ev.select(
+                    (F.col("event_id") + F.lit(k * (mx["e"] + 1))).alias(
+                        "event_id"
+                    ),
+                    "ts",
+                    (F.col("user_id") + F.lit(k * (mx["u"] + 1))).alias(
+                        "user_id"
+                    ),
+                    "event_type",
+                    "value",
+                    "props",
+                )
+            )
+        bigev = eparts[0]
+        for p in eparts[1:]:
+            bigev = bigev.unionByName(p)
+        os.makedirs(f"{big_dir}/d", exist_ok=True)
+        bigev.repartition(32).write.mode("overwrite").parquet(
+            f"{big_dir}/d/events.parquet"
+        )
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "documents embeddings".split()
+        ):
+            os.symlink(f"{BASE}/{t}.parquet", f"{big_dir}/d/{t}.parquet")
+        big_sf = f"{big_dir}/d"
+
+        def force(df) -> None:
+            df.write.format("noop").mode("overwrite").save()
+
+        force(qs["events_daily"](spark, BASE))  # warm
+        results = []
+        for name in probes:
+            row = {"query": name}
+            for label, sf in (("base", BASE), ("big", big_sf)):
+                t0 = time.perf_counter()
+                try:
+                    force(qs[name](spark, sf))
+                    row[label] = round(time.perf_counter() - t0, 2)
+                except Exception as ex:  # noqa: BLE001
+                    row[label] = None
+                    row["error"] = str(ex)[:120]
+                finally:
+                    release_tracked()
+            if row.get("base") and row.get("big"):
+                row["ratio"] = round(row["big"] / row["base"], 1)
+            results.append(row)
+            print(
+                f"{name:28s} base {row.get('base')}s  "
+                f"x{n_copies} {row.get('big')}s  ratio {row.get('ratio')}"
+            )
+        print(
+            json.dumps(
+                {"n_copies": n_copies, "events": True, "probes": results}
+            )
+        )
+        spark.stop()
+        return
+
     docs = load_table(spark, BASE, "documents")
     max_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    big_dir = staging_dir("scaleprobe_")
     parts = []
     for k in range(n_copies):
         if unique:
