@@ -364,6 +364,128 @@ WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
 ORDER BY name_a, name_b
 """
 
+ER_MAX_ITERATIONS = 20
+
+
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution DAG as one query — blocking → verify →
+    cluster → canonicalize, the composition ER deployments actually run
+    (the reference could only chain these as separate map/reduce jobs):
+
+      1. candidate blocking + exact verify: _fuzzy_pairs (inverted bigram
+         index, pigeonhole-complete, exact levenshtein on candidates);
+      2. transitive clustering: iterative min-label propagation over the
+         verified-pair graph, labels are the NAMES themselves
+         (lexicographic min is the deterministic canonical rule — both
+         engines compare binary UTF-8, and the fixpoint is unique);
+      3. canonicalization: every name mapped to its cluster's
+         lexicographically-least member; singletons map to themselves.
+
+    Output (name, canonical, cluster_size) — oracle is the exhaustive
+    pair join + a recursive-CTE reachability closure (the dedup_cc oracle
+    pattern on strings).
+
+    Scale: names are a type table (≪ corpus) and the edge list is the
+    verified near-match graph — both orders of magnitude below corpus
+    size, so the propagation loop shuffles match-graph-sized frames;
+    the corpus-scale stage is the blocking join, which shuffles (gram,
+    name) pairs exactly like dedup_ngram_jaccard. Each round is
+    localCheckpoint-truncated like the doc CC loop."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    pairs = _fuzzy_pairs(names).select("name_a", "name_b")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("name_b").alias("name_a"),
+                F.col("name_a").alias("name_b"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.groupBy("name_a")
+        .agg(F.min("name_b").alias("nbmin"))
+        .select(
+            F.col("name_a").alias("name"),
+            F.least("name_a", "nbmin").alias("comp"),
+        )
+        .localCheckpoint()
+    )
+    changed = -1
+    for _ in range(ER_MAX_ITERATIONS):
+        nbmin = (
+            edges.join(labels, edges["name_b"] == labels["name"])
+            .groupBy("name_a")
+            .agg(F.min("comp").alias("nb"))
+            .withColumnRenamed("name_a", "name")
+        )
+        stepped = (
+            labels.join(nbmin, "name", "left")
+            .select(
+                "name",
+                "comp",
+                F.least("comp", F.coalesce("nb", "comp")).alias("ncomp"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.where(F.col("ncomp") != F.col("comp")).count()
+        labels = stepped.select("name", F.col("ncomp").alias("comp"))
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            "ER label propagation did not converge within "
+            f"{ER_MAX_ITERATIONS} rounds — partial labels would diverge "
+            "from the recursive-CTE oracle"
+        )
+    singles = names.join(labels, "name", "left_anti").select(
+        "name", F.col("name").alias("comp")
+    )
+    comps = labels.unionByName(singles)
+    sizes = comps.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comps.join(sizes, "comp")
+        .select(
+            "name",
+            F.col("comp").alias("canonical"),
+            "cluster_size",
+        )
+        .orderBy("name")
+    )
+
+
+ENTITY_RESOLUTION_SQL = f"""
+WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b
+  FROM names a JOIN names b ON a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+),
+edges AS (
+  SELECT name_a AS src, name_b AS dst FROM pairs
+  UNION
+  SELECT name_b, name_a FROM pairs
+),
+reach(name, r) AS (
+  SELECT name, name FROM names
+  UNION
+  SELECT reach.name, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comps AS (SELECT name, min(r) AS canonical FROM reach GROUP BY name)
+SELECT c.name, c.canonical, s.cluster_size
+FROM comps c
+JOIN (SELECT canonical, count(*) AS cluster_size
+      FROM comps GROUP BY canonical) s USING (canonical)
+ORDER BY c.name
+"""
+
 
 # ---------------------------------------------------------------------------
 # Count-Min sketch (mergeable frequency estimation, exactly reproducible)

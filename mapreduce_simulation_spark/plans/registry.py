@@ -2015,6 +2015,13 @@ register(
 # Fuzzy entity matching: q-gram candidate join + exact edit-distance verify
 # (the exhaustive oracle proves candidate completeness).
 register("fuzzy_name_pairs", text.fuzzy_name_pairs, text.FUZZY_NAME_PAIRS_SQL)
+# The full ER DAG: blocking → verify → transitive clustering (min-label
+# propagation, names as labels) → canonicalization; recursive-CTE oracle.
+register(
+    "entity_resolution_pipeline",
+    text.entity_resolution_pipeline,
+    text.ENTITY_RESOLUTION_SQL,
+)
 
 # Weighted (PPS) sampling — registered here, past the driver window, so it
 # does not displace the long-green entries at the window boundary.
