@@ -109,6 +109,7 @@ PIPELINE = [
     "kmeans_assign_corpus",
     "ols_residuals_corpus",
     "stump_classify_corpus",
+    "entity_resolution_pipeline",
     # streaming_logreg_score intentionally NOT here: like
     # stateful_user_rollup, its wall time is fixed streaming machinery
     # (staging read, temp checkpoint, memory sink), not throughput;
