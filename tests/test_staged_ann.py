@@ -433,6 +433,64 @@ def test_stump_split_single_bin_corpus_returns_empty(spark, tmp_path):
     )
 
 
+def test_logreg_scoring_consistent_with_training_accuracy(spark):
+    """Train → serve coherence: the per-doc correctness flags emitted by
+    logreg_score_corpus must aggregate to EXACTLY the train_acc the
+    training query reports (same weights, same hard sigmoid, same floor
+    arithmetic) — a drift in either path breaks the tie."""
+    from mapreduce_simulation_spark.operators import mltrain as M
+
+    train = {
+        r.term: r.value6
+        for r in M.distributed_logreg_train(spark, SF_DIR).collect()
+    }
+    scored = M.logreg_score_corpus(spark, SF_DIR)
+    n = scored.count()
+    n_correct = scored.where("correct = 1").count()
+    assert (M.SCALE * n_correct) // n == train["train_acc"]
+
+
+def test_kmeans_assignment_matches_trained_centroid_argmin(spark):
+    """Every kmeans_assign_corpus distance must be the exact squared
+    distance to the REPORTED trained centroid, and no other centroid may
+    be strictly closer (ties to smaller cid)."""
+    from mapreduce_simulation_spark.operators import mltrain as M
+    from mapreduce_simulation_spark.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    cents = {}
+    for r in M.distributed_kmeans_train(spark, SF_DIR).collect():
+        cents.setdefault(r.cid, {})[r.dim] = r.value6
+    k = len(cents)
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast(
+                "long"
+            ),
+        ).alias("v"),
+    )
+    vecs = {r.vec_id: list(r.v) for r in emb.collect()}
+    got = {
+        r.vec_id: (r.cid, r.dist6)
+        for r in M.kmeans_assign_corpus(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(vecs)
+    for vid, (cid, d6) in got.items():
+        dists = [
+            sum(
+                (vecs[vid][j] - cents[c][j]) ** 2
+                for j in range(len(vecs[vid]))
+            )
+            for c in range(k)
+        ]
+        assert d6 == dists[cid]
+        best = min(range(k), key=lambda c: (dists[c], c))
+        assert cid == best
+
+
 def test_exact_ols_matches_fraction_solve(spark):
     """Exact-rational independent check: solve the normal equations with
     Python Fractions over the collected (x, y) pairs — the distributed
