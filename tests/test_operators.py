@@ -78,6 +78,38 @@ def test_gated_pipeline_kept_set_has_no_residual_pairs(spark, sf_dir):
     assert got["full_pairs"] == 0 or got["flagged_docs"] > 0
 
 
+def test_entity_resolution_clusters_are_transitive_closures(spark, sf_dir):
+    """Cluster invariants, independent of the oracle: every verified
+    fuzzy pair's endpoints share a cluster (transitivity respected), each
+    canonical is the lexicographic minimum of its members, cluster_size
+    counts members exactly, and every name appears exactly once."""
+    from collections import Counter
+
+    from mapreduce_simulation_spark.operators.text import (
+        _fuzzy_pairs,
+        entity_resolution_pipeline,
+    )
+    from mapreduce_simulation_spark.tables import load_table
+
+    rows = entity_resolution_pipeline(spark, sf_dir).collect()
+    canon = {r.name: r.canonical for r in rows}
+    size = {r.name: r.cluster_size for r in rows}
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    assert len(canon) == names.count()  # every name exactly once
+    members = Counter(canon.values())
+    for n, c in canon.items():
+        assert size[n] == members[c]
+        assert c <= n  # canonical is a minimum
+    for p in _fuzzy_pairs(names).collect():
+        assert canon[p.name_a] == canon[p.name_b], (p.name_a, p.name_b)
+    # at least one non-trivial cluster exists on TPC-H part names
+    assert any(v > 1 for v in members.values())
+
+
 def test_cc_star_contraction_handles_long_chain(spark):
     """A 200-node path graph has diameter 199: min-label propagation needs
     ~199 rounds (far beyond its cap and any sane budget), while star

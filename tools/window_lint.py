@@ -29,6 +29,11 @@ WHITELIST: dict[str, str] = {
     # tiny final ORDER BY over per-table/per-edge summary rows.
     "table_checksum": "one summary row per table through the exchange",
     "referential_audit": "one orphan-count row per FK edge",
+    "gated_dedup_pipeline": (
+        "six one-row global-count terms unioned, then the tiny final "
+        "ORDER BY — corpus-scale work is below the partial aggregates "
+        "(documented at the operator docstring, r10)"
+    ),
 }
 
 # Streaming queries execute eagerly on call (they drain a stream) — plan
