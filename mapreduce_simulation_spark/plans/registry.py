@@ -2344,6 +2344,38 @@ register(
     _tq.PROFIT_BY_NATION_YEAR_SQL,
 )
 register("not_in_customers", _tq.not_in_customers, _tq.NOT_IN_CUSTOMERS_SQL)
+# r10: the five remaining classic mechanisms expressible on this schema —
+# Q10 (top-k over a computed aggregate), Q12 (two-way conditional counts
+# over a fact-fact join), Q13 (outer-join histogram preserving unmatched
+# keys), Q17 (correlated per-group average threshold, decorrelated and
+# made integer-exact), Q19 (disjunction of conjunctive brackets). With
+# these, every TPC-H optimizer mechanism this schema can express has a
+# registered twin.
+register(
+    "returned_item_revenue",
+    _tq.returned_item_revenue,
+    _tq.RETURNED_ITEM_REVENUE_SQL,
+)
+register(
+    "linestatus_priority_counts",
+    _tq.linestatus_priority_counts,
+    _tq.LINESTATUS_PRIORITY_SQL,
+)
+register(
+    "customer_order_distribution",
+    _tq.customer_order_distribution,
+    _tq.CUSTOMER_ORDER_DIST_SQL,
+)
+register(
+    "small_quantity_revenue",
+    _tq.small_quantity_revenue,
+    _tq.SMALL_QUANTITY_REVENUE_SQL,
+)
+register(
+    "bracket_discount_revenue",
+    _tq.bracket_discount_revenue,
+    _tq.BRACKET_REVENUE_SQL,
+)
 
 
 # ---------------------------------------------------------------------------

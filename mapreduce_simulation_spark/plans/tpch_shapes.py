@@ -596,3 +596,250 @@ WHERE c_custkey NOT IN (
 )
 ORDER BY c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item revenue ranking (top-k over a 4-table agg)
+# ---------------------------------------------------------------------------
+
+Q10_YEAR = 1996
+
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the customers who returned the most revenue in
+    one year — join returned lineitems (l_returnflag = 'R') through
+    orders to customer + nation, aggregate revenue per customer, keep the
+    top 20. The mechanism: a fact-fact join feeding a grouped top-k whose
+    ORDER BY is a computed aggregate.
+
+    Exactness: revenue is a decimal accumulation (order-independent, so
+    both engines compute the identical double) and the top-20 ties break
+    on c_custkey. Scale: lineitem⋈orders is the only fact-fact shuffle
+    (both filtered first — returnflag and order year); customer/nation
+    broadcast; the rank runs on the |customers| aggregate with a
+    WindowGroupLimit-able global top-k (LIMIT, not a window)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(F.year("o_orderdate") == Q10_YEAR),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_custkey")
+        .agg(_dec_sum(rev, "revenue"))
+    )
+    return (
+        agg.join(broadcast(cust), agg.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"),
+            "c_acctbal", "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_REVENUE_SQL = f"""
+SELECT c_custkey, c_name, n_name AS nation, c_acctbal,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey AND year(o_orderdate) = {Q10_YEAR}
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: two-way conditional counts over a fact-fact join
+# ---------------------------------------------------------------------------
+
+Q12_YEAR = 1997
+
+
+def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → linestatus, the column this schema
+    has): for lineitems shipped in one year, per line status count the
+    orders with HIGH priority (1-URGENT / 2-HIGH) vs everything else —
+    the two-CASE-sum conditional aggregation over a fact-fact join.
+
+    Exactness: pure integer counts. Scale: both facts filtered before
+    the single keyed shuffle; the aggregate is |statuses| rows with full
+    map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(F.year("l_shipdate") == Q12_YEAR)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+LINESTATUS_PRIORITY_SQL = f"""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = {Q12_YEAR}
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: distribution of customers by order count (outer-join histogram)
+# ---------------------------------------------------------------------------
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly N qualifying
+    orders — INCLUDING the zero-order customers, which is the whole
+    point: a LEFT OUTER join with the predicate on the join's right side
+    (qualifying = not LOW priority), a per-customer count that counts
+    only matched rows, then a second aggregation over the counts. Two
+    stacked GROUP BYs where the inner one must preserve unmatched keys —
+    the mechanism no inner-join formulation can express.
+
+    Exactness: integer counts end to end. Scale: the outer join shuffles
+    on custkey; the histogram aggregate is |distinct counts| rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+CUSTOMER_ORDER_DIST_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape: correlated per-group average threshold, decorrelated
+# ---------------------------------------------------------------------------
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue that would be lost by not
+    filling small orders — lineitems whose quantity is below HALF their
+    part's average quantity. The mechanism: a correlated per-group
+    aggregate threshold, decorrelated into (per-part aggregate) ⋈ fact.
+
+    Exactness: quantities in this dataset are integral doubles, so the
+    threshold comparison runs in EXACT integer arithmetic — qty <
+    0.5·(sum/cnt) rewritten as 2·qty·cnt < sum with longs (never a
+    float divide); the final figure is one decimal accumulation and ONE
+    IEEE division by 7.0, identical in both engines. Scale: the per-part
+    aggregate is |parts| rows and broadcasts back onto the fact scan —
+    one lineitem pass plus a tiny build side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(q).alias("qsum"),
+            F.count(F.lit(1)).alias("qcnt"),
+        )
+        .withColumnRenamed("l_partkey", "pk")
+    )
+    rev = F.col("l_extendedprice")
+    return (
+        li.join(broadcast(per_part), li.l_partkey == F.col("pk"))
+        .where((F.lit(2) * q * F.col("qcnt")) < F.col("qsum"))
+        .agg(_dec_sum(rev, "total"))
+        .select(
+            (F.col("total") / F.lit(7.0)).alias("avg_yearly_revenue")
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH pp AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum,
+         count(*) AS qcnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(22,4))) AS DOUBLE) / 7.0
+         AS avg_yearly_revenue
+FROM lineitem JOIN pp ON l_partkey = pk
+WHERE 2 * CAST(l_quantity AS BIGINT) * qcnt < qsum
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunction of conjunctive brackets (OR-of-ANDs pushdown)
+# ---------------------------------------------------------------------------
+
+def bracket_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three disjoint (brand, size range,
+    quantity range) brackets OR'd together — the disjunctive-predicate
+    mechanism that stresses CNF conversion and join-predicate pushdown:
+    each disjunct constrains BOTH sides (part attributes AND lineitem
+    quantity), so a naive plan joins first and filters later while the
+    right plan pushes the part-side disjunction into the build side.
+
+    Exactness: one decimal accumulation. Scale: part filtered by the
+    OR'd brand/size predicate before broadcasting; one lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 10)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(11, 25)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(26, 50)
+           & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(bracket).agg(_dec_sum(rev, "revenue"))
+
+
+BRACKET_REVENUE_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 11 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 26 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+"""
