@@ -114,6 +114,11 @@ PIPELINE = [
     # stateful_user_rollup, its wall time is fixed streaming machinery
     # (staging read, temp checkpoint, memory sink), not throughput;
     # the sweep + driver gate still verify it.
+    # The five r10 TPC-H completions (Q10/Q12/Q13/Q17/Q19) are also NOT
+    # here: plain join/agg shapes whose performance profile the headline
+    # and extended sets already cover (revenue_by_nation, promo_ratio,
+    # left_outer_order_counts, min_cost_supplier, ...); adding them
+    # would grow bench wall time without new signal.
 ]
 
 
