@@ -232,6 +232,21 @@ _PROMOTE = (
 # oracle in tools/verify_local.py instead; see PLANS.md "driver-evidence
 # endgame" table) — plus stateful_user_rollup_tws (env-gated on protobuf,
 # pinned behind the window so its position never depends on the driver env).
+#
+# Round-11 rotation DRAFT (apply next round; update DRIVER_WINDOW_R10 →
+# _R11 in the same commit and run tools/preflight.py): assuming a green
+# r10 window, the exact-oracle names with no driver row are exactly the
+# 14 round-10 additions — gated_dedup_pipeline, streaming_shard_ingest,
+# shard_export_manifest, logreg_score_corpus, kmeans_assign_corpus,
+# ols_residuals_corpus, stump_classify_corpus, streaming_logreg_score,
+# entity_resolution_pipeline, returned_item_revenue,
+# linestatus_priority_counts, customer_order_distribution,
+# small_quantity_revenue, bracket_discount_revenue. Back-fill the other
+# 36 slots with the stalest greens (r1: streaming_dedup_keys; the
+# r3 cohort: constant_key_collapse, dedup_connected_components_stars,
+# embedding_near_dup, union_sources; then r4: distinct_words,
+# global_sort, udtf_word_count, text_dir_word_count, grep, ... oldest
+# first by last-green round, computable with the PLANS.md recipe).
 _DEMOTE = (
     # round-8 demotions: r4/r6/r7 driver-green single-mechanism rows whose
     # families keep stronger representatives in the window (each remains
