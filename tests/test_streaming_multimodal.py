@@ -1053,6 +1053,28 @@ def test_streaming_shard_ingest_multibatch_manifest_parity(spark, sf_dir):
     assert got == want and len(got) == 16
 
 
+def test_streaming_scorer_equals_batch_scorer(spark, sf_dir):
+    """Online inference ≡ offline inference: draining the streaming
+    scorer over the staged corpus must produce row-for-row the batch
+    scoring pass (same staged weights, same feature arithmetic) — the
+    guarantee that lets a deployment score at ingestion without a
+    nightly re-score drifting away."""
+    from mapreduce_simulation_spark.operators.mltrain import (
+        logreg_score_corpus,
+        streaming_logreg_score,
+    )
+
+    batch = {
+        r.doc_id: (r.score6, r.predicted, r.correct)
+        for r in logreg_score_corpus(spark, sf_dir).collect()
+    }
+    stream = {
+        r.doc_id: (r.score6, r.predicted, r.correct)
+        for r in streaming_logreg_score(spark, sf_dir).collect()
+    }
+    assert stream == batch and len(batch) > 0
+
+
 def test_shard_ingest_replayed_batch_is_exactly_once(spark, sf_dir, tmp_path):
     """Crash-replay the shard export: drain with an explicit checkpoint,
     delete the last engine commit (sink committed, commit lost — the
