@@ -748,17 +748,23 @@ hist AS (
   FROM raw WHERE len(ws) > 0
   GROUP BY 1
 ),
-tot AS (SELECT sum(pos) AS tp, sum(neg) AS tn FROM hist),
+tot AS (
+  -- CAST back to BIGINT: DuckDB promotes sum(BIGINT) to HUGEINT, which
+  -- fetchdf() renders as float64 (248.0 vs Spark's 248) and breaks the
+  -- driver's value hash even when the values are identical.
+  SELECT CAST(sum(pos) AS BIGINT) AS tp,
+         CAST(sum(neg) AS BIGINT) AS tn FROM hist
+),
 cand AS (
   SELECT bin,
-         sum(pos) OVER (ORDER BY bin) AS cp,
-         sum(neg) OVER (ORDER BY bin) AS cn
+         CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp,
+         CAST(sum(neg) OVER (ORDER BY bin) AS BIGINT) AS cn
   FROM hist
   QUALIFY bin < (SELECT max(bin) FROM hist)
 ),
 scored AS (
   SELECT bin, cp, cn,
-         least(cp, cn) + least(t.tp - cp, t.tn - cn) AS err
+         CAST(least(cp, cn) + least(t.tp - cp, t.tn - cn) AS BIGINT) AS err
   FROM cand, tot t
 ),
 best AS (

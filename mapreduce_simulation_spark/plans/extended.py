@@ -88,18 +88,31 @@ def moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quantiles_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of line price per return flag —
-    Spark `percentile` ≡ DuckDB `quantile_cont` (verified bit-equal)."""
+    Spark `percentile` ≡ DuckDB `quantile_cont` (verified bit-equal).
+    Emitted as one row per (flag, p) — scalar columns only, because the
+    driver's pandas canonicalizer cannot hash ARRAY outputs."""
     li = load_table(spark, sf_dir, "lineitem")
+    ps = [0.25, 0.5, 0.9, 0.99]
     qs = F.percentile(
-        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9), F.lit(0.99))
+        "l_extendedprice", F.array(*[F.lit(p) for p in ps])
     )
+    agg = li.groupBy("l_returnflag").agg(
+        qs.alias("qs"), F.count(F.lit(1)).alias("n")
+    )
+    p_arr = F.array(*[F.lit(p) for p in ps])
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            qs.alias("price_quantiles"),
-            F.count(F.lit(1)).alias("n"),
+        agg.select(
+            "l_returnflag",
+            F.posexplode("qs").alias("i", "price_quantile"),
+            "n",
         )
-        .orderBy("l_returnflag")
+        .select(
+            "l_returnflag",
+            F.element_at(p_arr, F.col("i") + 1).alias("p"),
+            "price_quantile",
+            "n",
+        )
+        .orderBy("l_returnflag", "p")
     )
 
 
@@ -593,7 +606,11 @@ def nation_top_customer_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         top.groupBy("c_nationkey")
         .agg(
-            F.sort_array(F.collect_list("c_custkey")).alias("top_custkeys"),
+            # Serialized as a CSV string: the driver's pandas canonicalizer
+            # cannot hash ARRAY columns, and the sorted join pins order.
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("c_custkey"))
+            ).alias("top_custkeys"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("c_nationkey")

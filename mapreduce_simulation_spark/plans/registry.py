@@ -1418,11 +1418,21 @@ register(
     "quantiles_summary",
     _ext.quantiles_summary,
     """
-    SELECT l_returnflag,
-           quantile_cont(l_extendedprice, [0.25, 0.5, 0.9, 0.99])
-             AS price_quantiles,
-           count(*) AS n
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q25,
+             quantile_cont(l_extendedprice, 0.50) AS q50,
+             quantile_cont(l_extendedprice, 0.90) AS q90,
+             quantile_cont(l_extendedprice, 0.99) AS q99,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(p AS DOUBLE) AS p, price_quantile, n
+    FROM (
+      SELECT l_returnflag, 0.25 AS p, q25 AS price_quantile, n FROM q
+      UNION ALL SELECT l_returnflag, 0.50, q50, n FROM q
+      UNION ALL SELECT l_returnflag, 0.90, q90, n FROM q
+      UNION ALL SELECT l_returnflag, 0.99, q99, n FROM q)
+    ORDER BY l_returnflag, p
     """,
 )
 
@@ -1558,7 +1568,7 @@ register(
     _ext.nation_top_customer_lists,
     """
     SELECT c_nationkey,
-           list_sort(list(c_custkey)) AS top_custkeys,
+           array_to_string(list_sort(list(c_custkey)), ',') AS top_custkeys,
            count(*) AS n
     FROM (
       SELECT c_nationkey, c_custkey,
