@@ -115,26 +115,91 @@ HEAVY_HITTERS_TOP = 20
 
 
 def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate frequent tokens via a per-partition Misra-Gries sketch
-    (MG_CAPACITY counters) merged by key — the bounded-memory answer when
-    the key space itself doesn't fit (exact word_count shuffles every
-    distinct key; the sketch shuffles ≤ MG_CAPACITY rows per partition no
-    matter how large the vocabulary grows).
+    """Exact heavy hitters through a two-pass Misra-Gries pipeline — the
+    bounded-memory answer when the key space itself doesn't fit (exact
+    word_count shuffles every distinct key; the sketch pass shuffles
+    ≤ MG_CAPACITY rows per partition no matter how large the vocabulary
+    grows):
 
-    Guarantee (classic MG): each partition undercounts any token by at most
-    n_p / MG_CAPACITY, so the merged count is a lower bound within
-    N / MG_CAPACITY of truth, and every token with true frequency above
-    that error bound survives the sketch. The per-batch merge (add the
-    batch's counts, then subtract the (capacity+1)-th largest and drop
-    non-positives) preserves the bound.
+      pass 1 (sketch): per-partition MG with MG_CAPACITY counters. The
+        classic guarantee — each partition undercounts any token by less
+        than n_p/(MG_CAPACITY+1) (the per-batch merge, adding batch counts
+        then subtracting the (capacity+1)-th largest and dropping
+        non-positives, preserves the bound) — means every token with
+        global frequency ≥ N/MG_CAPACITY must survive in at least one
+        partition's sketch (pigeonhole over the partition totals). The
+        surviving words are the CANDIDATE set: ≤ capacity × partitions
+        rows, broadcastable at any corpus size.
+      pass 2 (exact recount): a broadcast semi-join restricts the token
+        stream to candidates, one partial-agg count per candidate, filter
+        to count × MG_CAPACITY ≥ N.
 
-    Output: top HEAVY_HITTERS_TOP tokens by merged sketched count (lower
-    bounds). Sketch values legitimately depend on the partitioning, so
-    exact hashing doesn't apply — the MG guarantee itself is the checked
-    oracle: tools/verify_local.py verifies every returned count is a
-    lower bound within N/MG_CAPACITY of the DuckDB exact count (registry
-    SKETCH_ORACLES, status sketch_ok); tests assert the same contract.
-    """
+    Because candidates provably form a superset of the true heavy hitters,
+    the OUTPUT — every token with frequency ≥ N/MG_CAPACITY and its exact
+    count — is deterministic regardless of partitioning, so the driver
+    hash-checks it against a plain GROUP BY / HAVING oracle. The MG
+    lower-bound contract of the sketch pass itself is still asserted in
+    tests (SKETCH_ORACLES retains the per-count bound check).
+
+    This is the production shape (sketch to prune, exact pass to
+    confirm): two corpus scans, but the shuffle of pass 1 is capacity-
+    bounded and pass 2's is candidate-bounded — neither grows with the
+    vocabulary."""
+    from pyspark.sql import functions as F
+
+    from .text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for word, cnt in pdf["word"].value_counts().items():
+                counters[word] = counters.get(word, 0) + int(cnt)
+            if len(counters) > MG_CAPACITY:
+                cut = sorted(counters.values(), reverse=True)[MG_CAPACITY]
+                counters = {
+                    w: c - cut for w, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame(
+            {"word": list(counters), "mg_count": list(counters.values())}
+        )
+
+    sketch = tok.mapInPandas(mg_partition, "word string, mg_count bigint")
+    candidates = sketch.select("word").distinct()
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        tok.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") * MG_CAPACITY >= F.col("total"))
+        .select("word", "n")
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+    )
+
+
+HEAVY_HITTERS_SQL = rf"""
+WITH tok AS (
+  SELECT unnest(list_filter(str_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+tot AS (SELECT count(*) AS total FROM tok),
+cnt AS (SELECT word, count(*) AS n FROM tok GROUP BY word)
+SELECT word, n FROM cnt, tot
+WHERE n * {MG_CAPACITY} >= total
+ORDER BY n DESC, word
+"""
+
+
+def mg_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw merged Misra-Gries sketch (word, sketch_count lower bounds),
+    top HEAVY_HITTERS_TOP — kept for the SKETCH_ORACLES bound check and
+    tests; values legitimately depend on the partitioning, which is why
+    the registered heavy_hitters_sketch query serves the exact two-pass
+    result instead."""
     from pyspark.sql import functions as F
 
     from .text import tokens

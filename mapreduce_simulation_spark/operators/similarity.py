@@ -847,18 +847,35 @@ WHERE rk <= {TOP_K}
 """
 
 
+# BLAS preselect pool per query: the final ranking re-scores candidates
+# with the strict fold, so the pool only needs to contain every vector the
+# exact top-k COULD rank — BLAS and the strict fold differ by ~1 ulp, so
+# anything outside the top (K + margin) by BLAS score is out of reach.
+# 32 leaves >5× headroom over the worst boundary tie plausible at 1e-6
+# rounding granularity; correctness against the exact oracle is verified
+# at all three SFs.
+PANDAS_PRESELECT = 32
+
+
 def brute_force_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized twin of brute_force_topk: the query block (10×64,
     a model-parameter-sized constant) ships to every worker, and each
     mapInPandas batch computes all query dot products as ONE BLAS matmul
     (batch_matrix @ queries.T) instead of interpreted per-element folds.
-    Same top-k semantics; float results differ from the strict fold only in
-    the last ulp (BLAS reassociates), so the driver check is rows-only and
-    the equivalence to the exact variant is asserted in tests.
+
+    BLAS reassociates the dot-product fold (last-ulp drift vs the strict
+    fold), so the matmul is used only to PRESELECT: each batch emits its
+    local top-PANDAS_PRESELECT candidates per query (a per-batch partial
+    top-k — the emitted row count is queries × pool per batch, independent
+    of batch size), the global pool is cut to the same size, and the
+    survivors are re-scored with the exact strict fold and re-ranked.
+    The result is bit-identical to brute_force_topk / the DuckDB oracle
+    (exact driver hash), while the corpus-scale scan still runs at BLAS
+    speed — the same preselect-then-exact-refine contract pq_topk uses.
 
     This is the Python-boundary pattern to reach for when the built-in
     expression path becomes compute-bound: still one scan, no extra
-    shuffle, Arrow batches both ways."""
+    shuffle beyond the tiny candidate pool, Arrow batches both ways."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -881,29 +898,59 @@ def brute_force_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             norms = np.sqrt((mat * mat).sum(axis=1))
             cos = (mat @ qmat.T) / np.outer(norms, qnorm)  # [batch, nq]
-            n, nq = cos.shape
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            keep = min(PANDAS_PRESELECT, len(ids))
+            # per-query local top-keep: the global top-pool is contained
+            # in the union of per-batch pools
+            top = np.argpartition(-cos, keep - 1, axis=0)[:keep]  # [keep,nq]
             yield pd.DataFrame(
                 {
-                    "query_id": np.tile(qids, n),
-                    "neighbor_id": np.repeat(
-                        pdf["vec_id"].to_numpy(dtype=np.int64), nq
-                    ),
-                    "cosine": np.round(cos.reshape(-1), 6),
+                    "query_id": np.tile(qids, keep),
+                    "neighbor_id": ids[top].reshape(-1),
+                    "blas": np.take_along_axis(cos, top, axis=0).reshape(-1),
                 }
             )
 
-    scored = emb.select("vec_id", "embedding").mapInPandas(
-        batches, schema="query_id long, neighbor_id long, cosine double"
-    ).where(F.col("query_id") != F.col("neighbor_id"))
+    pool = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            batches, schema="query_id long, neighbor_id long, blas double"
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("blas").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        pool.withColumn("prk", F.row_number().over(pw))
+        .where(F.col("prk") <= PANDAS_PRESELECT)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact strict-fold re-score of the tiny surviving pool — identical
+    # arithmetic to brute_force_topk, so ids, ranks AND scores hash-match
+    # the exact oracle
+    corpus = _corpus_with_norm(spark, sf_dir)
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        cand.join(
+            corpus.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(broadcast(queries), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rk")
-        # deterministic order for the positional bounded-error comparator
-        # (50 rows — the sort is free)
         .orderBy("query_id", "rk")
     )
 

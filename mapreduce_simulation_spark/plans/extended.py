@@ -349,24 +349,71 @@ def pandas_scalar_digit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale variant of events_daily: approx_count_distinct (HLL++) for the
-    user count. The exact distinct needs a second expand-exchange over
-    (day, type, user); the sketch folds into the ordinary partial/final
-    aggregation — one exchange total, constant memory per group. ~2%
-    standard error → no SQL oracle (rows-only); the accuracy envelope vs
-    the exact count is asserted in tests."""
+    """Scale variant of events_daily: approximate distinct users per
+    (day, type) via the engine's deterministic HLL (functions/hll.py).
+    The exact distinct needs a second expand-exchange over (day, type,
+    user); the sketch folds into two ordinary partial/final aggregations
+    whose shuffle is bounded by min(users, HLL_M) register rows per group
+    — constant memory per group at any corpus size.
+
+    Unlike approx_count_distinct (whose HLL++ internals DuckDB cannot
+    replay → rows-only forever), every step here — hash, register, rank,
+    estimate — is bit-reproducible cross-engine, so the driver value-hash
+    checks the estimates exactly; the accuracy envelope vs the exact
+    count is additionally asserted in tests."""
+    from ..functions import hll as H
+
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
+    reg, rho = H.hll_register_cols("user_id")
+    state = (
+        ev.select(
             F.col("ts").cast("date").alias("day"),
             "event_type",
+            reg.alias("reg"),
+            rho.alias("rho"),
         )
+        .groupBy("day", "event_type", "reg")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.max("rho").alias("maxrho"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return (
+        H.hll_group_estimate(
+            state,
+            ["day", "event_type"],
+            spark,
+            extra_sums={"n_events": "n_rows"},
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("approx").alias("n_users_approx"),
         )
         .orderBy("day", "event_type")
     )
+
+
+def _events_daily_approx_sql() -> str:
+    from ..functions import hll as H
+
+    return f"""
+WITH lc AS {H.lc_table_cte()},
+state AS ({H.hll_state_sql(
+        "(SELECT CAST(ts AS DATE) AS day, event_type, user_id FROM events)",
+        "user_id",
+        "day, event_type",
+    )})
+SELECT day, event_type, n_events, approx AS n_users_approx
+FROM ({H.hll_estimate_sql(
+        "day, event_type", "sum(n_rows) AS n_events"
+    )})
+ORDER BY day, event_type
+"""
+
+
+EVENTS_DAILY_APPROX_SQL = _events_daily_approx_sql()
 
 
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1766,34 +1813,77 @@ ORDER BY e.event_id
 
 
 def hll_monthly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches: per-DAY HLL sketches of active
-    users, union-merged up to months with NO access to the raw data —
-    the property that makes sketch tables a 100 TB staple (compute once
-    per partition/day at ingest, merge for any coarser rollup later;
-    exact distinct would need the raw user ids again). Uses the Datasketches
-    HLL aggregates built into Spark 4 (hll_sketch_agg / hll_union_agg /
-    hll_sketch_estimate).
+    """Mergeable distinct-count sketches: per-DAY HLL register states of
+    active users, union-merged up to months with NO access to the raw
+    data — the property that makes sketch tables a 100 TB staple (compute
+    once per partition/day at ingest, merge for any coarser rollup later;
+    exact distinct would need the raw user ids again). The merge IS
+    max(rho) per register — associative and idempotent, so the monthly
+    state from merged daily sketches is identical to one built from raw
+    events.
 
-    Rows-only check (the sketch binary is engine-specific); the estimate's
-    relative error vs exact distinct is asserted in tests — the meaningful
-    property for an approximate operator."""
+    Built on the engine's deterministic HLL (functions/hll.py) instead of
+    the engine-specific Datasketches binaries, so the driver value-hash
+    checks the estimates exactly; the estimate's relative error vs exact
+    distinct is additionally asserted in tests."""
+    from ..functions import hll as H
+
     ev = load_table(spark, sf_dir, "events")
+    reg, rho = H.hll_register_cols("user_id")
     daily = (
-        ev.select(F.to_date("ts").alias("day"), "user_id")
-        .groupBy("day")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        ev.select(F.to_date("ts").alias("day"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("maxrho"))
     )
-    return (
+    monthly_state = (
         daily.groupBy(
             F.year("day").cast("int").alias("yr"),
             F.month("day").cast("int").alias("mo"),
+            "reg",
         )
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_days"),
+        .agg(F.max("maxrho").alias("maxrho"))
+    )
+    n_days = (
+        daily.select("day")
+        .distinct()
+        .groupBy(
+            F.year("day").cast("int").alias("yr"),
+            F.month("day").cast("int").alias("mo"),
         )
+        .agg(F.count(F.lit(1)).alias("n_days"))
+    )
+    return (
+        H.hll_group_estimate(monthly_state, ["yr", "mo"], spark)
+        .join(F.broadcast(n_days), ["yr", "mo"])
+        .select("yr", "mo", F.col("approx").alias("approx_users"), "n_days")
         .orderBy("yr", "mo")
     )
+
+
+def _hll_monthly_users_sql() -> str:
+    from ..functions import hll as H
+
+    return f"""
+WITH lc AS {H.lc_table_cte()},
+state AS ({H.hll_state_sql(
+        "(SELECT CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mo,"
+        " user_id FROM events)",
+        "user_id",
+        "yr, mo",
+    )}),
+nd AS (
+  SELECT CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mo,
+         count(DISTINCT CAST(ts AS DATE)) AS n_days
+  FROM events GROUP BY 1, 2
+)
+SELECT e.yr AS yr, e.mo AS mo, e.approx AS approx_users, nd.n_days AS n_days
+FROM ({H.hll_estimate_sql("yr, mo")}) e
+JOIN nd ON nd.yr = e.yr AND nd.mo = e.mo
+ORDER BY yr, mo
+"""
+
+
+HLL_MONTHLY_USERS_SQL = _hll_monthly_users_sql()
 
 
 def xml_source_customers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -433,25 +433,11 @@ def recall_oracles() -> dict[str, dict]:
 # "sketch_ok" with the worst observed error as a fraction of the bound.
 # ---------------------------------------------------------------------------
 
-SKETCH_ORACLES: dict[str, dict] = {
-    "heavy_hitters_sketch": {
-        # Exact token counts over the same tokenizer (lowercased
-        # whitespace split, empties dropped) heavy_hitters_sketch streams.
-        "sql": r"""
-SELECT word, count(*) AS exact_count
-FROM (
-  SELECT unnest(list_filter(str_split_regex(lower(text), '\s+'),
-                            x -> x <> '')) AS word
-  FROM documents
-)
-GROUP BY word
-""",
-        "word_col": "word",
-        "count_col": "sketch_count",
-        "capacity": 64,  # pandas_ops.MG_CAPACITY — bound is N/capacity
-        "expected_rows": 20,  # pandas_ops.HEAVY_HITTERS_TOP
-    },
-}
+# Empty since round 11: heavy_hitters_sketch became the two-pass exact
+# query (sketch prunes, exact recount confirms) and carries a plain
+# GROUP BY/HAVING oracle; the raw merged-sketch lower-bound contract is
+# asserted in tests against pandas_ops.mg_sketch_merged.
+SKETCH_ORACLES: dict[str, dict] = {}
 
 
 def sketch_oracles() -> dict[str, dict]:
@@ -1016,11 +1002,13 @@ register(
 # IVF is approximate vs brute force but its *procedure* is deterministic,
 # so the oracle replicates the full algorithm (assign → probe → re-score).
 register("similarity_ivf_topk", similarity.ivf_topk, similarity.IVF_TOPK_SQL)
-# BLAS matmul reassociates float sums (differs from the strict fold in the
-# last ulp) → rows-only here; equivalence to the exact variant is asserted
-# in tests.
+# BLAS matmul only PRESELECTS (per-batch partial top-k); the surviving
+# pool is re-scored with the exact strict fold, so the result is
+# bit-identical to the brute-force oracle → exact driver hash.
 register(
-    "similarity_topk_pandas", similarity.brute_force_topk_pandas, None
+    "similarity_topk_pandas",
+    similarity.brute_force_topk_pandas,
+    similarity.BRUTE_FORCE_TOPK_SQL,
 )
 
 # ---------------------------------------------------------------------------
@@ -1494,9 +1482,15 @@ register(
     """,
 )
 
-# HLL++ sketch — approximate by design → rows-only driver check; the
-# accuracy envelope vs exact count_distinct is asserted in tests.
-register("events_daily_approx", _ext.events_daily_approx, None)
+# Deterministic cross-engine HLL (functions/hll.py): the oracle replays
+# hash → register → rank → estimate bit-for-bit, so the approximate
+# counts themselves are value-hash-checked; the accuracy envelope vs
+# exact count_distinct is asserted in tests.
+register(
+    "events_daily_approx",
+    _ext.events_daily_approx,
+    _ext.EVENTS_DAILY_APPROX_SQL,
+)
 
 register(
     "pivot_revenue_by_status",
@@ -1664,12 +1658,17 @@ from ..operators.pandas_ops import (  # noqa: E402
 
 register("embedding_argmax_arrow", _argmax_arrow, _argmax_sql)
 
-# Misra-Gries heavy hitters: rows-only by design — sketch contents depend
-# on the partitioning; the N/capacity accuracy contract is asserted in
-# tests against exact counts.
-from ..operators.pandas_ops import heavy_hitters_sketch as _mg_hh  # noqa: E402
+# Misra-Gries heavy hitters, two-pass (sketch prunes → exact recount):
+# the MG superset guarantee makes the output — every token with frequency
+# ≥ N/capacity plus its exact count — partitioning-independent, so the
+# driver hash-checks it against a plain GROUP BY/HAVING oracle. The raw
+# sketch's lower-bound contract stays asserted in tests (mg_sketch_merged).
+from ..operators.pandas_ops import (  # noqa: E402
+    HEAVY_HITTERS_SQL as _mg_hh_sql,
+    heavy_hitters_sketch as _mg_hh,
+)
 
-register("heavy_hitters_sketch", _mg_hh, None)
+register("heavy_hitters_sketch", _mg_hh, _mg_hh_sql)
 
 # MERGE/upsert as full-outer reconciliation; the oracle replays the same
 # updates feed with SQL set logic.
@@ -1937,9 +1936,12 @@ register("csv_bad_records", _ext.csv_bad_records, _ext.CSV_BAD_RECORDS_SQL)
 # declarative interval join.
 register("scd2_point_in_time", _ext.scd2_point_in_time, _ext.SCD2_PIT_SQL)
 
-# Mergeable HLL sketch rollup (daily sketches → monthly union-merge);
-# engine-specific sketch binary → rows-only, error bound tested.
-register("hll_monthly_users", _ext.hll_monthly_users, None)
+# Mergeable HLL sketch rollup (daily register states → monthly max-merge)
+# on the deterministic cross-engine HLL — exact value-hash oracle; the
+# error bound vs exact distinct is asserted in tests.
+register(
+    "hll_monthly_users", _ext.hll_monthly_users, _ext.HLL_MONTHLY_USERS_SQL
+)
 
 # XML source roundtrip with explicit schema (Spark 4 built-in).
 register(

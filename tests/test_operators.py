@@ -454,17 +454,16 @@ def test_repetition_stats_consistent_with_token_counts(spark, sf_dir):
 
 
 def test_heavy_hitters_sketch_contract(spark, sf_dir):
-    """The merged Misra-Gries counts must be lower bounds within
-    N/capacity of the exact counts, and every token whose exact count
-    clears the error bound must be in the sketch's top list."""
+    """Two contracts: (1) the registered two-pass query returns EXACTLY the
+    tokens with frequency ≥ N/capacity with exact counts (partitioning-
+    independent — the MG superset guarantee); (2) the raw merged sketch's
+    counts are lower bounds within N/capacity of the exact counts, and
+    every token clearing the error bound appears in the sketch's top list."""
     from pyspark.sql import functions as F
 
     from mapreduce_simulation_spark.operators import pandas_ops as po
     from mapreduce_simulation_spark.operators.text import tokens
     from mapreduce_simulation_spark.tables import load_table
-
-    got = {r.word: r.sketch_count for r in po.heavy_hitters_sketch(spark, sf_dir).collect()}
-    assert len(got) == po.HEAVY_HITTERS_TOP
 
     exact_df = (
         load_table(spark, sf_dir, "documents")
@@ -475,6 +474,22 @@ def test_heavy_hitters_sketch_contract(spark, sf_dir):
     exact = {r.word: r["count"] for r in exact_df.collect()}
     n_total = sum(exact.values())
     err = n_total / po.MG_CAPACITY
+
+    # (1) the registered query: exact heavy hitters, exact counts
+    hh = {
+        r.word: r.n for r in po.heavy_hitters_sketch(spark, sf_dir).collect()
+    }
+    want = {
+        w: c for w, c in exact.items() if c * po.MG_CAPACITY >= n_total
+    }
+    assert hh == want
+
+    # (2) the raw sketch: MG lower-bound containment
+    got = {
+        r.word: r.sketch_count
+        for r in po.mg_sketch_merged(spark, sf_dir).collect()
+    }
+    assert len(got) == po.HEAVY_HITTERS_TOP
 
     for w, c in got.items():
         assert c <= exact[w], (w, c, exact[w])
