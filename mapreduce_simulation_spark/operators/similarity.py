@@ -574,73 +574,97 @@ def _staged_ivf_assign(
 
 # Codebook training sample cap: k-means for a k≤16 codebook needs a few
 # thousand representative vectors, not the corpus. The cap bounds BOTH the
-# driver memory (16384 × 64 doubles ≈ 8 MB) and the training cost
+# driver memory (16384 × 64 longs ≈ 8 MB) and the training cost
 # regardless of corpus size — at 100 TB the sample is still 16384 rows,
-# selected by a single TakeOrdered over xxhash64 (uniform, deterministic).
+# selected by a single TakeOrdered over the engine's shared affine hash
+# (uniform, deterministic, and — unlike xxhash64 — bit-reproducible in
+# DuckDB, which is what lets the trained-codebook oracles replay the fit).
 TRAIN_CAP = 16384
+
+# Integer-exact codebook training (round 11): Lloyd's over 1e-6-quantized
+# vectors with floor-division M-steps — the same exact-arithmetic recipe
+# distributed_kmeans_train proved out (operators/mltrain.py), here run
+# driver-side over the capped sample. Every step (sample selection, init,
+# assignment ties, centroid updates) is integer arithmetic, so the DuckDB
+# oracle replays the ENTIRE fit as unrolled CTEs and the trained-IVF/PQ
+# queries get exact value-hash checks instead of rows-only.
+CB_ITERS = 3
+CB_SCALE = 1_000_000
+
+from ..functions.hashing import MINHASH_PERMS as _PERMS, P as _HASH_P
+
+(_CB_A, _CB_B) = _PERMS[2]  # distinct stream from MinHash/HLL uses
+
+
+def _cb_hash_sql(col: str) -> str:
+    """Sample-ordering hash — same text on both engines."""
+    return f"(({_CB_A} * (({col}) % {_HASH_P}) + {_CB_B}) % {_HASH_P})"
+
 
 # Trained-IVF assignment staging variant: shared by the query path and
 # tools/staging_costs.py so the two can never build divergent artifacts;
 # folds TRAIN_CAP so the assignment can't pair with a codebook trained
-# under a different sample cap.
-TRAINED_ASSIGN_VARIANT = f"trained_k{N_CENTROIDS}s42cap{TRAIN_CAP}_v2"
+# under a different sample cap. v3 = integer-exact trainer.
+TRAINED_ASSIGN_VARIANT = (
+    f"trained_k{N_CENTROIDS}i{CB_ITERS}cap{TRAIN_CAP}_v3"
+)
 
 
-def _train_sample(spark: SparkSession, sf_dir: str) -> "object":
-    """Deterministic bounded training sample for codebook fits, as a
-    numpy array sorted by vec_id: top-TRAIN_CAP corpus vectors by a seeded
-    xxhash64 of the id (a uniform sample that is reproducible across
-    partitionings — unlike .sample(), whose output depends on split
-    boundaries, or .limit(), which is partition-order-dependent). One
+def _int_train_sample(spark: SparkSession, sf_dir: str) -> "object":
+    """Deterministic bounded training sample for codebook fits: the
+    TRAIN_CAP corpus vectors with the smallest (affine-hash, vec_id) key,
+    1e-6-quantized to int64, IN HASH ORDER (the first CB rows double as
+    the Lloyd seeds — a uniform deterministic init). One
     TakeOrderedAndProject job; the collect is capped, never corpus-sized.
     Codebook training is the offline, driver-side step of every PQ/IVF
-    deployment (faiss trains on an in-memory sample); Spark ML's iterative
-    KMeans over a few-thousand-row sample spent seconds of job scheduling
-    per fit to do milliseconds of arithmetic (r8: 8 fits ≈ 15 s of the
-    19.5 s cold PQ build at sf0.01)."""
+    deployment (faiss trains on an in-memory sample); the quantization
+    uses FLOOR(x·1e6) — unambiguous in both engines, and float→double is
+    exact — so DuckDB reproduces the sample bit-for-bit."""
     import numpy as np
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    v6 = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(CB_SCALE))).cast(
+            "long"
+        ),
+    )
     rows = (
-        _corpus_with_norm(spark, sf_dir)
-        .where(F.col("vec_id") >= N_QUERIES)
+        emb.where(F.col("vec_id") >= N_QUERIES)
         .select(
-            "vec_id", "v",
-            F.xxhash64(F.col("vec_id"), F.lit(42)).alias("h"),
+            "vec_id",
+            v6.alias("v6"),
+            F.expr(_cb_hash_sql("vec_id")).alias("h"),
         )
         .orderBy("h", "vec_id")
         .limit(TRAIN_CAP)
         .collect()
     )
-    rows.sort(key=lambda r: r.vec_id)
-    return np.array([r.v for r in rows], dtype=np.float64)
+    return np.array([r.v6 for r in rows], dtype=np.int64)
 
 
-def _seeded_kmeans(X, k: int, seed: int, iters: int = 10):
-    """Seeded Lloyd's k-means with k-means++ init over an in-memory
-    sample — the driver-side codebook trainer. Deterministic for a given
-    (sample, k, seed); empty clusters keep their previous centroid so the
-    codebook always has exactly k rows (the ADC lookup indexes it
-    positionally)."""
+def _int_lloyd(X, k: int, iters: int = CB_ITERS):
+    """Integer-exact Lloyd's over an int64 sample in hash order: seeds =
+    first k rows, E-step = exact squared-distance argmin (numpy argmin
+    returns the FIRST minimum — ties to the smaller cid, matching the
+    oracle's ORDER BY d, cid), M-step = per-dim floor-division mean
+    (numpy // floors like Python and the oracle's sign-safe floordiv),
+    empty clusters keep their centroid. Deterministic everywhere; no RNG,
+    no float. Returns an int64 (k, dim) array."""
     import numpy as np
 
-    rng = np.random.default_rng(seed)
-    # k-means++ seeding
-    cents = [X[int(rng.integers(len(X)))]]
-    for _ in range(k - 1):
-        C = np.asarray(cents)
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).min(axis=1)
-        tot = d2.sum()
-        if tot <= 0.0:  # degenerate sample: all points on chosen centers
-            cents.append(X[int(rng.integers(len(X)))])
-            continue
-        cents.append(X[int(rng.choice(len(X), p=d2 / tot))])
-    C = np.asarray(cents, dtype=np.float64).copy()
+    if len(X) < k:
+        raise RuntimeError(
+            f"codebook sample has {len(X)} rows, need >= {k}"
+        )
+    C = X[:k].copy()
     for _ in range(iters):
-        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        assign = d.argmin(axis=1)
         for j in range(k):
             pts = X[assign == j]
             if len(pts):
-                C[j] = pts.mean(axis=0)
+                C[j] = pts.sum(axis=0) // len(pts)
     return C
 
 
@@ -663,16 +687,19 @@ def _staged_trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..staging import keyed_staging_dir
 
     root, _ = keyed_staging_dir(
-        "ivf_cb_", f"{sf_dir}|k{N_CENTROIDS}s42cap{TRAIN_CAP}_v2"
+        "ivf_cb_", f"{sf_dir}|k{N_CENTROIDS}i{CB_ITERS}cap{TRAIN_CAP}_v3"
     )
     final = os.path.join(root, "cents")
     if not os.path.isdir(final):
-        centers = _seeded_kmeans(
-            _train_sample(spark, sf_dir), N_CENTROIDS, seed=42
-        )
+        centers = _int_lloyd(_int_train_sample(spark, sf_dir), N_CENTROIDS)
         tmp = os.path.join(root, "_tmp_cents")
+        # components served as c6/1e6 — a single IEEE division of exact
+        # operands, identical to the oracle's CAST(c6 AS DOUBLE)/1e6
         spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            [
+                (i, [int(x) / float(CB_SCALE) for x in c])
+                for i, c in enumerate(centers)
+            ],
             "cid bigint, cv array<double>",
         ).repartition(1).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
@@ -683,21 +710,23 @@ def _staged_trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a TRAINED codebook — the production shape acknowledged in
-    `ivf_topk`'s docstring: centroids come from a seeded k-means fit
-    (Spark ML) over a sampled slice of the corpus, instead of a fixed
-    corpus subset. Search machinery is byte-identical to `ivf_topk`
-    (broadcast codebook → partial-agg argmax assignment → cell equi-join →
-    exact re-score), so the two differ only in codebook quality.
+    `ivf_topk`'s docstring: centroids come from an integer-exact Lloyd
+    fit (`_int_lloyd`) over a hash-capped sampled slice of the corpus,
+    instead of a fixed corpus subset. Search machinery is byte-identical
+    to `ivf_topk` (broadcast codebook → partial-agg argmax assignment →
+    cell equi-join → exact re-score), so the two differ only in codebook
+    quality.
 
     Scale notes: codebook AND assignment are staged per-corpus index
     artifacts (`_staged_trained_centroids` / `_staged_ivf_assign`), so the
     query path is pure serve: probe the broadcast codebook, equi-join the
-    assignment table on the cell id, re-score exactly. K-means is
-    iterative and seeded, not SQL-expressible in the algorithmic sense,
-    but the staged codebook makes the RESULT deterministic per corpus —
-    checked against the exact brute-force oracle with a recall floor plus
-    bitwise score agreement on overlapping hits (registry RECALL_ORACLES),
-    and the floor is asserted in tests too.
+    assignment table on the cell id, re-score exactly. Because the fit is
+    integer arithmetic end to end (quantized sample, exact distances,
+    floor-division M-steps), the DuckDB oracle replays the ENTIRE
+    pipeline — sample, init, iterations, assignment, probe, re-score —
+    as unrolled CTEs (TRAINED_IVF_TOPK_SQL), giving the trained path an
+    exact value-hash check; the recall floor vs brute force is asserted
+    in tests too.
     """
     corpus = _corpus_with_norm(spark, sf_dir)
     cents = _staged_trained_centroids(spark, sf_dir)
@@ -845,6 +874,159 @@ FROM (
   FROM scored)
 WHERE rk <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Trained-codebook oracle machinery: the integer-exact Lloyd fit unrolled
+# as DuckDB CTEs (the distributed_kmeans_train recipe, mltrain.py), so the
+# trained-IVF and PQ oracles replay sample selection → init → iterations →
+# serve bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_INT_DIST_SQL = """list_reduce(
+        list_transform(list_zip({a}, {b})::STRUCT(a BIGINT, b BIGINT)[],
+                       p -> (p.a - p.b) * (p.a - p.b)),
+        (acc, x) -> acc + x)"""
+
+
+def _floordiv_duck_sql(a: str, b: str) -> str:
+    """Sign-safe floor division (DuckDB // truncates; numpy // floors)."""
+    return f"((({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b}))"
+
+
+def _cb_sample_ctes() -> str:
+    """q6 (quantized corpus) + samp (hash-ordered capped sample, rn) —
+    the DuckDB twin of _int_train_sample."""
+    return f"""
+q6 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {CB_SCALE}.0) AS BIGINT))
+           AS v6
+  FROM embeddings
+),
+samp AS (
+  SELECT vec_id, v6, rn FROM (
+    SELECT vec_id, v6,
+           row_number() OVER (
+             ORDER BY {_cb_hash_sql('vec_id')}, vec_id) AS rn
+    FROM q6 WHERE vec_id >= {N_QUERIES})
+  WHERE rn <= {TRAIN_CAP}
+)"""
+
+
+def _int_lloyd_ctes(prefix: str, k: int, lo: int | None = None,
+                    subdim: int | None = None) -> str:
+    """CTE chain replaying _int_lloyd for one codebook: {prefix}s (the
+    sample slice), {prefix}c0 (seeds = first k sample rows in hash order)
+    through {prefix}c{CB_ITERS}. ``lo``/``subdim`` slice the sample for a
+    PQ subspace (1-based list_slice); None trains on the full vectors."""
+    vexpr = (
+        f"list_slice(v6, {lo + 1}, {lo + subdim})"
+        if lo is not None
+        else "v6"
+    )
+    dist = _INT_DIST_SQL
+    comp = _floordiv_duck_sql("sum(val)", "count(*)")
+    parts = [
+        f""",
+{prefix}s AS (SELECT rn, {vexpr} AS v FROM samp),
+{prefix}c0 AS (
+  SELECT CAST(rn - 1 AS INTEGER) AS cid, v FROM {prefix}s WHERE rn <= {k}
+)"""
+    ]
+    for t in range(CB_ITERS):
+        parts.append(
+            f""",
+{prefix}a{t} AS (
+  SELECT rn, v, cid FROM (
+    SELECT s.rn, s.v, c.cid,
+           row_number() OVER (PARTITION BY s.rn
+                              ORDER BY {dist.format(a='s.v', b='c.v')} ASC,
+                                       c.cid ASC) AS arn
+    FROM {prefix}s s, {prefix}c{t} c
+  ) WHERE arn = 1
+),
+{prefix}g{t} AS (
+  SELECT cid, dim, CAST({comp} AS BIGINT) AS comp
+  FROM (SELECT cid, unnest(v) AS val,
+               generate_subscripts(v, 1) AS dim FROM {prefix}a{t})
+  GROUP BY cid, dim
+),
+{prefix}c{t + 1} AS (
+  SELECT p.cid, coalesce(n.v, p.v) AS v
+  FROM {prefix}c{t} p LEFT JOIN (
+    SELECT cid, list(comp ORDER BY dim) AS v FROM {prefix}g{t} GROUP BY cid
+  ) n ON n.cid = p.cid
+)"""
+        )
+    return "".join(parts)
+
+
+def _trained_ivf_topk_sql() -> str:
+    """Full exact replay of ivf_trained_topk: integer-exact codebook fit
+    (unrolled Lloyd CTEs) → serve as c6/1e6 doubles → the IVF_TOPK_SQL
+    search (assign, probe at N_PROBE_TRAINED, re-score, top-k)."""
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+),{_cb_sample_ctes()}{_int_lloyd_ctes('k', N_CENTROIDS)},
+cents AS (
+  SELECT cid, cv,
+         sqrt(list_reduce(list_prepend(0.0,
+                list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS cn
+  FROM (SELECT cid,
+               list_transform(v, x -> CAST(x AS DOUBLE) / {CB_SCALE}.0)
+                 AS cv
+        FROM kc{CB_ITERS})
+),
+assign AS (
+  SELECT vec_id, cell, v, nrm FROM (
+    SELECT x.vec_id, c.cid AS cell, x.v, x.nrm,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY round({_DOT_SQL.format(a='x.v', b='c.cv')}
+                            / (x.nrm * c.cn), 6) DESC,
+                      c.cid ASC) AS arn
+    FROM n x CROSS JOIN cents c)
+  WHERE arn = 1
+),
+probes AS (
+  SELECT query_id, qv, qn, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({_DOT_SQL.format(a='q.v', b='c.cv')}
+                            / (q.nrm * c.cn), 6) DESC,
+                      c.cid ASC) AS prn
+    FROM n q CROSS JOIN cents c WHERE q.vec_id < {N_QUERIES})
+  WHERE prn <= {N_PROBE_TRAINED}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({_DOT_SQL.format(a='p.qv', b='a.v')}
+               / (p.qn * a.nrm), 6) AS cosine
+  FROM assign a JOIN probes p
+    ON a.cell = p.cell AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored)
+WHERE rk <= {TOP_K}
+"""
+
+
+TRAINED_IVF_TOPK_SQL = _trained_ivf_topk_sql()
 
 
 # BLAS preselect pool per query: the final ranking re-scores candidates
@@ -1082,7 +1264,8 @@ def _staged_pq_index(
 
     root, _ = keyed_staging_dir(
         "pq_idx_",
-        f"{sf_dir}|m{PQ_SUBSPACES}k{PQ_CODEBOOK}s42cap{TRAIN_CAP}_v2",
+        f"{sf_dir}|m{PQ_SUBSPACES}k{PQ_CODEBOOK}i{CB_ITERS}"
+        f"cap{TRAIN_CAP}_v3",
     )
     cents_final = os.path.join(root, "cents")
     codes_final = os.path.join(root, "codes")
@@ -1090,27 +1273,21 @@ def _staged_pq_index(
         corpus = _corpus_with_norm(spark, sf_dir)
         base = corpus.where(F.col("vec_id") >= N_QUERIES)
 
-        # 1. one seeded driver-side fit per subspace over the shared
-        # bounded sample (one slice each — the sample is collected once)
-        X = _train_sample(spark, sf_dir)
+        # 1. one integer-exact driver-side fit per subspace over the shared
+        # bounded sample (one slice each — the sample is collected once).
+        # _int_lloyd seeds from the first PQ_CODEBOOK sample rows and
+        # always returns exactly k rows (the ADC lookup indexes the LUT
+        # positionally — raising on a short sample, never shifting slots).
+        X6 = _int_train_sample(spark, sf_dir)
         cents_rows = []
         for m in range(PQ_SUBSPACES):
-            centers = _seeded_kmeans(
-                X[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM],
-                PQ_CODEBOOK,
-                seed=42 + m,
+            centers = _int_lloyd(
+                X6[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM], PQ_CODEBOOK
             )
-            if len(centers) != PQ_CODEBOOK:
-                # The ADC lookup indexes the LUT positionally (m*K + cid);
-                # a short codebook would silently shift every later
-                # subspace's slots — fail loudly instead.
-                raise RuntimeError(
-                    f"subspace {m}: k-means returned {len(centers)} "
-                    f"centers, expected {PQ_CODEBOOK} (sample too small/"
-                    "degenerate)"
-                )
             for cid, c in enumerate(centers):
-                cents_rows.append((m, cid, [float(x) for x in c]))
+                cents_rows.append(
+                    (m, cid, [int(x) / float(CB_SCALE) for x in c])
+                )
         cents = spark.createDataFrame(
             cents_rows, "m int, cid int, cv array<double>"
         )
@@ -1176,9 +1353,9 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     force = exact baseline, LSH = bucketing, IVF = partitioning, PQ =
     compressed-domain scoring):
 
-      1. per-subspace codebooks: seeded sampled k-means (Spark ML) over
-         each 8-dim slice — driver-held, broadcast, like any offline
-         codebook;
+      1. per-subspace codebooks: integer-exact Lloyd fits over each 8-dim
+         slice of the hash-capped sample — driver-held, broadcast, like
+         any offline codebook;
       2. encode: each corpus vector becomes 8 centroid ids (argmin by
          squared distance; max(struct) partial-agg argmin, same shape as
          the IVF cell assignment);
@@ -1193,9 +1370,11 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetches the top candidates' full vectors (a semi-join by key).
     Codebooks + encoded corpus are staged per-corpus index artifacts
     (`_staged_pq_index`): a production PQ index trains and encodes
-    offline, searchers only serve. The staged build makes the result
-    deterministic per corpus — checked via recall floor + bitwise score
-    agreement (registry RECALL_ORACLES).
+    offline, searchers only serve. The integer-exact fits let the DuckDB
+    oracle (PQ_TOPK_SQL) replay the whole pipeline — fits, encode, LUT,
+    ADC ordering, refine — bit-for-bit, so the driver value-hash checks
+    the PQ result exactly; the recall floor vs brute force
+    (PQ_TOPK_ORACLE_SQL ground truth) is asserted in tests as well.
     """
     corpus = _corpus_with_norm(spark, sf_dir)
     cents, codes = _staged_pq_index(spark, sf_dir)
@@ -1272,13 +1451,103 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bounded-error oracle for pq_topk: the exact brute-force top-k over the
-# SAME restricted corpus PQ searches (queries are excluded from the encoded
-# base, unlike BRUTE_FORCE_TOPK_SQL's self-search).  The refine step
-# re-scores survivors with the strict-fold cosine, so when PQ's candidate
-# pool contains the true top-k (the recall property asserted in tests),
-# ids and ranks match this SQL exactly and cosine matches up to the
-# 6-decimal rounding of a reassociated float.
+def _pq_topk_sql() -> str:
+    """Full exact replay of pq_topk: 8 integer-exact subspace codebook
+    fits (unrolled Lloyd CTEs over sample slices) → double-precision
+    encode (same strict-fold distances and (d, cid) tie policy as the
+    Spark argmin) → per-query LUT → ADC fold in subspace order → top
+    K×PQ_REFINE candidates → exact re-score → top-k. Every float op is
+    the same IEEE op in the same order as the Spark plan, so the driver
+    value-hash checks ADC ordering AND refined scores bit-for-bit."""
+    chains = "".join(
+        _int_lloyd_ctes(f"p{m}", PQ_CODEBOOK, lo=m * PQ_SUBDIM,
+                        subdim=PQ_SUBDIM)
+        for m in range(PQ_SUBSPACES)
+    )
+    cb_union = "\n  UNION ALL ".join(
+        f"SELECT {m} AS m, cid, "
+        f"list_transform(v, x -> CAST(x AS DOUBLE) / {CB_SCALE}.0) AS cv "
+        f"FROM p{m}c{CB_ITERS}"
+        for m in range(PQ_SUBSPACES)
+    )
+    sqd = """list_reduce(
+        list_prepend(0.0, list_transform(
+          list_zip(list_slice(nn.v, c.m * {sd} + 1, c.m * {sd} + {sd}),
+                   c.cv)::STRUCT(a DOUBLE, b DOUBLE)[],
+          p -> (p.a - p.b) * (p.a - p.b))),
+        (acc, x) -> acc + x)""".format(sd=PQ_SUBDIM)
+    lut_dot = _DOT_SQL.format(
+        a=f"list_slice(q.v, c.m * {PQ_SUBDIM} + 1, "
+        f"c.m * {PQ_SUBDIM} + {PQ_SUBDIM})",
+        b="c.cv",
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+),{_cb_sample_ctes()}{chains},
+pqc AS (
+  {cb_union}
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT nn.vec_id, c.m, c.cid AS code,
+           row_number() OVER (PARTITION BY nn.vec_id, c.m
+                              ORDER BY {sqd} ASC, c.cid ASC) AS crn
+    FROM n nn, pqc c WHERE nn.vec_id >= {N_QUERIES}
+  ) WHERE crn = 1
+),
+lutp AS (
+  SELECT q.vec_id AS query_id, c.m, c.cid, {lut_dot} AS part
+  FROM n q, pqc c WHERE q.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT cd.vec_id, l.query_id,
+         list_reduce(list_prepend(0.0, list(l.part ORDER BY l.m)),
+                     (acc, x) -> acc + x) AS approx
+  FROM codes cd JOIN lutp l ON l.m = cd.m AND l.cid = cd.code
+  GROUP BY cd.vec_id, l.query_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx DESC, vec_id ASC) AS ark
+    FROM adc
+  ) WHERE ark <= {TOP_K * PQ_REFINE}
+),
+ref AS (
+  SELECT c.query_id, nn.vec_id AS neighbor_id,
+         round({_DOT_SQL.format(a='q.v', b='nn.v')}
+               / (q.nrm * nn.nrm), 6) AS cosine
+  FROM cand c
+  JOIN n nn ON nn.vec_id = c.vec_id
+  JOIN n q ON q.vec_id = c.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM ref)
+WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+PQ_TOPK_SQL = _pq_topk_sql()
+
+
+# Exact brute-force top-k over the SAME restricted corpus PQ searches
+# (queries are excluded from the encoded base, unlike
+# BRUTE_FORCE_TOPK_SQL's self-search) — the ground truth the recall-floor
+# tests measure PQ against.
 PQ_TOPK_ORACLE_SQL = f"""
 WITH e AS (
   SELECT vec_id,

@@ -324,95 +324,23 @@ def oracle_sql() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
-# Bounded-error oracles for approximate operators.
+# Bounded / recall / sketch oracle tiers — ALL EMPTY since round 11.
 #
-# The driver's hash gate needs bit-exact twins, so sketch-based queries are
-# registered oracle-less (rows-only there). Locally they get a STRONGER
-# check: the exact DuckDB aggregate plus a per-column relative-error bound —
-# tools/verify_local.py compares row counts, exact columns bit-for-bit, and
-# each approx column within its declared tolerance, reporting status
-# "bounded_ok" in the VERIFYLOCAL artifact. Tolerances are ~3× the
-# estimator's standard error (approx_count_distinct default rsd = 0.05;
-# Datasketches HLL lgK=12 ≈ 1.6%), so a pass is meaningful and a
-# regression (e.g. sketch merged wrong) trips it deterministically.
+# Every formerly rows-only query now carries an exact value-hash oracle:
+# the HLL pair moved onto the cross-engine deterministic sketch
+# (functions/hll.py), similarity_topk_pandas re-scores its BLAS preselect
+# pool with the strict fold, heavy_hitters_sketch serves the two-pass
+# exact heavy-hitter set, and the trained IVF/PQ codebooks are integer-
+# exact Lloyd fits the oracles replay as unrolled CTEs. The weaker tiers'
+# checkers remain in tools/verify_local.py (with their own unit tests) so
+# a future genuinely-nondeterministic operator can declare one; accuracy
+# envelopes (HLL error, ANN recall floors, MG containment) are asserted
+# in pytest against exact ground truth.
 # ---------------------------------------------------------------------------
 
-BOUNDED_ORACLES: dict[str, dict] = {
-    "events_daily_approx": {
-        # same ORDER BY as the query — compared positionally
-        "sql": """
-            SELECT CAST(ts AS DATE) AS day, event_type,
-                   count(*) AS n_events,
-                   count(DISTINCT user_id) AS n_users_approx
-            FROM events
-            GROUP BY 1, 2
-            ORDER BY 1, 2
-        """,
-        "approx_cols": {"n_users_approx": 0.15},
-    },
-    "hll_monthly_users": {
-        "sql": """
-            SELECT CAST(year(ts) AS INT) AS yr,
-                   CAST(month(ts) AS INT) AS mo,
-                   count(DISTINCT user_id) AS approx_users,
-                   count(DISTINCT CAST(ts AS DATE)) AS n_days
-            FROM events
-            GROUP BY 1, 2
-            ORDER BY 1, 2
-        """,
-        "approx_cols": {"approx_users": 0.05},
-    },
-    # The float-reassociation pair: ids/ranks exact, the score column
-    # compared within 2e-6 (both sides round cosine to 6 decimals; a
-    # last-ulp reassociation difference under the rounding can move the
-    # rounded value by exactly 1e-6 — 2e-6 covers it with headroom while
-    # still failing on any real scoring regression).
-    "similarity_topk_pandas": {
-        # BLAS matmul reassociates the dot-product fold
-        "sql": similarity.BRUTE_FORCE_TOPK_SQL + " ORDER BY query_id, rk",
-        "approx_cols": {"cosine": 2e-6},
-    },
-}
+BOUNDED_ORACLES: dict[str, dict] = {}
 
-
-# ---------------------------------------------------------------------------
-# Recall oracles: ANN queries whose RESULT SET is legitimately approximate
-# (the candidate pool can miss true neighbors), so neither exact hashing
-# nor a per-value error bound applies.  The checkable contract is the one
-# the operator documents: the returned set must overlap the exact top-k at
-# or above the recall floor, AND every overlapping hit's score must match
-# the exact oracle bit-for-bit (pq_topk refines survivors with the same
-# strict fold the oracle uses — a scoring regression breaks this even when
-# recall holds).  tools/verify_local.py reports status "recall_ok" with
-# the measured recall.
-# ---------------------------------------------------------------------------
-
-RECALL_ORACLES: dict[str, dict] = {
-    "similarity_pq_topk": {
-        "sql": similarity.PQ_TOPK_ORACLE_SQL,
-        "group_cols": ["query_id"],
-        "id_col": "neighbor_id",
-        "score_col": "cosine",  # overlapping hits must agree bitwise
-        # floors from test_pq_topk_recall_floor: measured pooled
-        # 0.86/0.84/0.62 at sf0.001/0.01/0.1 with 16× refinement (r9),
-        # ≥2 true hits per query at every SF
-        "min_recall": 0.5,
-        "min_group_recall": 0.2,
-    },
-    "similarity_ivf_trained_topk": {
-        # Exact search space matches ivf_trained_topk: queries are
-        # vec_id < N_QUERIES, neighbors = all vectors except self.
-        "sql": similarity.BRUTE_FORCE_TOPK_SQL + " ORDER BY query_id, rk",
-        "group_cols": ["query_id"],
-        "id_col": "neighbor_id",
-        "score_col": "cosine",  # IVF re-scores exactly → bitwise agreement
-        # staged seeded codebook (r9) → deterministic per corpus; measured
-        # 0.92/0.80/0.88 pooled at sf0.001/0.01/0.1 with nprobe 8/16 and
-        # ≥2 true hits per query (the per-group gate); floors leave slack
-        "min_recall": 0.6,
-        "min_group_recall": 0.2,
-    },
-}
+RECALL_ORACLES: dict[str, dict] = {}
 
 
 def recall_oracles() -> dict[str, dict]:
@@ -991,10 +919,15 @@ register(
     similarity.near_dup_pairs_bucketed,
     similarity.NEAR_DUP_PAIRS_BUCKETED_SQL,
 )
-# Trained-codebook IVF: seeded sampled k-means (Spark ML) is iterative and
-# not SQL-expressible → rows-only; recall floor vs brute force is asserted
-# in tests (the stronger property for an ANN operator).
-register("similarity_ivf_trained_topk", similarity.ivf_trained_topk, None)
+# Trained-codebook IVF: the integer-exact Lloyd fit is replayed by the
+# oracle as unrolled CTEs (sample → init → iterations → serve), so the
+# trained path gets an exact value-hash check; the recall floor vs brute
+# force is asserted in tests (the stronger ANN property) as well.
+register(
+    "similarity_ivf_trained_topk",
+    similarity.ivf_trained_topk,
+    similarity.TRAINED_IVF_TOPK_SQL,
+)
 # Approximate by construction (LSH may miss) → rows-only driver check.
 register(
     "similarity_lsh_topk", similarity.lsh_topk, similarity.LSH_TOPK_SQL
@@ -1924,9 +1857,10 @@ register(
 # Equi-width histogram with self-derived bounds (single pass + scalar).
 register("price_histogram", _ext.price_histogram, _ext.PRICE_HISTOGRAM_SQL)
 
-# Product quantization ANN (seeded k-means codebooks → rows-only; recall
-# floor + exact-refinement agreement asserted in tests).
-register("similarity_pq_topk", similarity.pq_topk, None)
+# Product quantization ANN: integer-exact subspace codebooks let the
+# oracle replay fits → encode → ADC → refine bit-for-bit (exact value
+# hash); recall floor vs brute force asserted in tests.
+register("similarity_pq_topk", similarity.pq_topk, similarity.PQ_TOPK_SQL)
 
 # PERMISSIVE ingest with deterministic corruption: quarantine, count,
 # aggregate good rows — malformed input never fails or silently drops.

@@ -31,47 +31,82 @@ sys.path.insert(
 # ---------------------------------------------------------------------------
 
 
-def test_train_sample_deterministic_and_capped(spark):
+def test_int_train_sample_deterministic_capped_quantized(spark):
     from mapreduce_simulation_spark.operators import similarity as S
 
-    a = S._train_sample(spark, SF_DIR)
-    b = S._train_sample(spark, SF_DIR)
-    # Bitwise-identical across calls (TakeOrdered by seeded hash + vec_id
-    # sort — no dependence on partition order), and never corpus-sized.
+    a = S._int_train_sample(spark, SF_DIR)
+    b = S._int_train_sample(spark, SF_DIR)
+    # Bitwise-identical across calls (TakeOrdered by the shared affine
+    # hash + vec_id — no dependence on partition order), capped, int64
+    # (the 1e-6 FLOOR quantization both engines reproduce exactly).
     assert a.shape == b.shape
     assert (a == b).all()
     assert a.shape[0] <= S.TRAIN_CAP
     assert a.shape[1] == S.EMBED_DIM
+    assert a.dtype == np.int64
+    assert np.abs(a).max() < S.CB_SCALE * 2  # embeddings are unit-scale
 
 
-def test_seeded_kmeans_deterministic_exact_k():
-    from mapreduce_simulation_spark.operators.similarity import (
-        _seeded_kmeans,
-    )
+def test_int_lloyd_deterministic_exact_k_integer():
+    from mapreduce_simulation_spark.operators.similarity import _int_lloyd
 
     rng = np.random.default_rng(7)
-    X = rng.normal(size=(500, 8))
-    c1 = _seeded_kmeans(X, 16, seed=42)
-    c2 = _seeded_kmeans(X, 16, seed=42)
+    X = (rng.normal(size=(500, 8)) * 1_000_000).astype(np.int64)
+    c1 = _int_lloyd(X, 16)
+    c2 = _int_lloyd(X, 16)
     assert c1.shape == (16, 8)
+    assert c1.dtype == np.int64
     assert (c1 == c2).all()
-    # A different seed must actually move the centroids (the per-subspace
-    # fits use seed=42+m — identical seeds would collapse the subspaces).
-    c3 = _seeded_kmeans(X, 16, seed=43)
-    assert not (c1 == c3).all()
+    # The fit must actually move off the seeds (first-k init): otherwise
+    # the "trained" codebook silently degrades to the fixed-subset one.
+    assert not (c1 == X[:16]).all()
 
 
-def test_seeded_kmeans_exact_k_on_degenerate_sample():
+def test_int_lloyd_exact_k_on_degenerate_sample():
+    from mapreduce_simulation_spark.operators.similarity import _int_lloyd
+
+    # Fewer distinct points than k: seeds repeat, some clusters stay
+    # empty — the trainer must still return exactly k rows (the PQ ADC
+    # LUT indexes the codebook positionally), and must raise loudly when
+    # the sample itself is shorter than k.
+    X = np.repeat(np.eye(4, dtype=np.int64) * 1_000_000, 3, axis=0)
+    c = _int_lloyd(X, 8)
+    assert c.shape == (8, 4)
+    with pytest.raises(RuntimeError):
+        _int_lloyd(X[:5], 8)
+
+
+def test_int_lloyd_matches_pure_python_reference():
+    """The numpy fit must agree with a dependency-free Python replay of
+    the SAME recurrence (first-k seeds, first-min argmin, floor-div
+    means) — the recurrence the DuckDB oracle CTEs implement."""
     from mapreduce_simulation_spark.operators.similarity import (
-        _seeded_kmeans,
+        CB_ITERS,
+        _int_lloyd,
     )
 
-    # Fewer distinct points than k: k-means++ d² weighting degenerates to
-    # zero — the trainer must still return exactly k rows (the PQ ADC LUT
-    # indexes the codebook positionally).
-    X = np.repeat(np.eye(4), 3, axis=0)  # 12 rows, 4 distinct
-    c = _seeded_kmeans(X, 8, seed=1)
-    assert c.shape == (8, 4)
+    rng = np.random.default_rng(11)
+    X = (rng.normal(size=(60, 4)) * 1_000_000).astype(np.int64)
+    k = 5
+    want = [list(map(int, r)) for r in X[:k]]
+    rows = [list(map(int, r)) for r in X]
+    for _ in range(CB_ITERS):
+        assign = []
+        for r in rows:
+            d = [
+                sum((a - b) * (a - b) for a, b in zip(r, c)) for c in want
+            ]
+            assign.append(d.index(min(d)))  # first min = smaller cid
+        new = [list(c) for c in want]
+        for j in range(k):
+            pts = [r for r, a in zip(rows, assign) if a == j]
+            if pts:
+                new[j] = [
+                    sum(col) // len(pts) for col in zip(*pts)
+                ]
+        want = new
+    got = _int_lloyd(X, k)
+    assert [list(map(int, r)) for r in got] == want
 
 
 # ---------------------------------------------------------------------------
@@ -564,11 +599,12 @@ def test_floordiv_sql_bulk_randomized(spark, duck):
 
 
 def test_registry_tier_census():
-    """Every registry entry must carry a check: an exact oracle in the
-    main registry, or a bounded/recall/sketch spec. The no-oracle set is
-    frozen — adding a query without any checkable contract (a true
-    rows-only entry) should be a deliberate, reviewed decision that
-    updates this census."""
+    """Every registry entry must carry an EXACT value-hash oracle — the
+    no-oracle set closed in round 11 (deterministic HLL, strict-fold
+    re-scored BLAS preselect, two-pass exact heavy hitters, integer-exact
+    trained codebooks with unrolled-CTE oracle replay). Adding a query
+    without an exact oracle should be a deliberate, reviewed decision
+    that updates this census and declares a bounded/recall/sketch spec."""
     from mapreduce_simulation_spark.plans.registry import (
         _REGISTRY,
         bounded_oracles,
@@ -580,12 +616,5 @@ def test_registry_tier_census():
     tiered = (
         set(bounded_oracles()) | set(recall_oracles()) | set(sketch_oracles())
     )
-    assert no_oracle == tiered == {
-        "similarity_ivf_trained_topk",
-        "similarity_topk_pandas",
-        "events_daily_approx",
-        "heavy_hitters_sketch",
-        "similarity_pq_topk",
-        "hll_monthly_users",
-    }
+    assert no_oracle == tiered == set()
     assert len(_REGISTRY) >= 197
