@@ -52,11 +52,69 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # entries would downgrade their slot to the driver's weaker rows-only
 # check and get their stronger checks locally anyway.
 _PROMOTE = (
-    # ---- round-10 window: the 45 exact-oracle names that have NEVER had
-    # a driver CORRECTNESS row (union of r1-r9 greens computed against the
-    # full registry; excludes the env-gated stateful_user_rollup_tws, kept
-    # pinned behind the window) plus 5 back-fill greens last checked in
-    # round 1 (the stalest driver evidence in the registry) ----
+    # ---- round-11 window: every registry name with NO hash-green driver
+    # row (23 = the 3 r10 reds now fixed, the 6 formerly no-oracle queries
+    # that gained exact oracles this round, and the 14 r10 additions that
+    # missed the r10 window), back-filled to 50 with the STALEST
+    # hash-greens (last driver contact r1-r6, oldest first — computed from
+    # CORRECTNESS_r01-r10). Excludes only the env-gated
+    # stateful_user_rollup_tws, pinned behind the window. ----
+    # the three r10 driver reds, root-caused and fixed this round
+    "decision_stump_split",      # oracle HUGEINT→BIGINT cast fix
+    "quantiles_summary",         # scalarized (one row per quantile p)
+    "nation_top_customer_lists",  # list serialized as CSV string
+    # formerly no-oracle, now exact-hash-checked
+    "similarity_topk_pandas",    # BLAS preselect + strict-fold re-score
+    "similarity_ivf_trained_topk",  # integer-exact Lloyd + CTE replay
+    "similarity_pq_topk",        # integer-exact PQ codebooks + CTE replay
+    "events_daily_approx",       # deterministic cross-engine HLL
+    "hll_monthly_users",         # mergeable HLL rollup (deterministic)
+    "heavy_hitters_sketch",      # two-pass MG: exact heavy-hitter set
+    # r10 additions with no driver row yet
+    "gated_dedup_pipeline",      # streaming gate → batch dedup composition
+    "streaming_shard_ingest",    # exactly-once shard ingest
+    "shard_export_manifest",     # training-shard export manifest
+    "logreg_score_corpus",       # train→serve: logistic scorer
+    "kmeans_assign_corpus",      # train→serve: cluster assignment
+    "ols_residuals_corpus",      # train→serve: OLS residuals
+    "stump_classify_corpus",     # train→serve: stump classifier
+    "streaming_logreg_score",    # online scoring ≡ batch scorer
+    "entity_resolution_pipeline",  # block → verify → cluster → canonicalize
+    "returned_item_revenue",     # TPC-H Q10 shape
+    "linestatus_priority_counts",  # TPC-H Q12 shape
+    "customer_order_distribution",  # TPC-H Q13 shape
+    "small_quantity_revenue",    # TPC-H Q17 shape
+    "bracket_discount_revenue",  # TPC-H Q19 shape
+    # back-fill: stalest driver evidence first (last green round in ())
+    "streaming_dedup_keys",          # (r1) streaming dropDuplicates
+    "constant_key_collapse",         # (r3) constant-key single-group agg
+    "dedup_connected_components_stars",  # (r3) star-contraction CC
+    "embedding_near_dup",            # (r3) exhaustive near-dup pairs
+    "union_sources",                 # (r3) multi-source union
+    "distinct_words",                # (r4) distinct projection
+    "global_sort",                   # (r4) total-order sort
+    "grep",                          # (r4) filter+project param query
+    "text_dir_word_count",           # (r4) text-directory source
+    "udtf_word_count",               # (r4) UDTF tokenizer tier
+    "anti_join_customers",           # (r5) anti join
+    "broadcast_dim_join",            # (r5) broadcast join strategy
+    "identity_projection",           # (r5) identity map (reference Q6)
+    "left_outer_order_counts",       # (r5) left outer join
+    "monthly_revenue",               # (r5) date-trunc scalar agg
+    "rollup_revenue",                # (r5) ROLLUP aggregate
+    "running_order_totals",          # (r5) running-total window
+    "set_ops_segments",              # (r5) set operations
+    "text_normalize",                # (r5) string normalization battery
+    "top_orders",                    # (r5) global top-k
+    "doc_fingerprint",               # (r6) content fingerprint fold
+    "events_daily",                  # (r6) events daily rollup
+    "grouping_sets_revenue",         # (r6) GROUPING SETS
+    "quality_score",                 # (r6) doc quality scoring
+    "repetition_stats",              # (r6) repetition/dup-ngram stats
+    "semi_join_customers",           # (r6) semi join
+    "shipping_priority",             # (r6) TPC-H Q3 shape top-k
+    # ---- history: the round-10 window, 47/50 driver-green in r10 (the 3
+    # reds are re-windowed above) ----
     # round-9 additions (first driver exposure)
     "streaming_minhash_dedup",   # streaming LSH ingestion dedup gate
     "distributed_logreg_train",  # GD as one aggregate per iteration
@@ -223,82 +281,36 @@ _PROMOTE = (
     "rfm_segmentation",           # distributed-ntile RFM segmentation
     "schema_evolution_union",     # schema-evolution union (mergeSchema)
 )
-# Round-10 rotation APPLIED above: all 45 exact-oracle never-driver-checked
-# names are now in the window, so after round 10 the cumulative driver-green
-# union should reach ~190/197. The permanent residue (never driver-HASHABLE)
-# is the six no-oracle entries — similarity_topk_pandas, events_daily_approx,
-# heavy_hitters_sketch, similarity_pq_topk, hll_monthly_users,
-# similarity_ivf_trained_topk (each carries a bounded/recall/containment
-# oracle in tools/verify_local.py instead; see PLANS.md "driver-evidence
-# endgame" table) — plus stateful_user_rollup_tws (env-gated on protobuf,
-# pinned behind the window so its position never depends on the driver env).
+# Round-11 rotation APPLIED above: every name with no hash-green driver
+# row is in the window (the env-gated stateful_user_rollup_tws excepted),
+# and since round 11 EVERY registry entry carries an exact value-hash
+# oracle — the bounded/recall/sketch tiers are empty. A green r11 window
+# brings the cumulative driver-green union to 210/211 (all but the
+# protobuf-gated TWS twin, which tests + sweeps cover).
 #
-# Round-11 rotation DRAFT (apply next round; update DRIVER_WINDOW_R10 →
-# _R11 in the same commit and run tools/preflight.py): assuming a green
-# r10 window, the exact-oracle names with no driver row are exactly the
-# 14 round-10 additions — gated_dedup_pipeline, streaming_shard_ingest,
-# shard_export_manifest, logreg_score_corpus, kmeans_assign_corpus,
-# ols_residuals_corpus, stump_classify_corpus, streaming_logreg_score,
-# entity_resolution_pipeline, returned_item_revenue,
-# linestatus_priority_counts, customer_order_distribution,
-# small_quantity_revenue, bracket_discount_revenue. Back-fill the other
-# 36 slots with the stalest greens (r1: streaming_dedup_keys; the
-# r3 cohort: constant_key_collapse, dedup_connected_components_stars,
-# embedding_near_dup, union_sources; then r4: distinct_words,
-# global_sort, udtf_word_count, text_dir_word_count, grep, ... oldest
-# first by last-green round, computable with the PLANS.md recipe).
+# Round-12 rotation DRAFT (apply next round; update DRIVER_WINDOW_R11 ->
+# _R12 in the same commit and run tools/preflight.py): if r11 is green,
+# no never-checked names remain — rotate purely by staleness, oldest
+# last-green round first (recompute with the PLANS.md recipe over
+# CORRECTNESS_r01-r11).
 _DEMOTE = (
-    # round-8 demotions: r4/r6/r7 driver-green single-mechanism rows whose
-    # families keep stronger representatives in the window (each remains
-    # verified by tests + tools/verify_local.py every round)
+    # Driver-green rows (r6-r8) whose families keep stronger window
+    # representatives; each remains verified by tests + verify_local every
+    # round. Most former demotions were re-promoted in round 11 as the
+    # stalest-evidence back-fill — this is the residue with fresher rows.
     "sessionize_events",        # events agg: streaming_events_hourly green
-    "lang_id",                  # text family: text_stats stays in window
-    "token_count_bpe",          # text/BPE: learn+apply twins now in window
+    "lang_id",                  # text family: text_stats stays green
+    "token_count_bpe",          # text/BPE: learn+apply twins driver-green
     "decontaminate",            # dedup family keeps 5 stronger reps
-    "stratified_sample",        # curation: training_data_pipeline stays
-    "corpus_mix",               # curation: curation_pipeline_v2 stays
-    "partitioned_source_pruned",  # source family: xml/kvtext stay
-    "bucketed_join_revenue",    # join family: asof/not_in/sole_blame stay
-    "similarity_topk",          # similarity: ivf/lsh/mmr/centroid stay
+    "stratified_sample",        # curation: training_data_pipeline green
+    "corpus_mix",               # curation: curation_pipeline_v2 green
+    "partitioned_source_pruned",  # source family: xml/kvtext green
+    "bucketed_join_revenue",    # join family: asof/not_in/sole_blame green
+    "similarity_topk",          # similarity: trained IVF/PQ/pandas now front
     "embedding_near_dup_bucketed",  # similarity family covered
-    # round-7 demotions: r4/r6 driver-green single-mechanism rows whose
-    # families keep stronger representatives in the window (each remains
-    # verified by tests + tools/verify_local.py every round)
-    "semi_join_customers",    # join family: sole_blame/asof/bucketed/not_in
-    "shipping_priority",      # top-k family: similarity_topk/mmr_rerank
-    "events_daily",           # events agg: sessionize + streaming_events
-    "grouping_sets_revenue",  # agg family: pricing_summary driver-green
-    "window_top_customers",   # window family r4-green; ntile ops cover
-    "quality_score",          # text family keeps text_stats/lang_id/bpe
-    "doc_fingerprint",        # text family covered
-    "span_dedup",             # dedup family: 6 stronger reps in window
-    "repetition_stats",       # curation family: cdc/stratified/corpus_mix
-    "tfidf_top_terms",        # retrieval family: bm25/rrf_hybrid in window
-    # round-6 demotions: single-mechanism rows whose families already have
-    # driver-green twins (each remains verified by tests + verify_local)
-    "identity_projection",       # trivial projection; scan family green
-    "left_outer_order_counts",   # join family: semi/anti/asof/bucketed green
-    "set_ops_segments",          # set-op family; multiset twin local-green
-    "monthly_revenue",           # scalar-fn family green via pricing_summary
-    "broadcast_dim_join",        # join-strategy twin of bucketed_join_revenue
-    "top_orders",                # top-k twin of shipping_priority
-    "running_order_totals",      # window family green via window_top_customers
-    "rollup_revenue",            # agg family green via grouping_sets_revenue
-    "anti_join_customers",       # 0-row result = weak hash evidence; semi green
-    "text_normalize",            # text family keeps 4 greener representatives
-    "constant_key_collapse",         # scalar-fn row covered by monthly_revenue
-    "union_sources",                 # covered by set_ops/schema_evolution_union
-    "dedup_connected_components_stars",  # twin of dedup_connected_components
-    "embedding_near_dup",            # exhaustive twin of the bucketed variant
-    "similarity_ivf_trained_topk",   # recall-oracle entry (sweep-checked);
-    # the driver window would only give it rows-only
-    # round-5 demotions: redundant twins whose oracles hash identically to
-    # (or are keyset-subsets of) entries already driver-green in r4
-    "udtf_word_count",               # identical oracle to word_count
-    "text_dir_word_count",           # identical oracle to word_count
-    "global_sort",                   # identical oracle to word_count (sorted)
-    "grep",                          # identical oracle to pipe_grep
-    "distinct_words",                # keyset of word_count, driver-green r4
+    "window_top_customers",   # window family; ntile/moving-avg ops green
+    "span_dedup",             # dedup family: 6 stronger reps driver-green
+    "tfidf_top_terms",        # retrieval family: bm25/rrf_hybrid green
     # pinned to the back so its position never depends on protobuf presence
     "stateful_user_rollup_tws",
 )

@@ -113,57 +113,57 @@ def test_loaded_schema_matches_contract(spark, sf_dir, table):
 # registry._PROMOTE/_DEMOTE) must update this list deliberately.
 # ---------------------------------------------------------------------------
 
-DRIVER_WINDOW_R10 = [
-    "streaming_minhash_dedup",
-    "distributed_logreg_train",
-    "distributed_kmeans_train",
+DRIVER_WINDOW_R11 = [
     "decision_stump_split",
-    "exact_ols_train",
-    "above_avg_orders",
-    "exists_returned_orders",
-    "large_quantity_orders",
-    "important_parts",
-    "min_cost_supplier",
-    "max_revenue_supplier",
-    "market_share",
-    "profit_by_nation_year",
-    "volume_shipping",
-    "promo_revenue_ratio",
-    "idle_high_balance_customers",
-    "moving_avg_orders",
-    "trailing_window_revenue",
-    "order_gap_days",
-    "customer_balance_ntiles",
-    "event_peak_concurrency",
-    "price_trend_by_nation",
     "quantiles_summary",
-    "priority_conditional_agg",
-    "stats_correlation",
-    "table_profile_orders",
-    "table_checksum",
-    "balance_distribution",
-    "price_histogram",
-    "key_skew_profile",
-    "skewed_distinct_users",
-    "referential_audit",
-    "priority_transition_matrix",
-    "json_props_extract",
-    "props_map_explode",
-    "intersect_segments",
-    "observed_quality_gate",
-    "zorder_layout",
-    "dynamic_partition_pruning",
-    "salted_supplier_revenue",
-    "cms_word_freq",
-    "fuzzy_name_pairs",
-    "association_rules",
-    "embedding_label_stats",
     "nation_top_customer_lists",
-    "media_frame_sample",
-    "media_metadata",
-    "media_resize",
-    "stateful_user_rollup",
-    "streaming_click_attribution",
+    "similarity_topk_pandas",
+    "similarity_ivf_trained_topk",
+    "similarity_pq_topk",
+    "events_daily_approx",
+    "hll_monthly_users",
+    "heavy_hitters_sketch",
+    "gated_dedup_pipeline",
+    "streaming_shard_ingest",
+    "shard_export_manifest",
+    "logreg_score_corpus",
+    "kmeans_assign_corpus",
+    "ols_residuals_corpus",
+    "stump_classify_corpus",
+    "streaming_logreg_score",
+    "entity_resolution_pipeline",
+    "returned_item_revenue",
+    "linestatus_priority_counts",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "bracket_discount_revenue",
+    "streaming_dedup_keys",
+    "constant_key_collapse",
+    "dedup_connected_components_stars",
+    "embedding_near_dup",
+    "union_sources",
+    "distinct_words",
+    "global_sort",
+    "grep",
+    "text_dir_word_count",
+    "udtf_word_count",
+    "anti_join_customers",
+    "broadcast_dim_join",
+    "identity_projection",
+    "left_outer_order_counts",
+    "monthly_revenue",
+    "rollup_revenue",
+    "running_order_totals",
+    "set_ops_segments",
+    "text_normalize",
+    "top_orders",
+    "doc_fingerprint",
+    "events_daily",
+    "grouping_sets_revenue",
+    "quality_score",
+    "repetition_stats",
+    "semi_join_customers",
+    "shipping_priority",
 ]
 
 
@@ -171,11 +171,11 @@ def test_driver_hash_window_is_frozen():
     from mapreduce_simulation_spark.plans import registry
 
     got = list(registry.queries())[:50]
-    assert got == DRIVER_WINDOW_R10, (
+    assert got == DRIVER_WINDOW_R11, (
         "the driver's first-50 hash window shifted — if this is an intended "
-        "promotion/demotion, update DRIVER_WINDOW_R10; otherwise find the "
+        "promotion/demotion, update DRIVER_WINDOW_R11; otherwise find the "
         "import/registration reorder that moved it.\n"
-        f"got:  {got}\nwant: {DRIVER_WINDOW_R10}"
+        f"got:  {got}\nwant: {DRIVER_WINDOW_R11}"
     )
 
 
@@ -183,7 +183,7 @@ def test_driver_window_queries_all_have_oracles():
     from mapreduce_simulation_spark.plans import registry
 
     oracles = registry.oracle_sql()
-    missing = [n for n in DRIVER_WINDOW_R10 if n not in oracles]
+    missing = [n for n in DRIVER_WINDOW_R11 if n not in oracles]
     assert missing == [], (
         f"driver-window queries without an exact oracle: {missing} — the "
         "gate would fall back to the weaker rows-only check"
