@@ -940,11 +940,13 @@ def write_training_shards(
     packed_docs: DataFrame, out_dir: str
 ) -> None:
     """Physically export packed documents as one parquet file per shard:
-    repartition on shard_id (each shard = exactly one writer task = one
-    part file) + partitionBy(shard_id) directory layout. At scale this is
-    the final exchange of the pipeline — N_EXPORT_SHARDS writer tasks,
-    each streaming its shard's rows; no global sort, no driver
-    materialization."""
+    repartition on shard_id colocates each shard's rows deterministically
+    (hash partitioning — two shard_ids can share a partition and some
+    tasks may be empty, but no shard ever splits, so the tested
+    one-part-file-per-shard invariant holds) + partitionBy(shard_id)
+    directory layout. At scale this is the final exchange of the
+    pipeline — ≤ N_EXPORT_SHARDS writer tasks, each streaming whole
+    shards; no global sort, no driver materialization."""
     with_shard = packed_docs.withColumn(
         "shard_id", F.pmod(F.col("seq_id"), F.lit(N_EXPORT_SHARDS))
     )

@@ -722,16 +722,23 @@ def narrow_minhash_bands_arrow(docs: DataFrame) -> DataFrame:
       band key    = "m_{2b}:m_{2b+1}"  (signature-value string)
 
     Equality with the expression twin is asserted over the full corpus in
-    tests (and transitively against the DuckDB oracle). Boundary: char
+    tests (and transitively against the DuckDB oracle). Boundaries: char
     codes come from UTF-32 codepoints, which matches F.ascii / DuckDB
     ascii on the BMP text this engine's corpora contain; the expression
     twin's F.split(c, "") would see UTF-16 surrogate halves on astral
-    chars — neither side's contract covers those.
+    chars — neither side's contract covers those. Tokenization splits on
+    the ASCII whitespace class [ \\t\\n\\x0b\\f\\r] explicitly (NOT
+    str.split(), which also splits on Unicode spaces like NBSP/U+2000
+    that Java's \\s+ — the expression twin and the oracle — does not).
     """
+    import re
+
     import numpy as np
 
     n_perms = len(H.MINHASH_PERMS)
     P = H.P
+    # Java \s = [ \t\n\x0b\f\r] — match the expression twin exactly
+    ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def batches(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         empty = pd.DataFrame(
@@ -745,7 +752,10 @@ def narrow_minhash_bands_arrow(docs: DataFrame) -> DataFrame:
             if not len(pdf):
                 yield empty
                 continue
-            tok_lists = [t.lower().split() for t in pdf["text"]]
+            tok_lists = [
+                [w for w in ascii_ws.split(t.lower()) if w]
+                for t in pdf["text"]
+            ]
             ntok = np.fromiter(
                 (len(t) for t in tok_lists), dtype=np.int64, count=len(pdf)
             )

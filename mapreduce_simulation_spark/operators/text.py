@@ -364,9 +364,6 @@ WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
 ORDER BY name_a, name_b
 """
 
-ER_MAX_ITERATIONS = 20
-
-
 def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full entity-resolution DAG as one query — blocking → verify →
     cluster → canonicalize, the composition ER deployments actually run
@@ -374,10 +371,15 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       1. candidate blocking + exact verify: _fuzzy_pairs (inverted bigram
          index, pigeonhole-complete, exact levenshtein on candidates);
-      2. transitive clustering: iterative min-label propagation over the
-         verified-pair graph, labels are the NAMES themselves
-         (lexicographic min is the deterministic canonical rule — both
-         engines compare binary UTF-8, and the fixpoint is unique);
+      2. transitive clustering: alternating large-star/small-star
+         contraction (_cc_star_labels — O(log² n) rounds, so a name chain
+         of ANY diameter converges; min-label propagation needs
+         O(diameter) rounds and a 20-round cap raised RuntimeError on
+         long chains, the r11 advice fix) over the verified-pair graph.
+         Labels are the NAMES themselves — lexicographic min is the
+         deterministic canonical rule (both engines compare binary
+         UTF-8), and the star fixpoint equals the propagation fixpoint,
+         so the same recursive-CTE oracle applies;
       3. canonicalization: every name mapped to its cluster's
          lexicographically-least member; singletons map to themselves.
 
@@ -387,66 +389,24 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: names are a type table (≪ corpus) and the edge list is the
     verified near-match graph — both orders of magnitude below corpus
-    size, so the propagation loop shuffles match-graph-sized frames;
+    size, so the contraction loop shuffles match-graph-sized frames;
     the corpus-scale stage is the blocking join, which shuffles (gram,
     name) pairs exactly like dedup_ngram_jaccard. Each round is
     localCheckpoint-truncated like the doc CC loop."""
+    from .dedup import _cc_star_labels
+
     names = (
         load_table(spark, sf_dir, "part")
         .select(F.col("p_name").alias("name"))
         .distinct()
     )
     pairs = _fuzzy_pairs(names).select("name_a", "name_b")
-    edges = (
-        pairs.union(
-            pairs.select(
-                F.col("name_b").alias("name_a"),
-                F.col("name_a").alias("name_b"),
-            )
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        edges.groupBy("name_a")
-        .agg(F.min("name_b").alias("nbmin"))
-        .select(
-            F.col("name_a").alias("name"),
-            F.least("name_a", "nbmin").alias("comp"),
-        )
-        .localCheckpoint()
-    )
-    changed = -1
-    for _ in range(ER_MAX_ITERATIONS):
-        nbmin = (
-            edges.join(labels, edges["name_b"] == labels["name"])
-            .groupBy("name_a")
-            .agg(F.min("comp").alias("nb"))
-            .withColumnRenamed("name_a", "name")
-        )
-        stepped = (
-            labels.join(nbmin, "name", "left")
-            .select(
-                "name",
-                "comp",
-                F.least("comp", F.coalesce("nb", "comp")).alias("ncomp"),
-            )
-            .localCheckpoint()
-        )
-        changed = stepped.where(F.col("ncomp") != F.col("comp")).count()
-        labels = stepped.select("name", F.col("ncomp").alias("comp"))
-        if changed == 0:
-            break
-    if changed != 0:
-        raise RuntimeError(
-            "ER label propagation did not converge within "
-            f"{ER_MAX_ITERATIONS} rounds — partial labels would diverge "
-            "from the recursive-CTE oracle"
-        )
-    singles = names.join(labels, "name", "left_anti").select(
-        "name", F.col("name").alias("comp")
-    )
-    comps = labels.unionByName(singles)
+    comps = _cc_star_labels(
+        names.select(F.col("name").alias("doc_id")),
+        pairs.select(
+            F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
+        ),
+    ).select(F.col("doc_id").alias("name"), "comp")
     sizes = comps.groupBy("comp").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -407,7 +407,7 @@ state AS ({H.hll_state_sql(
     )})
 SELECT day, event_type, n_events, approx AS n_users_approx
 FROM ({H.hll_estimate_sql(
-        "day, event_type", "sum(n_rows) AS n_events"
+        "day, event_type", "CAST(sum(n_rows) AS BIGINT) AS n_events"
     )})
 ORDER BY day, event_type
 """
@@ -1127,8 +1127,11 @@ def event_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("delta"),
     )
     day_us = 86_400 * 1_000_000
+    # integral bucket key (long/long division was exact only below 2^53
+    # and made a DOUBLE window/join key — r11 advice); ts_us is nonneg so
+    # div == floor here
     pts = starts.union(ends).withColumn(
-        "bucket", (F.col("ts_us") - F.pmod("ts_us", F.lit(day_us))) / F.lit(day_us)
+        "bucket", F.expr(f"ts_us div {day_us}")
     )
     w_local = Window.partitionBy("event_type", "bucket").orderBy(
         F.col("ts_us").asc(), F.col("delta").asc()

@@ -590,19 +590,28 @@ def streaming_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STREAMING_SHARD_INGEST_SQL = r"""
+def _shard_ingest_oracle_sql() -> str:
+    # constants interpolated from the SAME sources the Spark side uses
+    # (N_INGEST_SHARDS / hashing.P) so a constant change can never
+    # desynchronize the operator from its oracle (r11 advice)
+    from ..functions.hashing import P as _p
+
+    return rf"""
 WITH toks AS (
   SELECT doc_id,
          CAST(len(list_filter(str_split_regex(lower(text), '\s+'),
                               x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents
 )
-SELECT doc_id % 16 AS shard_id,
+SELECT doc_id % {N_INGEST_SHARDS} AS shard_id,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       CAST(sum((doc_id * n_tokens) % 1000000007) % 1000000007 AS BIGINT)
+       CAST(sum((doc_id * n_tokens) % {_p}) % {_p} AS BIGINT)
          AS checksum
 FROM toks
 GROUP BY 1
 ORDER BY 1
 """
+
+
+STREAMING_SHARD_INGEST_SQL = _shard_ingest_oracle_sql()

@@ -256,6 +256,22 @@ def test_arrow_banding_is_bitwise_twin_of_expression_banding(spark):
         tuple(r) for r in dedup.narrow_minhash_bands_arrow(docs).collect()
     }
     assert arrow == expr and len(arrow) > 0
+    # Non-ASCII whitespace boundary: Java \s+ (the expression twin) does
+    # NOT split on NBSP/EN-QUAD/IDEOGRAPHIC SPACE while Python str.split()
+    # does — the arrow twin must follow the expression twin (r11 advice).
+    tricky = spark.createDataFrame(
+        [
+            (90001, "foo bar baz qux quux"),
+            (90002, "a\u2000b\u3000c one two three four"),  # EN-QUAD/IDEO
+            (90003, "plain ascii words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    expr_t = {tuple(r) for r in dedup.narrow_minhash_bands(tricky).collect()}
+    arrow_t = {
+        tuple(r) for r in dedup.narrow_minhash_bands_arrow(tricky).collect()
+    }
+    assert arrow_t == expr_t and len(arrow_t) > 0
     # stateless for streaming legality, like the expression twin
     plan = (
         dedup.narrow_minhash_bands_arrow(docs)

@@ -61,8 +61,30 @@ def _stringify_matches(sa, sb) -> bool:
     return sorted(sa.astype(str)) == sorted(sb.astype(str))
 
 
+def _is_unhashable_container(series) -> str | None:
+    """The driver's pandas canonicalizer sort_values/factorizes every
+    column; list/ndarray/dict/set values raise TypeError there (observed:
+    quantiles_summary and nation_top_customer_lists in r10). Returns the
+    offending type name, or None."""
+    import numpy as np
+
+    nonnull = series.dropna()
+    if len(nonnull) == 0:
+        return None
+    v = nonnull.iloc[0]
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        return type(v).__name__
+    return None
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = (
+        args[0]
+        if args and os.path.isdir(args[0])
+        else "/root/testdata/sf0.001"
+    )
+    only = set(args[1:] if args and os.path.isdir(args[0]) else args)
     spark = build_session("dtype-audit", master="local[8]", shuffle_partitions=8)
     try:
         duck = duckdb.connect()
@@ -79,6 +101,8 @@ def main() -> int:
         bad = 0
         warned = 0
         for name in sorted(oracles):
+            if only and name not in only:
+                continue
             if name == "stateful_user_rollup_tws" and not _HAS_TWS:
                 print(f"SKIP {name}: transformWithState needs protobuf")
                 continue
@@ -91,6 +115,17 @@ def main() -> int:
                 continue
             sp = {c: str(spdf[c].dtype) for c in spdf.columns}
             dk = {c: str(dkdf[c].dtype) for c in dkdf.columns}
+            for side, df in (("spark", spdf), ("duck", dkdf)):
+                for col in df.columns:
+                    tn = _is_unhashable_container(df[col])
+                    if tn is not None:
+                        print(
+                            f"CONT {name}.{col} ({side}): {tn} values — "
+                            "the driver canonicalizer cannot hash "
+                            "containers; flatten (posexplode/unnest) or "
+                            "serialize (concat_ws/array_to_string)"
+                        )
+                        bad += 1
             for col in sorted(set(sp) | set(dk)):
                 a, b = sp.get(col), dk.get(col)
                 if a is None or b is None:

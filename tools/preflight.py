@@ -69,6 +69,32 @@ def main() -> int:
     if proc.returncode != 0 or bad:
         failures.append(f"window verification red: {bad or proc.returncode}")
 
+    # (2b) oracle-dtype / container lint over the window at sf0.001 —
+    # catches the two classes of driver-only failure that slipped past
+    # value-identical local checks in r10 (HUGEINT→float64 widening and
+    # unhashable ARRAY outputs) BEFORE the driver sees them. Full-registry
+    # sweep with --dtypes-full.
+    lint_args = [sys.executable, "tools/oracle_dtype_audit.py", SMOKE_SF]
+    if "--dtypes-full" not in sys.argv:
+        lint_args += window
+    lint = subprocess.run(
+        lint_args,
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    lint_bad = [
+        line
+        for line in lint.stdout.splitlines()
+        if line.startswith(("MISM", "CONT", "COL", "OBJ", "ERR"))
+    ]
+    tail = lint.stdout.strip().splitlines()[-1] if lint.stdout.strip() else ""
+    print(f"dtype-lint: rc={lint.returncode} {tail}")
+    for line in lint_bad:
+        print(f"  {line}")
+    if lint.returncode != 0 or lint_bad:
+        failures.append(f"oracle dtype lint red: {lint_bad or lint.returncode}")
+
     # (3) bench — optional, the slow part.
     if "--bench" in sys.argv:
         bench = subprocess.run(
