@@ -29,6 +29,15 @@ event density over the same wall-clock range, the honest shape of a
 service growing its user base) and probes the window/session/sequence
 family: per-user sessionization, daily windows, sweep-line concurrency,
 funnel, cohort retention, skew-proof distinct.
+
+--pipeline replicates documents (marker-copy variant) AND part (names
+prefixed with a per-copy 3-char marker, pairwise levenshtein 3 > the
+FUZZY_MAX_DIST=2 verify threshold, so each copy's internal match graph
+is preserved and cross-copy matches are structurally suppressed) and
+probes the round-10 pipeline family: the streaming ingestion gate
+(reported with per-doc drain milliseconds — the gate's scale law is
+Python state-group invocations per micro-batch), the gate→batch
+composition, shard ingest/export, and entity resolution.
 """
 
 from __future__ import annotations
@@ -74,14 +83,25 @@ def main() -> None:
     from mapreduce_simulation_spark.tables import load_table
 
     args = [
-        a for a in sys.argv[1:] if a not in ("--unique", "--events")
+        a
+        for a in sys.argv[1:]
+        if a not in ("--unique", "--events", "--pipeline")
     ]
     unique = "--unique" in sys.argv[1:]
     events_mode = "--events" in sys.argv[1:]
+    pipeline_mode = "--pipeline" in sys.argv[1:]
     n_copies = int(args[0]) if args else 10
     spark = build_session("scale-probe")
     qs = e.queries()
-    if unique:
+    if pipeline_mode:
+        probes = [
+            "streaming_minhash_dedup",
+            "gated_dedup_pipeline",
+            "streaming_shard_ingest",
+            "shard_export_manifest",
+            "entity_resolution_pipeline",
+        ]
+    elif unique:
         probes = ["dedup_exact", "dedup_minhash_lsh"]
     elif events_mode:
         probes = [
@@ -197,12 +217,34 @@ def main() -> None:
     big.repartition(32).write.mode("overwrite").parquet(
         f"{big_dir}/d/documents.parquet"
     )
-    # the probed queries read only the documents table; symlink the rest
+    # the probed queries read only the documents table (plus part in
+    # pipeline mode, replicated below); symlink the rest
     for t in (
         "region nation customer supplier part orders lineitem events "
         "embeddings".split()
     ):
+        if pipeline_mode and t == "part":
+            continue
         os.symlink(f"{BASE}/{t}.parquet", f"{big_dir}/d/{t}.parquet")
+    if pipeline_mode:
+        part = load_table(spark, BASE, "part")
+        pmax = part.agg(F.max("p_partkey")).collect()[0][0] + 1
+        pparts = []
+        for k in range(n_copies):
+            marker = chr(97 + k % 26) * 3  # 'aaa', 'bbb', ... pairwise L=3
+            pparts.append(
+                part.withColumn(
+                    "p_partkey", F.col("p_partkey") + F.lit(k * pmax)
+                ).withColumn(
+                    "p_name", F.concat(F.lit(marker + " "), F.col("p_name"))
+                )
+            )
+        bigp = pparts[0]
+        for p in pparts[1:]:
+            bigp = bigp.unionByName(p)
+        bigp.repartition(8).write.mode("overwrite").parquet(
+            f"{big_dir}/d/part.parquet"
+        )
     big_sf = f"{big_dir}/d"
 
     def force(df) -> None:
@@ -226,6 +268,18 @@ def main() -> None:
                 release_tracked()
         if row.get("base") and row.get("big"):
             row["ratio"] = round(row["big"] / row["base"], 1)
+        if pipeline_mode and name == "streaming_minhash_dedup":
+            # the gate's scale law: Python state-group invocations per
+            # micro-batch — report drain milliseconds per document
+            n_base = 5000  # sf0.1 documents
+            if row.get("base"):
+                row["base_ms_per_doc"] = round(
+                    row["base"] * 1000 / n_base, 2
+                )
+            if row.get("big"):
+                row["big_ms_per_doc"] = round(
+                    row["big"] * 1000 / (n_base * n_copies), 2
+                )
         results.append(row)
         print(
             f"{name:28s} base {row.get('base')}s  "
@@ -233,7 +287,12 @@ def main() -> None:
         )
     print(
         json.dumps(
-            {"n_copies": n_copies, "unique": unique, "probes": results}
+            {
+                "n_copies": n_copies,
+                "unique": unique,
+                "pipeline": pipeline_mode,
+                "probes": results,
+            }
         )
     )
     spark.stop()
