@@ -142,15 +142,16 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests (SKETCH_ORACLES retains the per-count bound check).
 
     This is the production shape (sketch to prune, exact pass to
-    confirm): two corpus scans, but the shuffle of pass 1 is capacity-
-    bounded and pass 2's is candidate-bounded — neither grows with the
-    vocabulary."""
+    confirm): two token scans, but both read the staged token store
+    (staged_tokenized_docs — no regex re-tokenize), the shuffle of
+    pass 1 is capacity-bounded and pass 2's is candidate-bounded —
+    neither grows with the vocabulary."""
     from pyspark.sql import functions as F
 
-    from .text import tokens
+    from .text import staged_tokenized_docs
 
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+    docs = staged_tokenized_docs(spark, sf_dir)
+    tok = docs.select(F.explode(F.col("ws")).alias("word"))
 
     def mg_partition(batches):
         counters: dict[str, int] = {}
