@@ -57,9 +57,12 @@ HLL_LC_THRESHOLD = 2.5 * HLL_M
 
 
 def hll_hash_sql(col: str) -> str:
-    """Two-round affine hash mod P — identical SQL text on both engines."""
+    """Two-round affine hash mod P — identical SQL text on both engines.
+    The input is cast to BIGINT first: with an INT32 column DuckDB would
+    otherwise multiply in 32-bit and overflow (caught by test_hll.py)."""
     return (
-        f"(({_A2} * (({_A1} * ({col} % {P}) + {_B1}) % {P}) + {_B2}) % {P})"
+        f"(({_A2} * (({_A1} * (CAST({col} AS BIGINT) % {P}) + {_B1})"
+        f" % {P}) + {_B2}) % {P})"
     )
 
 
