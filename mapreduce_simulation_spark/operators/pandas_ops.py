@@ -145,7 +145,12 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirm): two token scans, but both read the staged token store
     (staged_tokenized_docs — no regex re-tokenize), the shuffle of
     pass 1 is capacity-bounded and pass 2's is candidate-bounded —
-    neither grows with the vocabulary."""
+    neither grows with the vocabulary.
+
+    Plan-audit note: the crossJoin broadcasts the ONE-ROW corpus total
+    (the N in the n·capacity ≥ N threshold) — the BNLJ and its
+    SinglePartition exchange move exactly one aggregated row, the
+    documented bounded-side pattern."""
     from pyspark.sql import functions as F
 
     from .text import staged_tokenized_docs
