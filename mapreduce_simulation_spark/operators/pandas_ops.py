@@ -114,6 +114,24 @@ MG_CAPACITY = 64
 HEAVY_HITTERS_TOP = 20
 
 
+def mg_add_batch(
+    counters: dict[str, int], batch_counts: dict[str, int], capacity: int
+) -> dict[str, int]:
+    """One Misra-Gries merge step: add a batch's exact counts, then if
+    more than ``capacity`` counters remain, subtract the (capacity+1)-th
+    largest value from all and drop non-positives. Each prune removes at
+    least (capacity+1)·cut total mass, so the cumulative undercount of
+    any key stays below N/(capacity+1) — the classic MG bound. Pure
+    function, shared by both mapInPandas sketch passes and the
+    hypothesis property test (tests/test_properties.py)."""
+    for word, cnt in batch_counts.items():
+        counters[word] = counters.get(word, 0) + int(cnt)
+    if len(counters) > capacity:
+        cut = sorted(counters.values(), reverse=True)[capacity]
+        counters = {w: c - cut for w, c in counters.items() if c - cut > 0}
+    return counters
+
+
 def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters through a two-pass Misra-Gries pipeline — the
     bounded-memory answer when the key space itself doesn't fit (exact
@@ -161,13 +179,9 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mg_partition(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
-            for word, cnt in pdf["word"].value_counts().items():
-                counters[word] = counters.get(word, 0) + int(cnt)
-            if len(counters) > MG_CAPACITY:
-                cut = sorted(counters.values(), reverse=True)[MG_CAPACITY]
-                counters = {
-                    w: c - cut for w, c in counters.items() if c - cut > 0
-                }
+            counters = mg_add_batch(
+                counters, pdf["word"].value_counts().to_dict(), MG_CAPACITY
+            )
         yield pd.DataFrame(
             {"word": list(counters), "mg_count": list(counters.values())}
         )
@@ -216,13 +230,9 @@ def mg_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mg_partition(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
-            for word, cnt in pdf["word"].value_counts().items():
-                counters[word] = counters.get(word, 0) + int(cnt)
-            if len(counters) > MG_CAPACITY:
-                cut = sorted(counters.values(), reverse=True)[MG_CAPACITY]
-                counters = {
-                    w: c - cut for w, c in counters.items() if c - cut > 0
-                }
+            counters = mg_add_batch(
+                counters, pdf["word"].value_counts().to_dict(), MG_CAPACITY
+            )
         yield pd.DataFrame(
             {"word": list(counters), "mg_count": list(counters.values())}
         )
