@@ -978,6 +978,161 @@ ORDER BY doc_a, doc_b
 DEDUP_MINHASH_SQL = _minhash_oracle_sql()
 
 
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality measurement: for every LSH candidate pair, the
+    MinHash-ESTIMATED jaccard (matching signature components / 16 — the
+    actual estimator banding approximates) side by side with the exact
+    shingle-set jaccard. This is the query a pipeline owner runs before
+    trusting a banding threshold on a new corpus: it quantifies, per
+    pair, how far the 16-permutation estimate sits from truth, entirely
+    from the staged signature and shingle artifacts.
+
+    Output (doc_a, doc_b, sig_matches, est_jaccard, exact_jaccard) — the
+    estimate is one integer division (matches/16.0) and the exact value
+    one division of exact integers, so the DuckDB twin hash-matches
+    bit-for-bit. Unlike dedup_minhash_lsh the exact jaccard is NOT
+    thresholded: near-miss candidates (bucket collisions below 0.5) are
+    the interesting rows for calibration.
+
+    Scale: the banded candidate join is the dedup_minhash_lsh shape
+    (|docs|×8 short keys, never corpus²); the signature re-join is two
+    broadcast-size lookups per candidate and the exact intersection is
+    candidate-bounded (_pair_jaccard's verification join)."""
+    sh = staged_shingles(spark, sf_dir)
+    sig = _staged_minhash_sig(spark, sf_dir)
+    n = len(H.MINHASH_PERMS)
+    # Collision-FREE signature-value band keys (not xxhash64 like
+    # dedup_minhash_lsh): a 64-bit key collision would ADD a candidate
+    # pair, and this query has no jaccard threshold to filter it back
+    # out — the candidate set itself must match the oracle exactly.
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"m{b * H.ROWS_PER_BAND + r}")
+                        for r in range(H.ROWS_PER_BAND)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(H.N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    candidates = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(n)],
+        F.col("n_sh").alias("n_a"),
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n)],
+        F.col("n_sh").alias("n_b"),
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n)
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        candidates.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .join(common, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_common": 0})
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("int").alias("sig_matches"),
+            (matches.cast("double") / float(n)).alias("est_jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_estimate_oracle_sql() -> str:
+    n = len(H.MINHASH_PERMS)
+    min_exprs = ",\n    ".join(
+        f"min({H.perm_hash_sql('h', i)}) AS m{i}" for i in range(n)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, m{i0} || ':' || m{i1} AS key FROM sig".format(
+            b=b, i0=b * H.ROWS_PER_BAND, i1=b * H.ROWS_PER_BAND + 1
+        )
+        for b in range(H.N_BANDS)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+hashed AS (SELECT doc_id, shingle AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {min_exprs}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+  {band_selects}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM candidates c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({match_sum} AS INTEGER) AS sig_matches,
+       CAST({match_sum} AS DOUBLE) / {float(n)!r} AS est_jaccard,
+       CAST(coalesce(n_common, 0) AS DOUBLE)
+         / (za.n_sh + zb.n_sh - coalesce(n_common, 0)) AS exact_jaccard
+FROM candidates c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+LEFT JOIN common ON common.doc_a = c.doc_a AND common.doc_b = c.doc_b
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+MINHASH_ESTIMATE_SQL = _minhash_estimate_oracle_sql()
+
+
 def _minhash_gate_oracle_sql() -> str:
     """Oracle for the streaming ingestion gate: a doc is dup-in-a-band iff
     a LOWER-id doc shares that band's signature-value key — no jaccard

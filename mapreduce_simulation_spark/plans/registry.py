@@ -836,6 +836,14 @@ register(
 )
 register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
 register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
+# Sketch calibration: estimated (signature-match) vs exact jaccard per
+# LSH candidate pair, unthresholded — both divisions of exact integers,
+# so the oracle hash-matches bit-for-bit.
+register(
+    "minhash_jaccard_estimate",
+    dedup.minhash_jaccard_estimate,
+    dedup.MINHASH_ESTIMATE_SQL,
+)
 register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
 
 # ---------------------------------------------------------------------------

@@ -1195,3 +1195,39 @@ def test_exact_money_sums_matches_decimal_accumulation(spark):
         .collect()
     )
     assert got == want
+
+
+def test_minhash_jaccard_estimate_semantics(spark, sf_dir):
+    """The estimate must equal (# equal signature components)/16 computed
+    independently from the signatures, the exact column must equal the
+    true shingle-set jaccard, and on candidate pairs (which share a full
+    band, i.e. 2 components by construction) sig_matches >= 2 and the
+    estimator tracks truth within the binomial envelope on average."""
+    from mapreduce_simulation_spark.operators import dedup as D
+    from mapreduce_simulation_spark.functions import hashing as H
+
+    rows = D.minhash_jaccard_estimate(spark, sf_dir).collect()
+    assert rows, "no candidate pairs at this SF"
+    sig = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(len(H.MINHASH_PERMS))]
+        for r in D._staged_minhash_sig(spark, sf_dir).collect()
+    }
+    sh_rows = D.staged_shingles(spark, sf_dir).collect()
+    shingles: dict[int, set] = {}
+    for r in sh_rows:
+        shingles.setdefault(r.doc_id, set()).add(r.shingle)
+    errs = []
+    for r in rows:
+        a, b = sig[r.doc_a], sig[r.doc_b]
+        m = sum(1 for x, y in zip(a, b) if x == y)
+        assert r.sig_matches == m
+        assert r.est_jaccard == m / 16.0
+        sa, sb = shingles[r.doc_a], shingles[r.doc_b]
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(r.exact_jaccard - exact) < 1e-12
+        # a candidate shares at least one full band = 2 equal components
+        assert m >= 2
+        errs.append(abs(r.est_jaccard - r.exact_jaccard))
+    # 16-permutation binomial std is <= 0.125; the mean abs error over
+    # the candidate population should sit well inside 2 std
+    assert sum(errs) / len(errs) < 0.25
