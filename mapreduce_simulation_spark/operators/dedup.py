@@ -1126,11 +1126,84 @@ JOIN sig sb ON sb.doc_id = c.doc_b
 JOIN sizes za ON za.doc_id = c.doc_a
 JOIN sizes zb ON zb.doc_id = c.doc_b
 LEFT JOIN common ON common.doc_a = c.doc_a AND common.doc_b = c.doc_b
-ORDER BY c.doc_a, c.doc_b
 """
 
 
-MINHASH_ESTIMATE_SQL = _minhash_estimate_oracle_sql()
+_MINHASH_ESTIMATE_CORE_SQL = _minhash_estimate_oracle_sql()
+MINHASH_ESTIMATE_SQL = (
+    _MINHASH_ESTIMATE_CORE_SQL + "ORDER BY c.doc_a, c.doc_b\n"
+)
+
+# Calibration grid in percent (integers survive both engines untouched;
+# pct/100.0 is the same IEEE division on both sides).
+BANDING_THRESHOLD_GRID = (30, 40, 50, 60, 70, 80, 90)
+
+
+def banding_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding-calibration summary a pipeline owner reads before
+    picking a dedup threshold: for each candidate-pair jaccard threshold
+    on a fixed grid, how many LSH candidate pairs the 16-permutation
+    ESTIMATE accepts vs how many the EXACT jaccard accepts, and their
+    confusion split (both / estimate-only / exact-only). Exposes the
+    sketch's false-accept and false-reject behavior per threshold from
+    ONE pass over the candidate pairs — all counts are integers, so the
+    DuckDB twin hash-matches exactly.
+
+    Scale: input is the candidate-pair frame (banded join, never
+    corpus²); the grid cross join multiplies it by 7 tiny rows before a
+    partial-agg count — metadata-scale."""
+    est = (
+        minhash_jaccard_estimate(spark, sf_dir)
+        .select("est_jaccard", "exact_jaccard")
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in BANDING_THRESHOLD_GRID], "pct int"
+    )
+    t = F.col("pct").cast("double") / F.lit(100.0)
+    e_ge = (F.col("est_jaccard") >= t).cast("int")
+    x_ge = (F.col("exact_jaccard") >= t).cast("int")
+    return (
+        est.crossJoin(F.broadcast(grid))
+        .groupBy("pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(e_ge).alias("n_est_accept"),
+            F.sum(x_ge).alias("n_exact_accept"),
+            F.sum(e_ge * x_ge).alias("n_both"),
+            F.sum(e_ge * (1 - x_ge)).alias("n_est_only"),
+            F.sum((1 - e_ge) * x_ge).alias("n_exact_only"),
+        )
+        .orderBy("pct")
+    )
+
+
+def _banding_curve_oracle_sql() -> str:
+    grid = ", ".join(str(p) for p in BANDING_THRESHOLD_GRID)
+    return f"""
+WITH est AS ({_MINHASH_ESTIMATE_CORE_SQL}),
+g AS (SELECT unnest([{grid}]) AS pct)
+SELECT g.pct AS pct,
+       count(*) AS n_candidates,
+       CAST(sum(CASE WHEN est_jaccard >= CAST(g.pct AS DOUBLE) / 100.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_est_accept,
+       CAST(sum(CASE WHEN exact_jaccard >= CAST(g.pct AS DOUBLE) / 100.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_accept,
+       CAST(sum(CASE WHEN est_jaccard >= CAST(g.pct AS DOUBLE) / 100.0
+                 AND exact_jaccard >= CAST(g.pct AS DOUBLE) / 100.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN est_jaccard >= CAST(g.pct AS DOUBLE) / 100.0
+                 AND exact_jaccard < CAST(g.pct AS DOUBLE) / 100.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_est_only,
+       CAST(sum(CASE WHEN est_jaccard < CAST(g.pct AS DOUBLE) / 100.0
+                 AND exact_jaccard >= CAST(g.pct AS DOUBLE) / 100.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_only
+FROM est, g
+GROUP BY g.pct
+ORDER BY pct
+"""
+
+
+BANDING_CURVE_SQL = _banding_curve_oracle_sql()
 
 
 def _minhash_gate_oracle_sql() -> str:

@@ -844,6 +844,13 @@ register(
     dedup.minhash_jaccard_estimate,
     dedup.MINHASH_ESTIMATE_SQL,
 )
+# Banding calibration curve: per jaccard threshold, estimate-vs-exact
+# accept counts and their confusion split — all integer counts.
+register(
+    "banding_threshold_curve",
+    dedup.banding_threshold_curve,
+    dedup.BANDING_CURVE_SQL,
+)
 register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
 
 # ---------------------------------------------------------------------------

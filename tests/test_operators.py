@@ -1231,3 +1231,27 @@ def test_minhash_jaccard_estimate_semantics(spark, sf_dir):
     # 16-permutation binomial std is <= 0.125; the mean abs error over
     # the candidate population should sit well inside 2 std
     assert sum(errs) / len(errs) < 0.25
+
+
+def test_banding_threshold_curve_confusion_identities(spark, sf_dir):
+    """Counts must satisfy the confusion-matrix identities per threshold
+    and be monotone non-increasing as the threshold rises."""
+    from mapreduce_simulation_spark.operators import dedup as D
+
+    rows = sorted(
+        D.banding_threshold_curve(spark, sf_dir).collect(),
+        key=lambda r: r.pct,
+    )
+    assert [r.pct for r in rows] == list(D.BANDING_THRESHOLD_GRID)
+    n_cand = {r.n_candidates for r in rows}
+    assert len(n_cand) == 1  # same candidate population at every threshold
+    prev_e = prev_x = None
+    for r in rows:
+        assert r.n_est_accept == r.n_both + r.n_est_only
+        assert r.n_exact_accept == r.n_both + r.n_exact_only
+        assert r.n_est_accept <= r.n_candidates
+        assert r.n_exact_accept <= r.n_candidates
+        if prev_e is not None:
+            assert r.n_est_accept <= prev_e
+            assert r.n_exact_accept <= prev_x
+        prev_e, prev_x = r.n_est_accept, r.n_exact_accept
