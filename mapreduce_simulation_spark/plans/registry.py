@@ -1098,6 +1098,16 @@ from ..streaming.stateful import (  # noqa: E402
 # (the exact oracle). Streaming twin of shard_export_manifest.
 register("streaming_shard_ingest", _shard_ingest, _shard_ingest_sql)
 
+# Streaming HLL sketch ingest: per-batch (day, register) max-rho deltas,
+# merged by max/sum at rollup — row-identical to the batch estimator and
+# exactly replayed by the oracle (max-merge is associative/idempotent).
+from ..streaming.stateful import (  # noqa: E402
+    STREAMING_HLL_INGEST_SQL as _hll_ingest_sql,
+    streaming_hll_sketch_ingest as _hll_ingest,
+)
+
+register("streaming_hll_sketch_ingest", _hll_ingest, _hll_ingest_sql)
+
 from ..streaming.stateful import (  # noqa: E402
     stateful_user_rollup_tws as _stateful_tws,
 )

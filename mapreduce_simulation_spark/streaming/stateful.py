@@ -615,3 +615,104 @@ ORDER BY 1
 
 
 STREAMING_SHARD_INGEST_SQL = _shard_ingest_oracle_sql()
+
+
+def streaming_hll_sketch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion → an append-only HLL sketch-delta log → exact
+    same distinct-count estimates as the batch sketch, per day. The
+    online face of the deterministic HLL (functions/hll.py) and the
+    sketch-table pattern at ingest time: each micro-batch writes its own
+    per-(day, register) max-rho DELTA under deltas/batch=<id>/ (OVERWRITE
+    — a replayed batch rewrites identical bytes, the shard-ingest
+    idempotence recipe), and any later rollup merges deltas by max(rho)
+    WITHOUT re-reading raw events.
+
+    Because register-state merge is max (associative, commutative,
+    idempotent) and the event count merge is sum, the drained multi-batch
+    state equals the one-shot batch state EXACTLY — so the result is
+    row-identical to the batch estimator and the DuckDB oracle replays it
+    bit-for-bit (unlike engine sketches, whose binary state is
+    engine-private). Four range-split input files exercise real
+    multi-batch accumulation.
+
+    Scale: per batch one narrow projection + a partial agg keyed
+    (day, register) — ≤ min(batch users, HLL_M) rows per day; delta files
+    are register-table-sized; the rollup reads only deltas. At 100 TB
+    this is the shape that makes 'distinct users last month' a
+    metadata-scale query forever."""
+    from pyspark.sql import functions as F
+
+    from ..functions import hll as HLL
+    from ..staging import keyed_staging_dir, staging_dir
+    from ..tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    stage, already = keyed_staging_dir("events_hll_ingest_", f"sf={sf_dir}")
+    if not already:
+        ev.repartitionByRange(4, "event_id").write.mode(
+            "overwrite"
+        ).parquet(stage)
+    delta_dir = f"{staging_dir('hll_ingest_out_')}/deltas"
+    reg, rho = HLL.hll_register_cols("user_id")
+
+    def _sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                F.to_date("ts").alias("day"),
+                reg.alias("reg"),
+                rho.alias("rho"),
+            )
+            .groupBy("day", "reg")
+            .agg(
+                F.max("rho").alias("maxrho"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        delta.repartition(1).write.mode("overwrite").parquet(
+            f"{delta_dir}/batch={batch_id}"
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(_sketch_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    deltas = spark.read.option("basePath", delta_dir).parquet(
+        f"{delta_dir}/batch=*"
+    )
+    state = deltas.groupBy("day", "reg").agg(
+        F.max("maxrho").alias("maxrho"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return (
+        HLL.hll_group_estimate(
+            state, ["day"], spark, extra_sums={"n_events": "n_rows"}
+        )
+        .select("day", "n_events", F.col("approx").alias("approx_users"))
+        .orderBy("day")
+    )
+
+
+def _hll_sketch_ingest_oracle_sql() -> str:
+    from ..functions import hll as HLL
+
+    return f"""
+WITH lc AS {HLL.lc_table_cte()},
+state AS ({HLL.hll_state_sql(
+        "(SELECT CAST(ts AS DATE) AS day, user_id FROM events)",
+        "user_id",
+        "day",
+    )})
+SELECT day, n_events, approx AS approx_users
+FROM ({HLL.hll_estimate_sql(
+        "day", "CAST(sum(n_rows) AS BIGINT) AS n_events"
+    )})
+ORDER BY day
+"""
+
+
+STREAMING_HLL_INGEST_SQL = _hll_sketch_ingest_oracle_sql()

