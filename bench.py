@@ -99,6 +99,19 @@ TRAINING = [
     "exact_ols_train",
 ]
 
+# Round-11 additions, same own-group rule: the deterministic-HLL pair
+# (rewritten in r11 from engine sketches to the cross-engine HLL — not
+# comparable to any earlier timing, hence a fresh group) and the MinHash
+# calibration pair. streaming_hll_sketch_ingest is intentionally NOT
+# benched: like streaming_logreg_score its wall time is fixed streaming
+# machinery, not throughput; the sweep + driver gate verify it.
+SKETCH = [
+    "events_daily_approx",
+    "hll_monthly_users",
+    "minhash_jaccard_estimate",
+    "banding_threshold_curve",
+]
+
 # Round-10 additions, same own-group rule: the gate→batch dedup pipeline
 # and the batch/streaming shard-export manifests.
 PIPELINE = [
@@ -146,6 +159,7 @@ _SUMMARY_KEYS = (
     "extended_total",
     "training_total",
     "pipeline_total",
+    "sketch_total",
     "cpu_calib_sec",
     "spark_calib_sec",
     "calib_normalized_total",
@@ -291,6 +305,7 @@ def main() -> None:
     extended = run(EXTENDED, repeats=3)
     training = run(TRAINING, repeats=3)
     pipeline = run(PIPELINE, repeats=3)
+    sketch = run(SKETCH, repeats=3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -316,6 +331,9 @@ def main() -> None:
         # separate group (r10+): pipeline/export compositions
         "pipeline": pipeline,
         "pipeline_total": round(sum(pipeline.values()), 3),
+        # separate group (r11+): deterministic-sketch family
+        "sketch": sketch,
+        "sketch_total": round(sum(sketch.values()), 3),
         "cpu_calib_sec": cpu_calib,
         "spark_calib_sec": spark_calib,
         # PRIMARY cross-round comparison metric (see README "Benchmark"):

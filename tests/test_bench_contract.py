@@ -25,6 +25,10 @@ def _worst_case_result() -> dict:
         "extended_total": 99999.999,
         "training": {name: 9999.999 for name in bench.TRAINING},
         "training_total": 99999.999,
+        "pipeline": {name: 9999.999 for name in bench.PIPELINE},
+        "pipeline_total": 99999.999,
+        "sketch": {name: 9999.999 for name in bench.SKETCH},
+        "sketch_total": 99999.999,
         "cpu_calib_sec": 99.999,
         "spark_calib_sec": 99.999,
         "calib_normalized_total": 9999.99,
