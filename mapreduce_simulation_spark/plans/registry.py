@@ -52,6 +52,70 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # entries would downgrade their slot to the driver's weaker rows-only
 # check and get their stronger checks locally anyway.
 _PROMOTE = (
+    # ---- round-12 window: pure staleness rotation (the r11 window went
+    # 50/50 green, so no fixed reds remain). Composition, per the r11
+    # verdict's recipe: the 3 never-driver-checked late-r11 sketch
+    # queries FIRST, then every name whose last hash-green driver row is
+    # r6 (3) or r7 (10), then 34 of the 50 r8-stale names (alphabetical
+    # tiebreak within the round — all carry identical staleness; the 16
+    # leftover r8 names queue for the r13 window and are listed at the
+    # bottom of this file). Excludes only the env-gated
+    # stateful_user_rollup_tws, pinned behind the window. ----
+    # never driver-checked (registry grew 211->214 after the r11 freeze)
+    "minhash_jaccard_estimate",   # MinHash Jaccard estimator calibration
+    "banding_threshold_curve",    # LSH banding S-curve sweep
+    "streaming_hll_sketch_ingest",  # online HLL register ingest == batch
+    # last green r6
+    "span_dedup",                 # stride-k span dedup
+    "tfidf_top_terms",            # TF-IDF top terms per doc
+    "window_top_customers",       # dense_rank window top-k
+    # last green r7
+    "bucketed_join_revenue",      # bucketed co-located join
+    "corpus_mix",                 # weighted corpus mixing
+    "decontaminate",              # eval-set n-gram decontamination
+    "embedding_near_dup_bucketed",  # LSH-bucketed embedding near-dup
+    "lang_id",                    # n-gram language ID
+    "partitioned_source_pruned",  # hive-partition pruning scan
+    "sessionize_events",          # gap-based sessionization
+    "similarity_topk",            # brute-force cosine top-k (JVM fold)
+    "stratified_sample",          # per-stratum deterministic sample
+    "token_count_bpe",            # BPE-ish regex token counting
+    # last green r8 (34 of 50, alphabetical; remainder queued for r13)
+    "asof_join_purchases",
+    "bm25_topk",
+    "bpe_apply_merges",
+    "bpe_learn_merges",
+    "ccnet_perplexity_buckets",
+    "cdc_chunking",
+    "centroid_classify",
+    "curation_pipeline_v2",
+    "dedup_connected_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dsir_importance",
+    "gopher_quality_rules",
+    "kvtext_source_stats",
+    "lm_perplexity_score",
+    "media_features",
+    "mmr_rerank",
+    "multiset_set_ops",
+    "not_in_customers",
+    "pagerank_order_chain",
+    "pandas_grouped_agg_median",
+    "pipe_grep",
+    "pipe_word_count",
+    "polymorphic_udtf_props",
+    "pricing_summary",
+    "recursive_order_chain",
+    "revenue_by_nation",
+    "rfm_segmentation",
+    "rrf_hybrid_topk",
+    "runtime_filtered_join",
+    "schema_evolution_union",
+    "semantic_dedup",
+    # ---- history: round-11 window, 50/50 driver-green in r11 ----
     # ---- round-11 window: every registry name with NO hash-green driver
     # row (23 = the 3 r10 reds now fixed, the 6 formerly no-oracle queries
     # that gained exact oracles this round, and the 14 r10 additions that
@@ -288,30 +352,23 @@ _PROMOTE = (
 # brings the cumulative driver-green union to 210/211 (all but the
 # protobuf-gated TWS twin, which tests + sweeps cover).
 #
-# Round-12 rotation DRAFT (apply next round; update DRIVER_WINDOW_R11 ->
-# _R12 in the same commit and run tools/preflight.py): if r11 is green,
-# no never-checked names remain — rotate purely by staleness, oldest
-# last-green round first (recompute with the PLANS.md recipe over
-# CORRECTNESS_r01-r11).
+# Round-13 rotation QUEUE (apply next round; update DRIVER_WINDOW_R12 ->
+# _R13 in the same commit and run tools/preflight.py): if r12 is green,
+# the stalest names are the 16 r8-greens left out of the r12 window by
+# the alphabetical tiebreak — promote them first, then back-fill with r9
+# greens oldest-first (recompute with the PLANS.md recipe over
+# CORRECTNESS_r01-r12):
+#   sequence_packing, similarity_ivf_topk, similarity_lsh_topk,
+#   sole_blame_suppliers, sql_table_function_word_count, sql_udf_pricing,
+#   streaming_custom_source_rollup, streaming_events_hourly,
+#   streaming_kvtext_sink_roundtrip, streaming_upsert_profiles,
+#   substring_dedup_spans, text_stats, training_data_pipeline,
+#   training_shuffle, word_count, xml_source_customers
 _DEMOTE = (
-    # Driver-green rows (r6-r8) whose families keep stronger window
-    # representatives; each remains verified by tests + verify_local every
-    # round. Most former demotions were re-promoted in round 11 as the
-    # stalest-evidence back-fill — this is the residue with fresher rows.
-    "sessionize_events",        # events agg: streaming_events_hourly green
-    "lang_id",                  # text family: text_stats stays green
-    "token_count_bpe",          # text/BPE: learn+apply twins driver-green
-    "decontaminate",            # dedup family keeps 5 stronger reps
-    "stratified_sample",        # curation: training_data_pipeline green
-    "corpus_mix",               # curation: curation_pipeline_v2 green
-    "partitioned_source_pruned",  # source family: xml/kvtext green
-    "bucketed_join_revenue",    # join family: asof/not_in/sole_blame green
-    "similarity_topk",          # similarity: trained IVF/PQ/pandas now front
-    "embedding_near_dup_bucketed",  # similarity family covered
-    "window_top_customers",   # window family; ntile/moving-avg ops green
-    "span_dedup",             # dedup family: 6 stronger reps driver-green
-    "tfidf_top_terms",        # retrieval family: bm25/rrf_hybrid green
-    # pinned to the back so its position never depends on protobuf presence
+    # All former family-redundancy demotions were re-promoted in the r11
+    # (stalest-evidence back-fill) and r12 (pure staleness) windows; only
+    # the env-gated entry remains pinned behind the window so its position
+    # never depends on protobuf presence.
     "stateful_user_rollup_tws",
 )
 

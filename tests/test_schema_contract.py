@@ -113,57 +113,57 @@ def test_loaded_schema_matches_contract(spark, sf_dir, table):
 # registry._PROMOTE/_DEMOTE) must update this list deliberately.
 # ---------------------------------------------------------------------------
 
-DRIVER_WINDOW_R11 = [
-    "decision_stump_split",
-    "quantiles_summary",
-    "nation_top_customer_lists",
-    "similarity_topk_pandas",
-    "similarity_ivf_trained_topk",
-    "similarity_pq_topk",
-    "events_daily_approx",
-    "hll_monthly_users",
-    "heavy_hitters_sketch",
-    "gated_dedup_pipeline",
-    "streaming_shard_ingest",
-    "shard_export_manifest",
-    "logreg_score_corpus",
-    "kmeans_assign_corpus",
-    "ols_residuals_corpus",
-    "stump_classify_corpus",
-    "streaming_logreg_score",
-    "entity_resolution_pipeline",
-    "returned_item_revenue",
-    "linestatus_priority_counts",
-    "customer_order_distribution",
-    "small_quantity_revenue",
-    "bracket_discount_revenue",
-    "streaming_dedup_keys",
-    "constant_key_collapse",
-    "dedup_connected_components_stars",
-    "embedding_near_dup",
-    "union_sources",
-    "distinct_words",
-    "global_sort",
-    "grep",
-    "text_dir_word_count",
-    "udtf_word_count",
-    "anti_join_customers",
-    "broadcast_dim_join",
-    "identity_projection",
-    "left_outer_order_counts",
-    "monthly_revenue",
-    "rollup_revenue",
-    "running_order_totals",
-    "set_ops_segments",
-    "text_normalize",
-    "top_orders",
-    "doc_fingerprint",
-    "events_daily",
-    "grouping_sets_revenue",
-    "quality_score",
-    "repetition_stats",
-    "semi_join_customers",
-    "shipping_priority",
+DRIVER_WINDOW_R12 = [
+    "minhash_jaccard_estimate",
+    "banding_threshold_curve",
+    "streaming_hll_sketch_ingest",
+    "span_dedup",
+    "tfidf_top_terms",
+    "window_top_customers",
+    "bucketed_join_revenue",
+    "corpus_mix",
+    "decontaminate",
+    "embedding_near_dup_bucketed",
+    "lang_id",
+    "partitioned_source_pruned",
+    "sessionize_events",
+    "similarity_topk",
+    "stratified_sample",
+    "token_count_bpe",
+    "asof_join_purchases",
+    "bm25_topk",
+    "bpe_apply_merges",
+    "bpe_learn_merges",
+    "ccnet_perplexity_buckets",
+    "cdc_chunking",
+    "centroid_classify",
+    "curation_pipeline_v2",
+    "dedup_connected_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dsir_importance",
+    "gopher_quality_rules",
+    "kvtext_source_stats",
+    "lm_perplexity_score",
+    "media_features",
+    "mmr_rerank",
+    "multiset_set_ops",
+    "not_in_customers",
+    "pagerank_order_chain",
+    "pandas_grouped_agg_median",
+    "pipe_grep",
+    "pipe_word_count",
+    "polymorphic_udtf_props",
+    "pricing_summary",
+    "recursive_order_chain",
+    "revenue_by_nation",
+    "rfm_segmentation",
+    "rrf_hybrid_topk",
+    "runtime_filtered_join",
+    "schema_evolution_union",
+    "semantic_dedup",
 ]
 
 
@@ -171,11 +171,11 @@ def test_driver_hash_window_is_frozen():
     from mapreduce_simulation_spark.plans import registry
 
     got = list(registry.queries())[:50]
-    assert got == DRIVER_WINDOW_R11, (
+    assert got == DRIVER_WINDOW_R12, (
         "the driver's first-50 hash window shifted — if this is an intended "
-        "promotion/demotion, update DRIVER_WINDOW_R11; otherwise find the "
+        "promotion/demotion, update DRIVER_WINDOW_R12; otherwise find the "
         "import/registration reorder that moved it.\n"
-        f"got:  {got}\nwant: {DRIVER_WINDOW_R11}"
+        f"got:  {got}\nwant: {DRIVER_WINDOW_R12}"
     )
 
 
@@ -183,7 +183,7 @@ def test_driver_window_queries_all_have_oracles():
     from mapreduce_simulation_spark.plans import registry
 
     oracles = registry.oracle_sql()
-    missing = [n for n in DRIVER_WINDOW_R11 if n not in oracles]
+    missing = [n for n in DRIVER_WINDOW_R12 if n not in oracles]
     assert missing == [], (
         f"driver-window queries without an exact oracle: {missing} — the "
         "gate would fall back to the weaker rows-only check"
