@@ -179,21 +179,25 @@ def hll_state_sql(src: str, uid: str, group_cols: str) -> str:
 """
 
 
-def hll_estimate_sql(group_cols: str, extra_sums: str = "") -> str:
+def hll_estimate_sql(
+    group_cols: str, extra_sums: dict[str, str] | None = None
+) -> str:
     """DuckDB estimate-from-state subquery: consumes a CTE named ``state``
     (group_cols, reg, maxrho, n_rows) plus the ``lc`` CTE, emits
-    (group_cols, extra sums..., approx). ``extra_sums`` is an optional
-    'sum(n_rows) AS n_events,'-style projection snippet for the inner
-    aggregate, re-selected by name in the outer query."""
+    (group_cols, extra sums..., approx). ``extra_sums`` maps output name →
+    aggregate expression for the inner aggregate (the same {name: expr}
+    contract as hll_group_estimate — a dict rather than a SQL snippet so
+    an expression containing commas, e.g. round(sum(x), 2), can never be
+    mis-split into malformed SQL; r11 advice), re-selected by name in the
+    outer query."""
     term = hll_term_sql("maxrho")
-    extra_inner = f"{extra_sums}," if extra_sums else ""
-    extra_names = (
-        ", ".join(
-            s.strip().split(" AS ")[-1] for s in extra_sums.split(",")
-        )
-        + ","
+    extra_inner = (
+        ", ".join(f"{x} AS {n}" for n, x in extra_sums.items()) + ","
         if extra_sums
         else ""
+    )
+    extra_names = (
+        ", ".join(extra_sums) + "," if extra_sums else ""
     )
     return f"""
   SELECT {group_cols}, {extra_names}

@@ -1081,9 +1081,16 @@ def brute_force_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             norms = np.sqrt((mat * mat).sum(axis=1))
             cos = (mat @ qmat.T) / np.outer(norms, qnorm)  # [batch, nq]
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # mask self-matches (cos=1.0) BEFORE the preselect so they
+            # never consume a candidate slot — with them in, the batch
+            # containing a query would hold one fewer real candidate and
+            # the containment invariant below would only hold with slack
+            # (r11 advice)
+            cos[ids[:, None] == qids[None, :]] = -np.inf
             keep = min(PANDAS_PRESELECT, len(ids))
             # per-query local top-keep: the global top-pool is contained
-            # in the union of per-batch pools
+            # in the union of per-batch pools (exactly — self-matches are
+            # masked out above, so all keep slots hold real candidates)
             top = np.argpartition(-cos, keep - 1, axis=0)[:keep]  # [keep,nq]
             yield pd.DataFrame(
                 {

@@ -407,7 +407,8 @@ state AS ({H.hll_state_sql(
     )})
 SELECT day, event_type, n_events, approx AS n_users_approx
 FROM ({H.hll_estimate_sql(
-        "day, event_type", "CAST(sum(n_rows) AS BIGINT) AS n_events"
+        "day, event_type",
+        {"n_events": "CAST(sum(n_rows) AS BIGINT)"},
     )})
 ORDER BY day, event_type
 """

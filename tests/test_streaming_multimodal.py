@@ -1197,6 +1197,139 @@ def test_minhash_gate_occupied_bucket_flags_lower_id(spark, tmp_path):
     assert got[10] == 8  # later lower id flagged in every shared band
 
 
+def _multibatch_doc_stage(spark, tmp_path, name):
+    """Three single-file micro-batches with cross-batch duplicate
+    structure: doc 30 (batch 2) copies doc 10 (batch 1); doc 55 (batch 3)
+    copies doc 20 (batch 1); docs 40/60 are distinct; doc 12 near-dups
+    doc 10 WITHIN batch 1 (intra-batch min-wins case)."""
+    dup_a = "the quick brown fox jumps over the lazy dog again and again"
+    dup_b = "pack my box with five dozen liquor jugs every single day"
+    rows = [
+        [(10, dup_a), (12, dup_a), (20, dup_b)],
+        [(30, dup_a), (40, "completely different words appear in this")],
+        [(55, dup_b), (60, "unrelated closing text body for the stream")],
+    ]
+    src = str(tmp_path / name)
+    seen: set[str] = set()
+    for batch in rows:
+        df = spark.createDataFrame(batch, "doc_id bigint, text string")
+        df.coalesce(1).write.mode("append").parquet(src)
+        if seen:
+            _force_mtime_after(src, seen)
+        seen = _data_files(src)
+    return src
+
+
+def test_band_index_gate_matches_python_state_gate(spark, tmp_path):
+    """The JVM band-index gate (the registered default ingest path) must
+    produce BAND-FOR-BAND the same verdicts as the applyInPandasWithState
+    demo gate on a multi-batch stream — same occupancy semantics (first
+    batch to touch a bucket: batch-global min wins; later arrivals
+    flagged), different state substrate (parquet index vs Python state
+    store)."""
+    from mapreduce_simulation_spark.streaming.stateful import (
+        band_index_gate_drain,
+        minhash_dedup_gate,
+    )
+
+    src = _multibatch_doc_stage(spark, tmp_path, "gate_equiv_src")
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    verdict_root = band_index_gate_drain(
+        stream(), str(tmp_path / "gate_equiv_out")
+    )
+    new = {
+        (r.doc_id, r.band): r.dup
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(verdict_root)
+        .collect()
+    }
+    q = (
+        minhash_dedup_gate(stream())
+        .writeStream.format("memory")
+        .queryName("gate_equiv_py")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    old = {
+        (r.doc_id, r.band): r.dup
+        for r in spark.table("gate_equiv_py").collect()
+    }
+    assert new == old and len(new) > 0
+    # the cross-batch structure actually fired: copies flagged in all
+    # 8 bands, intra-batch near-dup flagged, originals kept
+    by_doc: dict[int, int] = {}
+    for (d, _b), dup in new.items():
+        by_doc[d] = by_doc.get(d, 0) + dup
+    assert by_doc[10] == 0 and by_doc[20] == 0
+    assert by_doc[30] == 8 and by_doc[55] == 8 and by_doc[12] == 8
+    # and the drain really ran one micro-batch per file (3 index deltas)
+    import os
+
+    idx = os.path.join(str(tmp_path / "gate_equiv_out"), "index")
+    assert sum(1 for d in os.listdir(idx) if d.startswith("delta_")) == 3
+
+
+def test_band_index_gate_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract of the foreachBatch body: (a) a fully
+    committed batch (verdict delta present) is a no-op on replay; (b) a
+    half-committed batch (index delta written, crash before the verdict
+    commit marker) recomputes IDENTICAL verdicts, because the body only
+    ever reads index deltas with id < its own batch id."""
+    import os
+    import shutil
+
+    from mapreduce_simulation_spark.operators.dedup import (
+        narrow_minhash_bands_arrow,
+    )
+    from mapreduce_simulation_spark.streaming.stateful import (
+        _band_index_gate_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "entirely different sentence with its own token set"),
+        ],
+        "doc_id bigint, text string",
+    )
+    banded = narrow_minhash_bands_arrow(docs)
+    root = str(tmp_path / "gate_replay")
+    idx, ver = os.path.join(root, "index"), os.path.join(root, "verdicts")
+    os.makedirs(idx)
+    os.makedirs(ver)
+    _band_index_gate_batch(banded, 0, idx, ver)
+
+    def read_verdicts():
+        return {
+            (r.doc_id, r.band): r.dup
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(ver)
+            .collect()
+        }
+
+    want = read_verdicts()
+    assert sum(d for _k, d in want.items()) == 8  # doc 2 flagged, 8 bands
+    # (a) full replay: both deltas exist → no-op, nothing duplicated
+    _band_index_gate_batch(banded, 0, idx, ver)
+    assert read_verdicts() == want
+    assert os.listdir(idx) == ["delta_00000"]
+    # (b) half-committed replay: index delta survived the crash, verdict
+    # delta did not → recompute must not see its own index delta
+    shutil.rmtree(os.path.join(ver, "delta_00000"))
+    _band_index_gate_batch(banded, 0, idx, ver)
+    assert read_verdicts() == want
+
+
 def test_streaming_hll_ingest_equals_batch_sketch(spark):
     """Online ≡ offline for the sketch family: the multi-batch delta-log
     rollup must be ROW-IDENTICAL (including the float estimates) to the
@@ -1216,6 +1349,23 @@ def test_streaming_hll_ingest_equals_batch_sketch(spark):
     online = [
         tuple(r) for r in streaming_hll_sketch_ingest(spark, SF_DIR).collect()
     ]
+
+    # the drain really produced multiple delta batches — without this the
+    # online≡offline equality could silently stop exercising real
+    # multi-batch merging if staging ever collapsed to one file (r11
+    # advice: the docstring claimed this assertion; now it exists)
+    import os
+
+    from mapreduce_simulation_spark.staging import keyed_staging_dir
+
+    out_root, already = keyed_staging_dir("hll_ingest_out_", f"sf={SF_DIR}")
+    assert already  # the query call above created it
+    n_deltas = sum(
+        1
+        for d in os.listdir(os.path.join(out_root, "deltas"))
+        if d.startswith("batch=")
+    )
+    assert n_deltas > 1, f"expected multi-batch drain, got {n_deltas} delta"
 
     ev = load_table(spark, SF_DIR, "events")
     reg, rho = H.hll_register_cols("user_id")

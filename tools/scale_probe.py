@@ -231,7 +231,12 @@ def main() -> None:
         pmax = part.agg(F.max("p_partkey")).collect()[0][0] + 1
         pparts = []
         for k in range(n_copies):
-            marker = chr(97 + k % 26) * 3  # 'aaa', 'bbb', ... pairwise L=3
+            # base-26 two-digit code with each digit TRIPLED: injective
+            # for n_copies ≤ 676 (chr(97+k%26)*3 collides past ×26 and
+            # silently reintroduces cross-copy matches; r11 advice) while
+            # keeping pairwise levenshtein ≥ 3 — any two distinct codes
+            # differ in at least one tripled letter
+            marker = chr(97 + k // 26) * 3 + chr(97 + k % 26) * 3
             pparts.append(
                 part.withColumn(
                     "p_partkey", F.col("p_partkey") + F.lit(k * pmax)
