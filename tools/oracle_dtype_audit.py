@@ -43,6 +43,13 @@ _COMPATIBLE = {
     ("int64", "int32"),
     ("object", "object"),
     ("bool", "bool"),
+    # Spark timestamps are µs-precision by definition, so a pandas
+    # datetime64[ns] on the Spark side is a conversion artifact: both
+    # units stringify identically for µs-aligned values at EVERY sf —
+    # structurally benign, not coincidence (r11 advice: 16 latent
+    # warnings were all this pair or the DATE pair below).
+    ("datetime64[ns]", "datetime64[us]"),
+    ("datetime64[us]", "datetime64[ns]"),
 }
 
 
@@ -108,7 +115,11 @@ def main() -> int:
                 continue
             try:
                 spdf = queries[name](spark, sf_dir).toPandas()
-                dkdf = duck.execute(oracles[name]).df()
+                cur = duck.execute(oracles[name])
+                # declared DuckDB column types (e.g. 'DATE') — lets the
+                # audit separate structural benignity from sf-coincidence
+                duck_decl = {d[0]: str(d[1]) for d in cur.description}
+                dkdf = cur.df()
             except Exception as exc:  # pragma: no cover - audit tool
                 print(f"ERR  {name}: {exc}")
                 bad += 1
@@ -131,6 +142,16 @@ def main() -> int:
                 if a is None or b is None:
                     print(f"COL  {name}.{col}: spark={a} duck={b} (missing)")
                     bad += 1
+                elif (
+                    a == "object"
+                    and b.startswith("datetime64")
+                    and duck_decl.get(col, "").upper() == "DATE"
+                    and _first_nonnull_type(spdf[col]) in (None, "date")
+                ):
+                    # Spark DATE → pandas object of datetime.date; DuckDB
+                    # DATE → datetime64 (always midnight). Both stringify
+                    # as 'YYYY-MM-DD' at every sf — structurally benign.
+                    pass
                 elif (a, b) not in _COMPATIBLE and a != b:
                     if not _stringify_matches(spdf[col], dkdf[col]):
                         print(f"MISM {name}.{col}: spark={a} duck={b}")
