@@ -60,3 +60,24 @@ def test_summary_omits_missing_optional_fields():
     summary = bench.summarize({"metric": "m", "value": 1, "unit": "sec"})
     assert "n_errors" not in summary
     assert summary["metric"] == "m"
+
+
+def test_bench_group_membership_is_frozen():
+    """Cross-round comparability rests on each bench group timing the
+    IDENTICAL query set every round (new queries get their own group —
+    the r11 rule that kept headline/extended set-identical). Freeze each
+    group's membership hash so a silent add/remove/reorder is one named
+    failure; a deliberate change updates the literal in the same commit
+    and gets called out in PLANS.md."""
+    import hashlib
+
+    def h(names: list[str]) -> str:
+        return hashlib.sha256("\n".join(sorted(names)).encode()).hexdigest()[
+            :16
+        ]
+
+    assert h(bench.HEADLINE) == "3bd0072884997c6f", sorted(bench.HEADLINE)
+    assert h(bench.EXTENDED) == "fcf82ef47a3fb247", sorted(bench.EXTENDED)
+    assert h(bench.TRAINING) == "3780ec07443a5955", sorted(bench.TRAINING)
+    assert h(bench.PIPELINE) == "e7775bef372af7de", sorted(bench.PIPELINE)
+    assert h(bench.SKETCH) == "cb6525270c3823fe", sorted(bench.SKETCH)
