@@ -30,6 +30,15 @@ service growing its user base) and probes the window/session/sequence
 family: per-user sessionization, daily windows, sweep-line concurrency,
 funnel, cohort retention, skew-proof distinct.
 
+--sketch replicates BOTH events (shifted user/event ids — N× users ⇒
+N× true distinct cardinality) and documents (clique-free injective
+token rewrite, preserving each copy's internal jaccard structure) and
+probes the round-11 sketch family: the HLL daily/monthly estimators
+(register-table claim: per-day state is min(users, HLL_M) rows, so the
+agg output should NOT grow N× past saturation), the online HLL ingest,
+and the MinHash calibration pair (candidate pairs scale exactly N×
+under the clique-free rewrite).
+
 --pipeline replicates documents (marker-copy variant) AND part (names
 prefixed with a per-copy 3-char marker, pairwise levenshtein 3 > the
 FUZZY_MAX_DIST=2 verify threshold, so each copy's internal match graph
@@ -85,15 +94,24 @@ def main() -> None:
     args = [
         a
         for a in sys.argv[1:]
-        if a not in ("--unique", "--events", "--pipeline")
+        if a not in ("--unique", "--events", "--pipeline", "--sketch")
     ]
     unique = "--unique" in sys.argv[1:]
     events_mode = "--events" in sys.argv[1:]
     pipeline_mode = "--pipeline" in sys.argv[1:]
+    sketch_mode = "--sketch" in sys.argv[1:]
     n_copies = int(args[0]) if args else 10
     spark = build_session("scale-probe")
     qs = e.queries()
-    if pipeline_mode:
+    if sketch_mode:
+        probes = [
+            "events_daily_approx",
+            "hll_monthly_users",
+            "streaming_hll_sketch_ingest",
+            "minhash_jaccard_estimate",
+            "banding_threshold_curve",
+        ]
+    elif pipeline_mode:
         probes = [
             "streaming_minhash_dedup",
             "gated_dedup_pipeline",
@@ -118,6 +136,91 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     big_dir = staging_dir("scaleprobe_")
+    if sketch_mode:
+        # replicate EVENTS (shifted ids → true N× distinct users) and
+        # DOCUMENTS (clique-free injective token rewrite) in one dir
+        ev = load_table(spark, BASE, "events")
+        mx = ev.agg(
+            F.max("event_id").alias("e"), F.max("user_id").alias("u")
+        ).collect()[0]
+        bigev = None
+        for k in range(n_copies):
+            p = ev.select(
+                (F.col("event_id") + F.lit(k * (mx["e"] + 1))).alias(
+                    "event_id"
+                ),
+                "ts",
+                (F.col("user_id") + F.lit(k * (mx["u"] + 1))).alias(
+                    "user_id"
+                ),
+                "event_type",
+                "value",
+                "props",
+            )
+            bigev = p if bigev is None else bigev.unionByName(p)
+        docs = load_table(spark, BASE, "documents")
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        bigdocs = None
+        for k in range(n_copies):
+            p = docs.select(
+                (F.col("doc_id") + F.lit(k * max_id)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"c{k}$1").alias(
+                    "text"
+                ),
+                "lang",
+                "source",
+                (F.col("n_chars")).alias("n_chars"),
+            )
+            bigdocs = p if bigdocs is None else bigdocs.unionByName(p)
+        os.makedirs(f"{big_dir}/d", exist_ok=True)
+        bigev.repartition(32).write.mode("overwrite").parquet(
+            f"{big_dir}/d/events.parquet"
+        )
+        bigdocs.repartition(32).write.mode("overwrite").parquet(
+            f"{big_dir}/d/documents.parquet"
+        )
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "embeddings".split()
+        ):
+            os.symlink(f"{BASE}/{t}.parquet", f"{big_dir}/d/{t}.parquet")
+        big_sf = f"{big_dir}/d"
+
+        def force(df) -> None:
+            df.write.format("noop").mode("overwrite").save()
+
+        force(qs["events_daily"](spark, BASE))  # warm
+        results = []
+        for name in probes:
+            row = {"query": name}
+            for label, sf in (("base", BASE), ("big", big_sf)):
+                t0 = time.perf_counter()
+                try:
+                    out = qs[name](spark, sf)
+                    force(out)
+                    row[label] = round(time.perf_counter() - t0, 2)
+                    # register-table claim: record the agg output size
+                    if name in ("events_daily_approx", "hll_monthly_users"):
+                        row[f"{label}_rows"] = out.count()
+                except Exception as ex:  # noqa: BLE001
+                    row[label] = None
+                    row["error"] = str(ex)[:120]
+                finally:
+                    release_tracked()
+            if row.get("base") and row.get("big"):
+                row["ratio"] = round(row["big"] / row["base"], 1)
+            results.append(row)
+            print(
+                f"{name:28s} base {row.get('base')}s  "
+                f"x{n_copies} {row.get('big')}s  ratio {row.get('ratio')}"
+            )
+        print(
+            json.dumps(
+                {"n_copies": n_copies, "sketch": True, "probes": results}
+            )
+        )
+        spark.stop()
+        return
     if events_mode:
         ev = load_table(spark, BASE, "events")
         mx = ev.agg(
@@ -264,8 +367,27 @@ def main() -> None:
         for label, sf in (("base", BASE), ("big", big_sf)):
             t0 = time.perf_counter()
             try:
-                force(qs[name](spark, sf))
-                row[label] = round(time.perf_counter() - t0, 2)
+                if pipeline_mode and name == "gated_dedup_pipeline":
+                    # stage split (r11 verdict item 6): the gate drain
+                    # (staged verdict build) vs the batch dedup half —
+                    # localizes any superlinear ratio to one stage
+                    from mapreduce_simulation_spark.streaming.stateful import (  # noqa: E501
+                        _staged_gate_verdicts,
+                    )
+
+                    _staged_gate_verdicts(spark, sf).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    t_gate = time.perf_counter() - t0
+                    force(qs[name](spark, sf))
+                    row[label] = round(time.perf_counter() - t0, 2)
+                    row[f"{label}_gate"] = round(t_gate, 2)
+                    row[f"{label}_batch"] = round(
+                        row[label] - t_gate, 2
+                    )
+                else:
+                    force(qs[name](spark, sf))
+                    row[label] = round(time.perf_counter() - t0, 2)
             except Exception as ex:  # noqa: BLE001
                 row[label] = None
                 row["error"] = str(ex)[:120]
@@ -274,8 +396,8 @@ def main() -> None:
         if row.get("base") and row.get("big"):
             row["ratio"] = round(row["big"] / row["base"], 1)
         if pipeline_mode and name == "streaming_minhash_dedup":
-            # the gate's scale law: Python state-group invocations per
-            # micro-batch — report drain milliseconds per document
+            # the gate's scale law: per-batch band joins against the
+            # persisted index — report drain milliseconds per document
             n_base = 5000  # sf0.1 documents
             if row.get("base"):
                 row["base_ms_per_doc"] = round(
