@@ -1,0 +1,270 @@
+"""Deterministic mergeable sketch tables beyond HLL: a dyadic-histogram
+quantile sketch and an explicit cross-engine Bloom filter.
+
+Both follow the sketch-table discipline functions/hll.py established: every
+step is integer arithmetic both engines reproduce bit-for-bit (shared
+affine/polynomial hash constants from functions/hashing.py, integer rank
+targets via integer division — no float quantile math, no engine-private
+sketch state), so the approximate operators carry EXACT value-hash DuckDB
+oracles while the accuracy-vs-exact envelopes are asserted in pytest.
+
+Reference parity note: the reference engine (HaolingPu/MapReduce-Simulation)
+has no sketch surface at all — its only aggregation is the executable
+reducer fold (reference worker/__main__.py:241-249). These operators are
+part of the LLM-pipeline extension tier: at 100 TB, percentile dashboards
+and membership-prefilter joins must run from metadata-scale sketch tables,
+not raw scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: fixed-width dyadic histogram, sum-mergeable.
+# ---------------------------------------------------------------------------
+
+QSK_WIDTH = 128  # bucket width in whole dollars: ≤ ~3.9k buckets over TPC-H
+# totalprice's [0, 500k) domain — the sketch state is (month, bucket, cnt),
+# bounded by domain/width per group regardless of row count.
+
+# (numerator, denominator, output column) — rank targets as integer
+# ceil-division so 0.9·n never touches float (0.9*10 = 9.000000000000002
+# would ceil differently across engines at exact boundaries).
+QSK_QUANTILES = ((1, 2, "p50_est"), (9, 10, "p90_est"), (99, 100, "p99_est"))
+
+
+def quantile_sketch_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order-value percentiles served from a mergeable histogram
+    sketch — the percentile-dashboard-as-sketch-table pattern.
+
+    Stage 1 (the sketch): per (year, month, DAY) bucket counts with
+    bucket = floor(floor(o_totalprice) / 128). floor of an identical IEEE
+    double is engine-identical, and the per-day state is ≤ |domain|/128
+    rows — a metadata-scale table a production pipeline appends at ingest.
+    Stage 2 (the merge): months consume their days by SUMMING counts —
+    the sum-mergeability that lets the rollup never re-read raw orders
+    (the HLL monthly rollup's max-merge analogue).
+    Stage 3 (the estimate): per month, rank target r_q = ceil(q·n) as
+    integer division, cumulative bucket counts via one window ordered by
+    bucket (partition size ≤ buckets, NOT rows), estimate = the exclusive
+    upper edge (b+1)·128 of the first bucket whose cumulative count
+    reaches r_q. Everything integer → exact oracle; the envelope
+    exact_p ≤ est < exact_p + 128 is asserted in pytest against the true
+    percentiles.
+
+    Scale: state rows ≤ months × 3.9k buckets whatever the order count;
+    the raw scan aggregates with map-side combine on (yr, mo, d, b); the
+    estimate window runs per month over bucket rows only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day_state = (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.floor(
+                F.floor(F.col("o_totalprice")).cast("long") / QSK_WIDTH
+            )
+            .cast("long")
+            .alias("b"),
+        )
+        .groupBy("yr", "mo", "d", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    month_state = day_state.groupBy("yr", "mo", "b").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w_mon = Window.partitionBy("yr", "mo")
+    cum = (
+        month_state.withColumn("n", F.sum("cnt").over(w_mon))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                w_mon.orderBy("b").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+    )
+    aggs = [F.max("n").cast("long").alias("n_orders")]
+    for num, den, name in QSK_QUANTILES:
+        rank = F.expr(f"(n * {num} + {den - 1}) DIV {den}")
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= rank,
+                    (F.col("b") + 1) * QSK_WIDTH,
+                )
+            )
+            .cast("long")
+            .alias(name)
+        )
+    return cum.groupBy("yr", "mo").agg(*aggs).orderBy("yr", "mo")
+
+
+def _qsk_est_sql() -> str:
+    terms = ", ".join(
+        f"CAST(min(CASE WHEN cum >= (n * {num} + {den - 1}) // {den} "
+        f"THEN (b + 1) * {QSK_WIDTH} END) AS BIGINT) AS {name}"
+        for num, den, name in QSK_QUANTILES
+    )
+    return terms
+
+
+QUANTILE_SKETCH_MONTHLY_SQL = f"""
+WITH day_state AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         day(o_orderdate) AS d,
+         CAST(FLOOR(o_totalprice) AS BIGINT) // {QSK_WIDTH} AS b,
+         count(*) AS cnt
+  FROM orders GROUP BY 1, 2, 3, 4
+),
+month_state AS (
+  SELECT yr, mo, b, sum(cnt) AS cnt FROM day_state GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT yr, mo, b,
+         sum(cnt) OVER (PARTITION BY yr, mo) AS n,
+         sum(cnt) OVER (PARTITION BY yr, mo ORDER BY b
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM month_state
+)
+SELECT yr, mo, CAST(max(n) AS BIGINT) AS n_orders, {_qsk_est_sql()}
+FROM cum GROUP BY yr, mo
+ORDER BY yr, mo
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: explicit bit-position sketch table + membership audit.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 15  # bits
+BLOOM_K = 4  # hash functions (MINHASH_PERMS[0..3] — frozen shared constants)
+
+
+def _bloom_positions(fp_col: str) -> list:
+    """The K bit positions of a fingerprint (already < P): one affine
+    round per hash — pure int64, identical on both engines."""
+    return [
+        ((F.col(fp_col) * a + b) % H.P % BLOOM_M).alias(f"pos{i}")
+        for i, (a, b) in enumerate(H.MINHASH_PERMS[:BLOOM_K])
+    ]
+
+
+def _bloom_positions_sql(fp: str) -> list[str]:
+    return [
+        f"(({fp}) * {a} + {b}) % {H.P} % {BLOOM_M}"
+        for a, b in H.MINHASH_PERMS[:BLOOM_K]
+    ]
+
+
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prefilter with its exactness audit — the
+    runtime_filtered_join pattern made explicit and cross-engine (Spark's
+    builtin bloom_filter_agg state is engine-private; this filter is a
+    TABLE of set bit positions both engines derive identically).
+
+    Reference corpus = even doc_ids, probe batch = odd (the
+    incremental_dedup split). Build: the filter is the DISTINCT bit
+    positions of the reference fingerprints under K=4 affine hashes —
+    ≤ 2^15 rows, a broadcast-sized sketch table a pipeline persists
+    beside the corpus. Probe: a batch doc is bloom_hit iff all K of its
+    positions are set (4 explode rows per doc joined against the filter,
+    hit count == K); exact_hit is the true fingerprint match. The audit
+    emits both verdicts per probe doc so the one-sided-error contract is
+    a QUERY RESULT: bloom_hit ≥ exact_hit row-for-row (no false
+    negatives — pytest-asserted), false positives bounded by the fill
+    ratio (≈ (set_bits/m)^K, also pytest-asserted).
+
+    Scale: the filter build aggregates the reference once into ≤ m rows;
+    probing shuffles K small ints per batch doc against a broadcastable
+    filter — the shape that lets a 100 TB ingest skip re-scanning the
+    corpus for exact-dup candidates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", H.char_hash(F.col("text")).alias("fp")
+    )
+    ref = fps.where(F.col("doc_id") % 2 == 0)
+    probe = fps.where(F.col("doc_id") % 2 == 1)
+    filter_bits = (
+        ref.select(
+            F.explode(F.array(*_bloom_positions("fp"))).alias("pos")
+        )
+        .distinct()
+    )
+    probe_pos = probe.select(
+        "doc_id", F.explode(F.array(*_bloom_positions("fp"))).alias("pos")
+    )
+    hits = (
+        probe_pos.join(F.broadcast(filter_bits), "pos")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+    )
+    exact = (
+        probe.join(
+            ref.select(F.col("fp").alias("rfp")).distinct(),
+            F.col("fp") == F.col("rfp"),
+            "left_semi",
+        )
+        .select("doc_id", F.lit(1).alias("exact_hit"))
+    )
+    return (
+        probe.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("nhit"), F.lit(0)) == BLOOM_K)
+            .cast("int")
+            .alias("bloom_hit"),
+            F.coalesce(F.col("exact_hit"), F.lit(0))
+            .cast("int")
+            .alias("exact_hit"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_pos_union_sql(src: str, fp: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {p} AS pos FROM {src}"
+        for p in _bloom_positions_sql(fp)
+    )
+
+
+BLOOM_MEMBERSHIP_AUDIT_SQL = f"""
+WITH fps AS (
+  SELECT doc_id, {H.char_hash_sql('text')} AS fp FROM documents
+),
+ref AS (SELECT * FROM fps WHERE doc_id % 2 = 0),
+probe AS (SELECT * FROM fps WHERE doc_id % 2 = 1),
+filter_bits AS (
+  SELECT DISTINCT pos FROM ({_bloom_pos_union_sql('ref', 'fp')})
+),
+probe_pos AS ({_bloom_pos_union_sql('probe', 'fp')}),
+hits AS (
+  SELECT doc_id, count(*) AS nhit
+  FROM probe_pos JOIN filter_bits USING (pos)
+  GROUP BY doc_id
+),
+exact AS (
+  SELECT DISTINCT p.doc_id
+  FROM probe p JOIN ref r ON p.fp = r.fp
+)
+SELECT p.doc_id,
+       CAST(CASE WHEN coalesce(h.nhit, 0) = {BLOOM_K} THEN 1 ELSE 0 END
+            AS INT) AS bloom_hit,
+       CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END
+            AS INT) AS exact_hit
+FROM probe p
+LEFT JOIN hits h ON h.doc_id = p.doc_id
+LEFT JOIN exact e ON e.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""

@@ -322,24 +322,38 @@ def main() -> None:
     )
     # the probed queries read only the documents table (plus part in
     # pipeline mode, replicated below); symlink the rest
+    replicate_part = pipeline_mode and n_copies <= 36
+    if pipeline_mode and not replicate_part:
+        # no silent caps: only 36 bigram-disjoint markers exist, so past
+        # ×36 the ER probe would mismeasure — drop it and say so
+        print(
+            f"DROPPED entity_resolution_pipeline: n_copies={n_copies} > 36 "
+            "bigram-disjoint markers (part table not replicated)"
+        )
+        probes = [p for p in probes if p != "entity_resolution_pipeline"]
     for t in (
         "region nation customer supplier part orders lineitem events "
         "embeddings".split()
     ):
-        if pipeline_mode and t == "part":
+        if replicate_part and t == "part":
             continue
         os.symlink(f"{BASE}/{t}.parquet", f"{big_dir}/d/{t}.parquet")
-    if pipeline_mode:
+    if replicate_part:
         part = load_table(spark, BASE, "part")
         pmax = part.agg(F.max("p_partkey")).collect()[0][0] + 1
         pparts = []
         for k in range(n_copies):
-            # base-26 two-digit code with each digit TRIPLED: injective
-            # for n_copies ≤ 676 (chr(97+k%26)*3 collides past ×26 and
-            # silently reintroduces cross-copy matches; r11 advice) while
-            # keeping pairwise levenshtein ≥ 3 — any two distinct codes
-            # differ in at least one tripled letter
-            marker = chr(97 + k // 26) * 3 + chr(97 + k % 26) * 3
+            # one symbol from [a-z0-9] TRIPLED: markers are pairwise
+            # levenshtein 3 AND bigram-DISJOINT — the ER blocking stage
+            # indexes name bigrams, so markers sharing any bigram (e.g. a
+            # common 'aaa' prefix — measured 9.7× at ×30) put every
+            # cross-copy name pair into the candidate join and the probe
+            # mismeasures blocking, not matching. 36 such symbols exist;
+            # past ×36 the ER probe is dropped loudly below (r11 advice:
+            # no silent marker collisions past ×26 — lowercase only
+            # because the pipeline lowercases names).
+            sym = "abcdefghijklmnopqrstuvwxyz0123456789"
+            marker = sym[k] * 3  # k < 36 guaranteed by replicate_part
             pparts.append(
                 part.withColumn(
                     "p_partkey", F.col("p_partkey") + F.lit(k * pmax)
