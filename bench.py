@@ -112,6 +112,13 @@ SKETCH = [
     "banding_threshold_curve",
 ]
 
+# Round-12 additions, same own-group rule: the dyadic-histogram quantile
+# sketch and the explicit Bloom membership audit.
+SKETCH_R12 = [
+    "quantile_sketch_monthly",
+    "bloom_membership_audit",
+]
+
 # Round-10 additions, same own-group rule: the gate→batch dedup pipeline
 # and the batch/streaming shard-export manifests.
 PIPELINE = [
@@ -160,6 +167,7 @@ _SUMMARY_KEYS = (
     "training_total",
     "pipeline_total",
     "sketch_total",
+    "sketch_r12_total",
     "cpu_calib_sec",
     "spark_calib_sec",
     "calib_normalized_total",
@@ -306,6 +314,7 @@ def main() -> None:
     training = run(TRAINING, repeats=3)
     pipeline = run(PIPELINE, repeats=3)
     sketch = run(SKETCH, repeats=3)
+    sketch_r12 = run(SKETCH_R12, repeats=3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -334,6 +343,9 @@ def main() -> None:
         # separate group (r11+): deterministic-sketch family
         "sketch": sketch,
         "sketch_total": round(sum(sketch.values()), 3),
+        # separate group (r12+): quantile sketch + bloom audit
+        "sketch_r12": sketch_r12,
+        "sketch_r12_total": round(sum(sketch_r12.values()), 3),
         "cpu_calib_sec": cpu_calib,
         "spark_calib_sec": spark_calib,
         # PRIMARY cross-round comparison metric (see README "Benchmark"):

@@ -1697,6 +1697,24 @@ from ..operators.pandas_ops import (  # noqa: E402
 
 register("heavy_hitters_sketch", _mg_hh, _mg_hh_sql)
 
+# r12 sketch-table additions: a sum-mergeable dyadic-histogram quantile
+# sketch (monthly percentile dashboard from metadata-scale state) and an
+# explicit cross-engine Bloom filter with its one-sided-error audit —
+# both integer-exact, both with full-replay oracles (operators/sketches.py;
+# accuracy envelopes pytest-asserted in tests/test_sketches.py).
+from ..operators import sketches as _sk  # noqa: E402
+
+register(
+    "quantile_sketch_monthly",
+    _sk.quantile_sketch_monthly,
+    _sk.QUANTILE_SKETCH_MONTHLY_SQL,
+)
+register(
+    "bloom_membership_audit",
+    _sk.bloom_membership_audit,
+    _sk.BLOOM_MEMBERSHIP_AUDIT_SQL,
+)
+
 # MERGE/upsert as full-outer reconciliation; the oracle replays the same
 # updates feed with SQL set logic.
 from .extended import merge_upsert_orders as _merge_upsert  # noqa: E402

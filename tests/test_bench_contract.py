@@ -29,6 +29,8 @@ def _worst_case_result() -> dict:
         "pipeline_total": 99999.999,
         "sketch": {name: 9999.999 for name in bench.SKETCH},
         "sketch_total": 99999.999,
+        "sketch_r12": {name: 9999.999 for name in bench.SKETCH_R12},
+        "sketch_r12_total": 99999.999,
         "cpu_calib_sec": 99.999,
         "spark_calib_sec": 99.999,
         "calib_normalized_total": 9999.99,
@@ -81,3 +83,6 @@ def test_bench_group_membership_is_frozen():
     assert h(bench.TRAINING) == "3780ec07443a5955", sorted(bench.TRAINING)
     assert h(bench.PIPELINE) == "e7775bef372af7de", sorted(bench.PIPELINE)
     assert h(bench.SKETCH) == "cb6525270c3823fe", sorted(bench.SKETCH)
+    assert h(bench.SKETCH_R12) == "95d2b628a228577c", sorted(
+        bench.SKETCH_R12
+    )

@@ -1,0 +1,141 @@
+"""Accuracy envelopes + structural contracts for the r12 sketch tables
+(operators/sketches.py). The Spark ≡ DuckDB exactness is the registry
+sweep's job (both queries carry full-replay oracles); these tests pin the
+sketches' ACCURACY against exact ground truth and the state-size bounds
+the 100 TB story rests on.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from mapreduce_simulation_spark.operators import sketches as SK
+from mapreduce_simulation_spark.tables import load_table
+
+
+def test_quantile_sketch_envelope_vs_exact(spark):
+    """For every month and every configured quantile: the sketch estimate
+    is an upper edge at most one bucket width above the true percentile
+    (exact_p ≤ est < exact_p + WIDTH after integer flooring) — the
+    histogram sketch's whole guarantee."""
+    got = {
+        (r.yr, r.mo): r for r in SK.quantile_sketch_monthly(spark, SF_DIR).collect()
+    }
+    assert got, "sketch returned no months"
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
+    )
+    exact = duck.execute(
+        """
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               count(*) AS n,
+               quantile_disc(FLOOR(o_totalprice), 0.50) AS p50,
+               quantile_disc(FLOOR(o_totalprice), 0.90) AS p90,
+               quantile_disc(FLOOR(o_totalprice), 0.99) AS p99
+        FROM orders GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert len(exact) == len(got)
+    for yr, mo, n, p50, p90, p99 in exact:
+        row = got[(yr, mo)]
+        assert row.n_orders == n
+        for est, true in (
+            (row.p50_est, p50),
+            (row.p90_est, p90),
+            (row.p99_est, p99),
+        ):
+            # est is the exclusive upper edge of the bucket holding the
+            # ceil(q·n)-th value: strictly above it, within one width
+            assert true < est <= true + SK.QSK_WIDTH, (yr, mo, est, true)
+
+
+def test_quantile_sketch_state_is_metadata_scale(spark):
+    """The monthly sketch state is bounded by buckets, not rows — the
+    claim that makes the percentile dashboard a metadata-scale query."""
+    orders = load_table(spark, SF_DIR, "orders")
+    state_rows = (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.floor(
+                F.floor(F.col("o_totalprice")).cast("long") / SK.QSK_WIDTH
+            ).alias("b"),
+        )
+        .distinct()
+        .count()
+    )
+    n_months = orders.select(
+        F.year("o_orderdate"), F.month("o_orderdate")
+    ).distinct().count()
+    max_buckets = 500_000 // SK.QSK_WIDTH + 1  # totalprice domain / width
+    assert state_rows <= n_months * max_buckets
+    # and the state is genuinely smaller than the input at this sf
+    assert state_rows < orders.count()
+
+
+def test_bloom_audit_one_sided_error(spark):
+    """The Bloom contract as observed on the real corpus: zero false
+    negatives (exact_hit=1 ⇒ bloom_hit=1), and the false-positive rate is
+    bounded by a loose multiple of the analytic (fill_ratio)^K."""
+    rows = SK.bloom_membership_audit(spark, SF_DIR).collect()
+    assert rows, "no probe docs"
+    assert all(r.bloom_hit >= r.exact_hit for r in rows), "false negative!"
+    # analytic FPR bound from the actual fill ratio
+    docs = load_table(spark, SF_DIR, "documents")
+    from mapreduce_simulation_spark.functions import hashing as H
+
+    ref = docs.where(F.col("doc_id") % 2 == 0).select(
+        H.char_hash(F.col("text")).alias("fp")
+    )
+    set_bits = (
+        ref.select(
+            F.explode(F.array(*SK._bloom_positions("fp"))).alias("pos")
+        )
+        .distinct()
+        .count()
+    )
+    assert set_bits <= SK.BLOOM_M
+    fill = set_bits / SK.BLOOM_M
+    negatives = [r for r in rows if r.exact_hit == 0]
+    fps = sum(r.bloom_hit for r in negatives)
+    if negatives:
+        observed = fps / len(negatives)
+        # 4× headroom + additive slack for small probe sets
+        bound = 4 * fill**SK.BLOOM_K + 3 / len(negatives)
+        assert observed <= bound, (observed, bound, fill)
+
+
+def test_bloom_positions_match_sql_twin():
+    """The Spark position expressions and the SQL twin are generated from
+    the same constants — replay both in plain Python over a few
+    fingerprints and against DuckDB."""
+    duck = duckdb.connect()
+    from mapreduce_simulation_spark.functions.hashing import MINHASH_PERMS, P
+
+    for fp in (0, 1, 999_999_937, 123_456_789):
+        py = [
+            (fp * a + b) % P % SK.BLOOM_M
+            for a, b in MINHASH_PERMS[: SK.BLOOM_K]
+        ]
+        # CAST like the production fp (char_hash_sql folds in BIGINT);
+        # a bare INT32 literal would multiply in 32-bit and overflow
+        sql = [
+            duck.execute(f"SELECT {expr}").fetchone()[0]
+            for expr in SK._bloom_positions_sql(
+                f"CAST({fp} AS BIGINT)"
+            )
+        ]
+        assert py == sql
+
+
+@pytest.mark.parametrize("n,num,den", [(10, 9, 10), (7, 1, 2), (100, 99, 100), (1, 99, 100)])
+def test_rank_target_is_integer_ceil(n, num, den):
+    """(n·num + den − 1) // den == ceil(n·num/den) — the float-free rank
+    arithmetic both engines share."""
+    import math
+
+    assert (n * num + den - 1) // den == math.ceil(n * num / den)
