@@ -402,6 +402,50 @@ def _band_index_gate_batch(
         banded.unpersist()
 
 
+def compact_band_index(spark: SparkSession, index_root: str) -> int:
+    """Compact the gate's index delta log into one base delta — the
+    maintenance pass a long-lived ingest runs on the cadence a
+    Delta/Iceberg deployment would OPTIMIZE (per-batch deltas keep the
+    write path append-only; the probe join's file listing shouldn't grow
+    forever). Returns the number of delta dirs removed.
+
+    Crash-safe by claim-set monotonicity: the union of claimed (band, key)
+    buckets is written to a tmp dir, renamed into the log at id 0 (so
+    every future batch's `id < batch_id` read includes it), and only then
+    are the source deltas deleted. A crash at any point leaves the claim
+    set intact — between the rename and the deletes the log briefly holds
+    duplicate claims, which the gate's semi/anti joins treat identically
+    (set semantics)."""
+    import os
+
+    deltas = sorted(
+        d for d in os.listdir(index_root) if d.startswith("delta_")
+    )
+    if len(deltas) <= 1:
+        return 0
+    union = (
+        spark.read.parquet(*(os.path.join(index_root, d) for d in deltas))
+        .select("band", "key")
+        .distinct()
+    )
+    tmp = os.path.join(index_root, "_tmp_compact")
+    union.write.mode("overwrite").parquet(tmp)
+    # unique base name whose SECOND "_" field is "00000" — the gate reader
+    # parses int(name.split("_")[1]), so the base sorts as id 0 and
+    # predates every future batch
+    n = 0
+    base = os.path.join(index_root, "delta_00000")
+    while os.path.isdir(base):
+        n += 1
+        base = os.path.join(index_root, f"delta_00000_c{n}")
+    os.rename(tmp, base)
+    for d in deltas:
+        import shutil
+
+        shutil.rmtree(os.path.join(index_root, d))
+    return len(deltas)
+
+
 def band_index_gate_drain(
     doc_stream: DataFrame, out_root: str
 ) -> str:

@@ -1330,6 +1330,67 @@ def test_band_index_gate_batch_replay_is_idempotent(spark, tmp_path):
     assert read_verdicts() == want
 
 
+def test_band_index_compaction_preserves_gate_state(spark, tmp_path):
+    """compact_band_index folds the delta log into one base without
+    changing the claim set: a batch gated AFTER compaction gets verdicts
+    identical to the uncompacted continuation, the base's id parses as 0
+    (visible to every future batch), and the old deltas are gone."""
+    import os
+
+    from mapreduce_simulation_spark.operators.dedup import (
+        narrow_minhash_bands_arrow,
+    )
+    from mapreduce_simulation_spark.streaming.stateful import (
+        _band_index_gate_batch,
+        compact_band_index,
+    )
+
+    t_a = "the quick brown fox jumps over the lazy dog again and again"
+    t_b = "pack my box with five dozen liquor jugs every single day"
+    batches = [
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+        for rows in (
+            [(10, t_a)],
+            [(20, t_b)],
+            [(30, t_a), (40, t_b), (50, "its own fresh sentence here")],
+        )
+    ]
+    banded = [narrow_minhash_bands_arrow(b) for b in batches]
+
+    def drive(root, compact_after_two):
+        idx, ver = os.path.join(root, "index"), os.path.join(root, "verd")
+        os.makedirs(idx)
+        os.makedirs(ver)
+        _band_index_gate_batch(banded[0], 0, idx, ver)
+        _band_index_gate_batch(banded[1], 1, idx, ver)
+        removed = compact_band_index(spark, idx) if compact_after_two else 0
+        _band_index_gate_batch(banded[2], 2, idx, ver)
+        verdicts = {
+            (r.doc_id, r.band): r.dup
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(ver)
+            .collect()
+        }
+        return idx, removed, verdicts
+
+    idx_c, removed, with_compact = drive(
+        str(tmp_path / "compacted"), True
+    )
+    _, _, without = drive(str(tmp_path / "plain"), False)
+    assert removed == 2
+    assert with_compact == without
+    # docs 30/40 flagged in all 8 bands from the COMPACTED state
+    flagged = {}
+    for (d, _b), dup in with_compact.items():
+        flagged[d] = flagged.get(d, 0) + dup
+    assert flagged[30] == 8 and flagged[40] == 8 and flagged[50] == 0
+    names = sorted(
+        d for d in os.listdir(idx_c) if d.startswith("delta_")
+    )
+    # one base (id 0) + batch 2's delta — the pre-compaction deltas gone
+    assert len(names) == 2 and int(names[0].split("_")[1]) == 0
+
+
 def test_streaming_hll_ingest_equals_batch_sketch(spark):
     """Online ≡ offline for the sketch family: the multi-batch delta-log
     rollup must be ROW-IDENTICAL (including the float estimates) to the

@@ -110,6 +110,10 @@ def main() -> None:
             "streaming_hll_sketch_ingest",
             "minhash_jaccard_estimate",
             "banding_threshold_curve",
+            # r12 additions: orders is symlinked (not replicated), so
+            # quantile_sketch_monthly pins the fixed-state floor; the
+            # bloom audit reads the replicated documents
+            "bloom_membership_audit",
         ]
     elif pipeline_mode:
         probes = [
