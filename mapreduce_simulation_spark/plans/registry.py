@@ -1715,6 +1715,19 @@ register(
     _sk.BLOOM_MEMBERSHIP_AUDIT_SQL,
 )
 
+# online face of the quantile sketch: per-batch count deltas, sum-merged —
+# same oracle as the batch query (count-merge associativity makes the
+# drained state bit-identical)
+from ..streaming.stateful import (  # noqa: E402
+    streaming_quantile_sketch_ingest as _sqsk,
+)
+
+register(
+    "streaming_quantile_sketch_ingest",
+    _sqsk,
+    _sk.QUANTILE_SKETCH_MONTHLY_SQL,
+)
+
 # MERGE/upsert as full-outer reconciliation; the oracle replays the same
 # updates feed with SQL set logic.
 from .extended import merge_upsert_orders as _merge_upsert  # noqa: E402

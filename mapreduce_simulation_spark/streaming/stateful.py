@@ -886,3 +886,96 @@ ORDER BY day
 
 
 STREAMING_HLL_INGEST_SQL = _hll_sketch_ingest_oracle_sql()
+
+
+def streaming_quantile_sketch_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Online face of the dyadic-histogram quantile sketch
+    (operators/sketches.quantile_sketch_monthly): each micro-batch of
+    orders appends its (yr, mo, bucket) COUNT delta under batch=<id>
+    (overwrite ⇒ replay-idempotent — the HLL/shard-ingest delta-log
+    recipe), and the rollup sums deltas into the month state without
+    re-reading raw orders. Count-merge is sum — associative and
+    commutative — so the drained multi-batch estimates are ROW-IDENTICAL
+    to the one-shot batch sketch (pytest) and the oracle is the SAME SQL
+    as the batch query's.
+
+    Scale: delta files are bucket-table-sized (≤ domain/width rows per
+    month per batch); the percentile dashboard reads only deltas. This
+    plus the HLL ingest make BOTH sketch families (max-merge registers,
+    sum-merge histograms) append-at-ingest, serve-from-state."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches as SK
+    from ..staging import keyed_staging_dir
+    from ..tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    stage, already = keyed_staging_dir(
+        "orders_qsk_ingest_", f"sf={sf_dir}"
+    )
+    if not already:
+        orders.repartitionByRange(4, "o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(stage)
+    # keyed output so tests can count the delta batches (HLL precedent)
+    out_root, _ = keyed_staging_dir("qsk_ingest_out_", f"sf={sf_dir}")
+    delta_dir = f"{out_root}/deltas"
+
+    def _sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                F.year("o_orderdate").alias("yr"),
+                F.month("o_orderdate").alias("mo"),
+                F.floor(
+                    F.floor(F.col("o_totalprice")).cast("long")
+                    / SK.QSK_WIDTH
+                )
+                .cast("long")
+                .alias("b"),
+            )
+            .groupBy("yr", "mo", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        delta.repartition(1).write.mode("overwrite").parquet(
+            f"{delta_dir}/batch={batch_id}"
+        )
+
+    q = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(_sketch_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = (
+        spark.read.option("basePath", delta_dir)
+        .parquet(f"{delta_dir}/batch=*")
+        .groupBy("yr", "mo", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w_mon = Window.partitionBy("yr", "mo")
+    cum = state.withColumn("n", F.sum("cnt").over(w_mon)).withColumn(
+        "cum",
+        F.sum("cnt").over(
+            w_mon.orderBy("b").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    aggs = [F.max("n").cast("long").alias("n_orders")]
+    for num, den, name in SK.QSK_QUANTILES:
+        rank = F.expr(f"(n * {num} + {den - 1}) DIV {den}")
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= rank, (F.col("b") + 1) * SK.QSK_WIDTH)
+            )
+            .cast("long")
+            .alias(name)
+        )
+    return cum.groupBy("yr", "mo").agg(*aggs).orderBy("yr", "mo")

@@ -139,3 +139,34 @@ def test_rank_target_is_integer_ceil(n, num, den):
     import math
 
     assert (n * num + den - 1) // den == math.ceil(n * num / den)
+
+
+def test_streaming_quantile_ingest_equals_batch_sketch(spark):
+    """Online ≡ offline for the histogram sketch: the multi-batch
+    delta-log rollup must be ROW-IDENTICAL to the one-shot batch sketch
+    (sum-merge associativity), and the drain must really have produced
+    multiple delta batches."""
+    import os
+
+    from mapreduce_simulation_spark.staging import keyed_staging_dir
+    from mapreduce_simulation_spark.streaming.stateful import (
+        streaming_quantile_sketch_ingest,
+    )
+
+    online = [
+        tuple(r)
+        for r in streaming_quantile_sketch_ingest(spark, SF_DIR).collect()
+    ]
+    offline = [
+        tuple(r)
+        for r in SK.quantile_sketch_monthly(spark, SF_DIR).collect()
+    ]
+    assert online == offline and len(online) > 0
+    out_root, already = keyed_staging_dir("qsk_ingest_out_", f"sf={SF_DIR}")
+    assert already
+    n_deltas = sum(
+        1
+        for d in os.listdir(os.path.join(out_root, "deltas"))
+        if d.startswith("batch=")
+    )
+    assert n_deltas > 1, f"expected multi-batch drain, got {n_deltas}"
