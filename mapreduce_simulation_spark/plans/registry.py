@@ -353,11 +353,13 @@ _PROMOTE = (
 # protobuf-gated TWS twin, which tests + sweeps cover).
 #
 # Round-13 rotation QUEUE (apply next round; update DRIVER_WINDOW_R12 ->
-# _R13 in the same commit and run tools/preflight.py): if r12 is green,
-# the stalest names are the 16 r8-greens left out of the r12 window by
-# the alphabetical tiebreak — promote them first, then back-fill with r9
-# greens oldest-first (recompute with the PLANS.md recipe over
-# CORRECTNESS_r01-r12):
+# _R13 in the same commit and run tools/preflight.py): FIRST the three
+# late-r12 additions with no driver row yet (quantile_sketch_monthly,
+# bloom_membership_audit, streaming_quantile_sketch_ingest — registered
+# after the r12 window froze), THEN, if r12 is green, the stalest names:
+# the 16 r8-greens left out of the r12 window by the alphabetical
+# tiebreak — then back-fill with r9 greens oldest-first (recompute with
+# the PLANS.md recipe over CORRECTNESS_r01-r12):
 #   sequence_packing, similarity_ivf_topk, similarity_lsh_topk,
 #   sole_blame_suppliers, sql_table_function_word_count, sql_udf_pricing,
 #   streaming_custom_source_rollup, streaming_events_hourly,
