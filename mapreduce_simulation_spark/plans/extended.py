@@ -3612,6 +3612,55 @@ ORDER BY l_returnflag
 """
 
 
+def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority revenue written in Spark 4's SQL PIPE syntax
+    (`FROM t |> WHERE … |> JOIN … |> AGGREGATE … |> ORDER BY`) — the
+    operator-at-a-time query surface (SIGMOD'24 \"SQL Has Problems\"
+    pipe-syntax proposal, landed in Spark 4.0). Same relational algebra,
+    linearized: each |> stage parses to exactly the node the equivalent
+    nested SELECT would, so Catalyst optimizes it identically (join
+    reorder, pushdown — nothing about the syntax is interpreted at run
+    time). The oracle is the ANSI form (DuckDB has no pipe syntax); a
+    hash match proves the two surfaces denote the same query.
+
+    Scale: lineitem⋈orders equi-join on the fact keys + a 5-group
+    aggregate — the standard partial-agg/exchange shape; the WHERE stage
+    reaches the parquet scan as a pushed filter like any other syntax.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_pipe"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_discount > 0.02
+        |> JOIN orders_pipe ON l_orderkey = o_orderkey
+        |> AGGREGATE
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+PIPE_SYNTAX_REVENUE_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_discount > 0.02
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def sql_table_function_word_count(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -2527,6 +2527,14 @@ register(
     "sql_udf_pricing", _ext.sql_udf_pricing, _ext.SQL_UDF_PRICING_SQL
 )
 
+# Spark 4 SQL PIPE syntax (FROM t |> WHERE |> JOIN |> AGGREGATE): same
+# algebra, linearized surface — oracle is the ANSI form.
+register(
+    "pipe_syntax_revenue",
+    _ext.pipe_syntax_revenue,
+    _ext.PIPE_SYNTAX_REVENUE_SQL,
+)
+
 # SQL-defined TABLE function (RETURNS TABLE ... RETURN SELECT), applied
 # LATERAL — the inlined set-returning UDF tier.
 register(

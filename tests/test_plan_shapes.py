@@ -416,3 +416,40 @@ def test_sql_table_function_inlines_to_generate(spark, sf_dir):
     for needle in ("BatchEvalPython", "ArrowEvalPython", "PythonUDTF"):
         assert needle not in plan, f"{needle} in plan"
     assert "Generate explode" in plan, plan[:1500]
+
+
+def test_pipe_syntax_compiles_to_same_plan_as_ansi(spark, sf_dir):
+    """The |> pipe surface is pure syntax: its OPTIMIZED logical plan must
+    be identical (up to expr ids) to the nested-ANSI form of the same
+    query — join order, pushed filter, aggregate placement all equal. A
+    divergence would mean the pipe parser materialized stages instead of
+    composing algebra."""
+    import re as _re
+
+    from mapreduce_simulation_spark.plans.extended import (
+        pipe_syntax_revenue,
+    )
+
+    pipe_df = pipe_syntax_revenue(spark, sf_dir)
+    ansi_df = spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem_pipe
+        JOIN orders_pipe ON l_orderkey = o_orderkey
+        WHERE l_discount > 0.02
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+    def norm(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return _re.sub(r"#\d+L?", "#x", plan)
+
+    assert norm(pipe_df) == norm(ansi_df)
+    # and the filter is pushed to the scan like any other syntax
+    phys = pipe_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in phys and "l_discount" in phys
