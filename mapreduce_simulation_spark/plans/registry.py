@@ -353,10 +353,11 @@ _PROMOTE = (
 # protobuf-gated TWS twin, which tests + sweeps cover).
 #
 # Round-13 rotation QUEUE (apply next round; update DRIVER_WINDOW_R12 ->
-# _R13 in the same commit and run tools/preflight.py): FIRST the three
+# _R13 in the same commit and run tools/preflight.py): FIRST the four
 # late-r12 additions with no driver row yet (quantile_sketch_monthly,
-# bloom_membership_audit, streaming_quantile_sketch_ingest — registered
-# after the r12 window froze), THEN, if r12 is green, the stalest names:
+# bloom_membership_audit, streaming_quantile_sketch_ingest,
+# pipe_syntax_revenue — registered after the r12 window froze), THEN, if
+# r12 is green, the stalest names:
 # the 16 r8-greens left out of the r12 window by the alphabetical
 # tiebreak — then back-fill with r9 greens oldest-first (recompute with
 # the PLANS.md recipe over CORRECTNESS_r01-r12):
