@@ -170,3 +170,36 @@ def test_streaming_quantile_ingest_equals_batch_sketch(spark):
         if d.startswith("batch=")
     )
     assert n_deltas > 1, f"expected multi-batch drain, got {n_deltas}"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=600_000), min_size=1, max_size=400),
+    st.sampled_from(SK.QSK_QUANTILES),
+)
+def test_quantile_sketch_math_envelope_property(values, q):
+    """Pure-Python replay of the sketch arithmetic over arbitrary value
+    sets: for any data and any configured quantile, the bucket-edge
+    estimate covers the true ceil(q·n)-th order statistic from above by
+    less than one bucket width — the guarantee the Spark/DuckDB twins
+    implement (same integer rank target, same cumulative-bucket walk)."""
+    num, den, _name = q
+    from collections import Counter
+
+    buckets = Counter(v // SK.QSK_WIDTH for v in values)
+    n = len(values)
+    rank = (n * num + den - 1) // den
+    cum = 0
+    est = None
+    for b in sorted(buckets):
+        cum += buckets[b]
+        if cum >= rank:
+            est = (b + 1) * SK.QSK_WIDTH
+            break
+    true = sorted(values)[rank - 1]
+    assert est is not None
+    assert true < est <= true + SK.QSK_WIDTH
