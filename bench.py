@@ -114,6 +114,11 @@ SKETCH = [
 
 # Round-12 additions, same own-group rule: the dyadic-histogram quantile
 # sketch and the explicit Bloom membership audit.
+# NOT benched (the r10 TPC-H-completion precedent — no new perf signal):
+# pipe_syntax_revenue (its optimized plan is proven IDENTICAL to the
+# nested-ANSI join/agg shape the headline already times) and
+# streaming_quantile_sketch_ingest (fixed streaming machinery, the same
+# rationale that excludes streaming_hll_sketch_ingest above).
 SKETCH_R12 = [
     "quantile_sketch_monthly",
     "bloom_membership_audit",
