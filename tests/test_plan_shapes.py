@@ -453,3 +453,36 @@ def test_pipe_syntax_compiles_to_same_plan_as_ansi(spark, sf_dir):
     # and the filter is pushed to the scan like any other syntax
     phys = pipe_df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in phys and "l_discount" in phys
+
+
+def test_sketch_queries_prune_scan_columns(spark, sf_dir):
+    """The r12 sketch queries must read only the columns they use —
+    quantile_sketch_monthly: (o_totalprice, o_orderdate) of 6 order
+    columns; bloom_membership_audit: (doc_id, text) of 5 document
+    columns. A scan of all columns for a 2-column sketch would be the
+    'wrong plan' the brief calls out."""
+    import re as _re
+
+    from mapreduce_simulation_spark.operators import sketches as SK
+
+    qplan = (
+        SK.quantile_sketch_monthly(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    qschemas = set(_re.findall(r"ReadSchema: struct<([^>]*)>", qplan))
+    assert qschemas, qplan[:800]
+    for s in qschemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"o_totalprice", "o_orderdate"}, cols
+
+    bplan = (
+        SK.bloom_membership_audit(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for s in set(_re.findall(r"ReadSchema: struct<([^>]*)>", bplan)):
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text"}, cols
