@@ -54,8 +54,9 @@ def quantile_sketch_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (partition size ≤ buckets, NOT rows), estimate = the exclusive
     upper edge (b+1)·128 of the first bucket whose cumulative count
     reaches r_q. Everything integer → exact oracle; the envelope
-    exact_p ≤ est < exact_p + 128 is asserted in pytest against the true
-    percentiles.
+    exact_p < est ≤ exact_p + 128 (the estimate is the EXCLUSIVE upper
+    bucket edge, strictly above the true percentile) is asserted in
+    pytest against the true percentiles.
 
     Scale: state rows ≤ months × 3.9k buckets whatever the order count;
     the raw scan aggregates with map-side combine on (yr, mo, d, b); the
@@ -144,22 +145,30 @@ ORDER BY yr, mo
 # Bloom filter: explicit bit-position sketch table + membership audit.
 # ---------------------------------------------------------------------------
 
-BLOOM_M = 1 << 15  # bits
+# Filter sized from the reference cardinality, not a fixed constant: a
+# frozen m saturates silently as the corpus grows (r12 advice: 2^15 bits
+# is fill ≈ 0.26 at sf0.1 but ≈ 0.95 at sf1 — FPR ≈ 0.8, a useless
+# prefilter that still passed its fill-derived test bound). m is the pure
+# integer BITS_PER_KEY·n_ref, so fill ≈ K/BITS_PER_KEY = 1/8 and
+# FPR ≈ (1/8)^4 ≈ 2.4e-4 at EVERY scale; both engines derive the same m
+# from the same count (Spark: one bounded scalar count() at plan build;
+# the oracle: a one-row msz CTE cross-joined in).
+BLOOM_BITS_PER_KEY = 32
 BLOOM_K = 4  # hash functions (MINHASH_PERMS[0..3] — frozen shared constants)
 
 
-def _bloom_positions(fp_col: str) -> list:
+def _bloom_positions(fp_col: str, m: int) -> list:
     """The K bit positions of a fingerprint (already < P): one affine
     round per hash — pure int64, identical on both engines."""
     return [
-        ((F.col(fp_col) * a + b) % H.P % BLOOM_M).alias(f"pos{i}")
+        ((F.col(fp_col) * a + b) % H.P % F.lit(m)).alias(f"pos{i}")
         for i, (a, b) in enumerate(H.MINHASH_PERMS[:BLOOM_K])
     ]
 
 
-def _bloom_positions_sql(fp: str) -> list[str]:
+def _bloom_positions_sql(fp: str, m: str) -> list[str]:
     return [
-        f"(({fp}) * {a} + {b}) % {H.P} % {BLOOM_M}"
+        f"(({fp}) * {a} + {b}) % {H.P} % ({m})"
         for a, b in H.MINHASH_PERMS[:BLOOM_K]
     ]
 
@@ -171,21 +180,24 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     TABLE of set bit positions both engines derive identically).
 
     Reference corpus = even doc_ids, probe batch = odd (the
-    incremental_dedup split). Build: the filter is the DISTINCT bit
-    positions of the reference fingerprints under K=4 affine hashes —
-    ≤ 2^15 rows, a broadcast-sized sketch table a pipeline persists
-    beside the corpus. Probe: a batch doc is bloom_hit iff all K of its
-    positions are set (4 explode rows per doc joined against the filter,
-    hit count == K); exact_hit is the true fingerprint match. The audit
-    emits both verdicts per probe doc so the one-sided-error contract is
-    a QUERY RESULT: bloom_hit ≥ exact_hit row-for-row (no false
-    negatives — pytest-asserted), false positives bounded by the fill
-    ratio (≈ (set_bits/m)^K, also pytest-asserted).
+    incremental_dedup split). Build: m = BITS_PER_KEY·|ref| (sized from
+    the reference cardinality so the fill ratio stays ≈ 1/8 at every
+    scale — a frozen m saturates silently as the corpus grows); the
+    filter is the DISTINCT bit positions of the reference fingerprints
+    under K=4 affine hashes — ≤ K·|ref| rows, a broadcast-sized sketch
+    table a pipeline persists beside the corpus. Probe: a batch doc is
+    bloom_hit iff all K of its positions are set (4 explode rows per doc
+    joined against the filter, hit count == K); exact_hit is the true
+    fingerprint match. The audit emits both verdicts per probe doc so the
+    one-sided-error contract is a QUERY RESULT: bloom_hit ≥ exact_hit
+    row-for-row (no false negatives — pytest-asserted), false positives
+    bounded by the fill ratio (≈ (set_bits/m)^K, also pytest-asserted,
+    along with a hard fill ≤ 1/4 saturation guard).
 
-    Scale: the filter build aggregates the reference once into ≤ m rows;
-    probing shuffles K small ints per batch doc against a broadcastable
-    filter — the shape that lets a 100 TB ingest skip re-scanning the
-    corpus for exact-dup candidates.
+    Scale: one bounded scalar count sizes m, the filter build aggregates
+    the reference once into ≤ K·|ref| rows; probing shuffles K small ints
+    per batch doc against a broadcastable filter — the shape that lets a
+    100 TB ingest skip re-scanning the corpus for exact-dup candidates.
     """
     docs = load_table(spark, sf_dir, "documents")
     fps = docs.select(
@@ -193,14 +205,18 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = fps.where(F.col("doc_id") % 2 == 0)
     probe = fps.where(F.col("doc_id") % 2 == 1)
+    # bounded driver fetch: ONE scalar (the reference cardinality) sizes
+    # the filter; the oracle derives the identical m in its msz CTE
+    m = BLOOM_BITS_PER_KEY * ref.count()
     filter_bits = (
         ref.select(
-            F.explode(F.array(*_bloom_positions("fp"))).alias("pos")
+            F.explode(F.array(*_bloom_positions("fp", m))).alias("pos")
         )
         .distinct()
     )
     probe_pos = probe.select(
-        "doc_id", F.explode(F.array(*_bloom_positions("fp"))).alias("pos")
+        "doc_id",
+        F.explode(F.array(*_bloom_positions("fp", m))).alias("pos"),
     )
     hits = (
         probe_pos.join(F.broadcast(filter_bits), "pos")
@@ -233,9 +249,12 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_pos_union_sql(src: str, fp: str) -> str:
+    # msz is the one-row filter-size CTE (m = BITS_PER_KEY·|ref|) — the
+    # cross join replays the literal m the Spark builder computed from
+    # its bounded count()
     return " UNION ALL ".join(
-        f"SELECT doc_id, {p} AS pos FROM {src}"
-        for p in _bloom_positions_sql(fp)
+        f"SELECT doc_id, {p} AS pos FROM {src} CROSS JOIN msz"
+        for p in _bloom_positions_sql(fp, "msz.m")
     )
 
 
@@ -245,6 +264,7 @@ WITH fps AS (
 ),
 ref AS (SELECT * FROM fps WHERE doc_id % 2 = 0),
 probe AS (SELECT * FROM fps WHERE doc_id % 2 = 1),
+msz AS (SELECT {BLOOM_BITS_PER_KEY} * count(*) AS m FROM ref),
 filter_bits AS (
   SELECT DISTINCT pos FROM ({_bloom_pos_union_sql('ref', 'fp')})
 ),

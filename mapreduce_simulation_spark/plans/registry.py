@@ -52,6 +52,68 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # entries would downgrade their slot to the driver's weaker rows-only
 # check and get their stronger checks locally anyway.
 _PROMOTE = (
+    # ---- round-13 window: pure staleness rotation (the r12 window came
+    # back 50/50 driver-green, zero err — CORRECTNESS_r12.json). Per the
+    # r12 verdict's recipe and the PLANS.md draft: FIRST the four late-r12
+    # registrations that have never had a driver row (registry grew
+    # 214→218 after the r12 window froze), THEN the 16 r8-stale greens
+    # left out of the r12 window by the alphabetical tiebreak, THEN r9
+    # greens oldest-first (alphabetical within the round). Excludes only
+    # the env-gated stateful_user_rollup_tws, pinned behind the window. ----
+    # never driver-checked (late-r12 additions)
+    "quantile_sketch_monthly",          # mergeable dyadic-histogram quantiles
+    "bloom_membership_audit",           # explicit cross-engine Bloom filter
+    "streaming_quantile_sketch_ingest",  # online sketch ingest == batch
+    "pipe_syntax_revenue",              # Spark 4 SQL PIPE syntax surface
+    # the 16 r8-stale leftovers (alphabetical)
+    "sequence_packing",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "sole_blame_suppliers",
+    "sql_table_function_word_count",
+    "sql_udf_pricing",
+    "streaming_custom_source_rollup",
+    "streaming_events_hourly",
+    "streaming_kvtext_sink_roundtrip",
+    "streaming_upsert_profiles",
+    "substring_dedup_spans",
+    "text_stats",
+    "training_data_pipeline",
+    "training_shuffle",
+    "word_count",
+    "xml_source_customers",
+    # r9-stale greens, oldest-first back-fill (alphabetical)
+    "bigram_lm_counts",
+    "bigram_perplexity",
+    "binary_file_source",
+    "chunk_for_training",
+    "co_purchase_pairs",
+    "cohort_retention",
+    "contrastive_triples",
+    "csv_bad_records",
+    "csv_source_revenue",
+    "cube_revenue",
+    "dedup_canonical",
+    "densify_daily_revenue",
+    "deterministic_sample",
+    "domain_cap_sample",
+    "embedding_argmax_arrow",
+    "ewma_daily_revenue",
+    "exact_global_percentiles",
+    "funnel_conversion",
+    "incremental_dedup",
+    "json_source_segments",
+    "lateral_top_suppliers",
+    "media_ahash_near_dup",
+    "media_decode",
+    "media_dedup",
+    "merge_upsert_orders",
+    "metadata_agg_pushdown",
+    "orc_source_parts",
+    "pandas_api_priority_stats",
+    "pandas_group_rank",
+    "pandas_scalar_digit_stats",
+    # ---- history: round-12 window, 50/50 driver-green in r12 ----
     # ---- round-12 window: pure staleness rotation (the r11 window went
     # 50/50 green, so no fixed reds remain). Composition, per the r11
     # verdict's recipe: the 3 never-driver-checked late-r11 sketch
@@ -352,21 +414,12 @@ _PROMOTE = (
 # brings the cumulative driver-green union to 210/211 (all but the
 # protobuf-gated TWS twin, which tests + sweeps cover).
 #
-# Round-13 rotation QUEUE (apply next round; update DRIVER_WINDOW_R12 ->
-# _R13 in the same commit and run tools/preflight.py): FIRST the four
-# late-r12 additions with no driver row yet (quantile_sketch_monthly,
-# bloom_membership_audit, streaming_quantile_sketch_ingest,
-# pipe_syntax_revenue — registered after the r12 window froze), THEN, if
-# r12 is green, the stalest names:
-# the 16 r8-greens left out of the r12 window by the alphabetical
-# tiebreak — then back-fill with r9 greens oldest-first (recompute with
-# the PLANS.md recipe over CORRECTNESS_r01-r12):
-#   sequence_packing, similarity_ivf_topk, similarity_lsh_topk,
-#   sole_blame_suppliers, sql_table_function_word_count, sql_udf_pricing,
-#   streaming_custom_source_rollup, streaming_events_hourly,
-#   streaming_kvtext_sink_roundtrip, streaming_upsert_profiles,
-#   substring_dedup_spans, text_stats, training_data_pipeline,
-#   training_shuffle, word_count, xml_source_customers
+# Round-13 rotation APPLIED above (r12 came back 50/50 green so the
+# drafted composition was valid verbatim): the 4 late-r12 never-checked
+# names, the 16 r8-stale leftovers, and 30 r9-stale greens. A green r13
+# window brings the cumulative driver-green union to 217/218 (all but
+# the env-gated TWS twin). The r14 queue should continue oldest-first
+# staleness rotation over the remaining r9 greens, then r10.
 _DEMOTE = (
     # All former family-redundancy demotions were re-promoted in the r11
     # (stalest-evidence back-fill) and r12 (pure staleness) windows; only

@@ -323,8 +323,21 @@ def minhash_dedup_gate(doc_stream: DataFrame) -> DataFrame:
     )
 
 
+# Auto-compaction cadence for the band-index gate's delta log: once the
+# log holds this many dirs, the batch body folds the committed claims
+# into one base after its own commit. 16 keeps the per-batch listing +
+# parquet-footer cost flat for long-lived ingests while amortizing the
+# fold to <1/16 of batches (cadence chosen from the delta-count probe in
+# PLANS.md round-13 notes).
+COMPACT_DELTA_THRESHOLD = 16
+
+
 def _band_index_gate_batch(
-    banded: DataFrame, batch_id: int, index_root: str, verdict_root: str
+    banded: DataFrame,
+    batch_id: int,
+    index_root: str,
+    verdict_root: str,
+    compact_threshold: int | None = None,
 ) -> None:
     """One micro-batch of the band-index gate (the foreachBatch body).
 
@@ -356,7 +369,7 @@ def _band_index_gate_batch(
     prior = sorted(
         os.path.join(index_root, d)
         for d in os.listdir(index_root)
-        if d.startswith("delta_") and int(d.split("_")[1]) < batch_id
+        if (i := _index_delta_id(d)) is not None and i < batch_id
     )
     banded = banded.persist()
     try:
@@ -398,52 +411,93 @@ def _band_index_gate_batch(
         tmp_v = os.path.join(verdict_root, f"_tmp_{batch_id:05d}")
         verdicts.write.mode("overwrite").parquet(tmp_v)
         os.rename(tmp_v, vdir)
+        # this batch is now committed (its verdict marker exists), so it
+        # is itself foldable; uncommitted survivors of older crashes are
+        # excluded by compact_band_index's verdict-marker check
+        if compact_threshold is not None:
+            live = sum(
+                _index_delta_id(d) is not None
+                for d in os.listdir(index_root)
+            )
+            if live >= compact_threshold:
+                compact_band_index(spark, index_root, verdict_root)
     finally:
         banded.unpersist()
 
 
-def compact_band_index(spark: SparkSession, index_root: str) -> int:
-    """Compact the gate's index delta log into one base delta — the
-    maintenance pass a long-lived ingest runs on the cadence a
-    Delta/Iceberg deployment would OPTIMIZE (per-batch deltas keep the
-    write path append-only; the probe join's file listing shouldn't grow
-    forever). Returns the number of delta dirs removed.
+def _index_delta_id(name: str) -> int | None:
+    """Logical id of a band-index log dir: per-batch deltas carry their
+    batch id; compacted bases are the sentinel -1 so `id < batch_id`
+    includes them for EVERY batch — including a fresh query whose
+    foreachBatch ids restart at 0 against a persisted, compacted index
+    (r12 advice: a base named delta_00000 was invisible to batch 0)."""
+    if name.startswith("base_"):
+        return -1
+    if name.startswith("delta_"):
+        return int(name.split("_")[1])
+    return None
 
-    Crash-safe by claim-set monotonicity: the union of claimed (band, key)
-    buckets is written to a tmp dir, renamed into the log at id 0 (so
-    every future batch's `id < batch_id` read includes it), and only then
-    are the source deltas deleted. A crash at any point leaves the claim
-    set intact — between the rename and the deletes the log briefly holds
-    duplicate claims, which the gate's semi/anti joins treat identically
-    (set semantics)."""
+
+def compact_band_index(
+    spark: SparkSession, index_root: str, verdict_root: str | None = None
+) -> int:
+    """Compact the gate's index delta log into one base — the maintenance
+    pass a long-lived ingest runs on the cadence a Delta/Iceberg
+    deployment would OPTIMIZE (per-batch deltas keep the write path
+    append-only; the probe join's file listing shouldn't grow forever).
+    Returns the number of log dirs folded and removed.
+
+    Only COMMITTED state is folded: a per-batch delta whose verdict
+    commit marker is absent (the exact crash window between the index
+    rename and the verdict rename in `_band_index_gate_batch`) is left in
+    the log untouched — folding it into the base would make the batch's
+    crash-replay read its own claims as prior state and flag the whole
+    batch dup=1 (r12 advice). Pass `verdict_root` whenever an ingest may
+    be in flight; with verdict_root=None every delta is asserted
+    committed-by-construction (caller guarantees no half-committed batch
+    exists, e.g. between AvailableNow drains).
+
+    Crash-safe by claim-set monotonicity: the union of committed claimed
+    (band, key) buckets is written to a tmp dir, renamed into the log as
+    a `base_*` dir (sentinel id -1, so every batch's `id < batch_id`
+    read includes it — batch 0 too), and only then are the folded source
+    dirs deleted. A crash at any point leaves the claim set intact —
+    between the rename and the deletes the log briefly holds duplicate
+    claims, which the gate's semi/anti joins treat identically (set
+    semantics)."""
     import os
+    import shutil
 
-    deltas = sorted(
-        d for d in os.listdir(index_root) if d.startswith("delta_")
+    entries = sorted(
+        d for d in os.listdir(index_root) if _index_delta_id(d) is not None
     )
-    if len(deltas) <= 1:
+    committed = [
+        d
+        for d in entries
+        if _index_delta_id(d) == -1  # prior bases: verdict-complete
+        or verdict_root is None
+        or os.path.isdir(os.path.join(verdict_root, d))
+    ]
+    if len(committed) <= 1:
         return 0
     union = (
-        spark.read.parquet(*(os.path.join(index_root, d) for d in deltas))
+        spark.read.parquet(
+            *(os.path.join(index_root, d) for d in committed)
+        )
         .select("band", "key")
         .distinct()
     )
     tmp = os.path.join(index_root, "_tmp_compact")
     union.write.mode("overwrite").parquet(tmp)
-    # unique base name whose SECOND "_" field is "00000" — the gate reader
-    # parses int(name.split("_")[1]), so the base sorts as id 0 and
-    # predates every future batch
     n = 0
-    base = os.path.join(index_root, "delta_00000")
+    base = os.path.join(index_root, "base_00000")
     while os.path.isdir(base):
         n += 1
-        base = os.path.join(index_root, f"delta_00000_c{n}")
+        base = os.path.join(index_root, f"base_{n:05d}")
     os.rename(tmp, base)
-    for d in deltas:
-        import shutil
-
+    for d in committed:
         shutil.rmtree(os.path.join(index_root, d))
-    return len(deltas)
+    return len(committed)
 
 
 def band_index_gate_drain(
@@ -480,7 +534,11 @@ def band_index_gate_drain(
     q = (
         banded.writeStream.foreachBatch(
             lambda df, bid: _band_index_gate_batch(
-                df, bid, index_root, verdict_root
+                df,
+                bid,
+                index_root,
+                verdict_root,
+                compact_threshold=COMPACT_DELTA_THRESHOLD,
             )
         )
         .option("checkpointLocation", ckpt)

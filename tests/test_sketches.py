@@ -91,15 +91,20 @@ def test_bloom_audit_one_sided_error(spark):
     ref = docs.where(F.col("doc_id") % 2 == 0).select(
         H.char_hash(F.col("text")).alias("fp")
     )
+    m = SK.BLOOM_BITS_PER_KEY * ref.count()
     set_bits = (
         ref.select(
-            F.explode(F.array(*SK._bloom_positions("fp"))).alias("pos")
+            F.explode(F.array(*SK._bloom_positions("fp", m))).alias("pos")
         )
         .distinct()
         .count()
     )
-    assert set_bits <= SK.BLOOM_M
-    fill = set_bits / SK.BLOOM_M
+    assert set_bits <= m
+    fill = set_bits / m
+    # cardinality-sized filter must NOT saturate — fill ≈ K/BITS_PER_KEY
+    # = 1/8 by construction; a fill past 1/4 means the sizing broke and
+    # the FPR bound below would be vacuous (r12 advice)
+    assert fill <= 0.25, fill
     negatives = [r for r in rows if r.exact_hit == 0]
     fps = sum(r.bloom_hit for r in negatives)
     if negatives:
@@ -116,9 +121,10 @@ def test_bloom_positions_match_sql_twin():
     duck = duckdb.connect()
     from mapreduce_simulation_spark.functions.hashing import MINHASH_PERMS, P
 
+    m = 1 << 15  # any positive m — the generators must agree for all
     for fp in (0, 1, 999_999_937, 123_456_789):
         py = [
-            (fp * a + b) % P % SK.BLOOM_M
+            (fp * a + b) % P % m
             for a, b in MINHASH_PERMS[: SK.BLOOM_K]
         ]
         # CAST like the production fp (char_hash_sql folds in BIGINT);
@@ -126,7 +132,7 @@ def test_bloom_positions_match_sql_twin():
         sql = [
             duck.execute(f"SELECT {expr}").fetchone()[0]
             for expr in SK._bloom_positions_sql(
-                f"CAST({fp} AS BIGINT)"
+                f"CAST({fp} AS BIGINT)", str(m)
             )
         ]
         assert py == sql

@@ -1333,8 +1333,9 @@ def test_band_index_gate_batch_replay_is_idempotent(spark, tmp_path):
 def test_band_index_compaction_preserves_gate_state(spark, tmp_path):
     """compact_band_index folds the delta log into one base without
     changing the claim set: a batch gated AFTER compaction gets verdicts
-    identical to the uncompacted continuation, the base's id parses as 0
-    (visible to every future batch), and the old deltas are gone."""
+    identical to the uncompacted continuation, the base's sentinel id is
+    -1 (visible to every future batch, batch 0 included), and the old
+    deltas are gone."""
     import os
 
     from mapreduce_simulation_spark.operators.dedup import (
@@ -1363,7 +1364,9 @@ def test_band_index_compaction_preserves_gate_state(spark, tmp_path):
         os.makedirs(ver)
         _band_index_gate_batch(banded[0], 0, idx, ver)
         _band_index_gate_batch(banded[1], 1, idx, ver)
-        removed = compact_band_index(spark, idx) if compact_after_two else 0
+        removed = (
+            compact_band_index(spark, idx, ver) if compact_after_two else 0
+        )
         _band_index_gate_batch(banded[2], 2, idx, ver)
         verdicts = {
             (r.doc_id, r.band): r.dup
@@ -1384,11 +1387,127 @@ def test_band_index_compaction_preserves_gate_state(spark, tmp_path):
     for (d, _b), dup in with_compact.items():
         flagged[d] = flagged.get(d, 0) + dup
     assert flagged[30] == 8 and flagged[40] == 8 and flagged[50] == 0
-    names = sorted(
-        d for d in os.listdir(idx_c) if d.startswith("delta_")
+    from mapreduce_simulation_spark.streaming.stateful import (
+        _index_delta_id,
     )
-    # one base (id 0) + batch 2's delta — the pre-compaction deltas gone
-    assert len(names) == 2 and int(names[0].split("_")[1]) == 0
+
+    names = sorted(
+        d for d in os.listdir(idx_c) if _index_delta_id(d) is not None
+    )
+    # one base (sentinel -1) + batch 2's delta — pre-compaction deltas gone
+    assert [_index_delta_id(d) for d in names] == [-1, 2]
+
+
+def test_band_index_compaction_skips_half_committed_batch(spark, tmp_path):
+    """The r12-advice crash window: batch 1's index delta renamed but its
+    verdict marker absent when compaction runs. The half-committed delta
+    must be EXCLUDED from the fold (else batch 1's replay reads its own
+    claims as prior state and flags the whole batch dup=1); the replay
+    after compaction must produce verdicts identical to the crash-free
+    run."""
+    import os
+    import shutil
+
+    from mapreduce_simulation_spark.operators.dedup import (
+        narrow_minhash_bands_arrow,
+    )
+    from mapreduce_simulation_spark.streaming.stateful import (
+        _band_index_gate_batch,
+        _index_delta_id,
+        compact_band_index,
+    )
+
+    batches = [
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+        for rows in (
+            [(10, "the quick brown fox jumps over the lazy dog again")],
+            [(20, "a completely distinct second document body here")],
+            [(30, "the quick brown fox jumps over the lazy dog again")],
+        )
+    ]
+    banded = [narrow_minhash_bands_arrow(b) for b in batches]
+
+    def read_verdicts(ver):
+        return {
+            (r.doc_id, r.band): r.dup
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(ver)
+            .collect()
+        }
+
+    # crash-free reference run
+    ref = str(tmp_path / "ref")
+    idx_r, ver_r = os.path.join(ref, "index"), os.path.join(ref, "verd")
+    os.makedirs(idx_r)
+    os.makedirs(ver_r)
+    for i in range(3):
+        _band_index_gate_batch(banded[i], i, idx_r, ver_r)
+    want = read_verdicts(ver_r)
+    assert sum(d for (doc, _b), d in want.items() if doc == 30) == 8
+
+    # crashed run: batch 2 half-committed (index delta in, verdicts out)
+    root = str(tmp_path / "crash")
+    idx, ver = os.path.join(root, "index"), os.path.join(root, "verd")
+    os.makedirs(idx)
+    os.makedirs(ver)
+    for i in range(3):
+        _band_index_gate_batch(banded[i], i, idx, ver)
+    shutil.rmtree(os.path.join(ver, "delta_00002"))  # the crash
+
+    removed = compact_band_index(spark, idx, ver)
+    assert removed == 2  # only committed batches 0 and 1 folded
+    survivors = sorted(
+        d for d in os.listdir(idx) if _index_delta_id(d) is not None
+    )
+    assert [_index_delta_id(d) for d in survivors] == [-1, 2]
+
+    _band_index_gate_batch(banded[2], 2, idx, ver)  # the replay
+    assert read_verdicts(ver) == want
+
+
+def test_band_index_base_visible_to_fresh_query_batch_zero(spark, tmp_path):
+    """A NEW streaming query restarts foreachBatch ids at 0 against a
+    persisted, compacted index. The base must be visible to batch 0 (the
+    r12 advice: a base parsed as id 0 failed `id < 0` and the gate forgot
+    every pre-compaction claim)."""
+    import os
+
+    from mapreduce_simulation_spark.operators.dedup import (
+        narrow_minhash_bands_arrow,
+    )
+    from mapreduce_simulation_spark.streaming.stateful import (
+        _band_index_gate_batch,
+        compact_band_index,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "pack my box with five dozen liquor jugs every single day"
+    first = narrow_minhash_bands_arrow(
+        spark.createDataFrame([(10, text)], "doc_id bigint, text string")
+    )
+    filler = narrow_minhash_bands_arrow(
+        spark.createDataFrame([(11, other)], "doc_id bigint, text string")
+    )
+    # ingest two batches + compact under query A
+    root = str(tmp_path / "restart")
+    idx, ver_a = os.path.join(root, "index"), os.path.join(root, "verd_a")
+    os.makedirs(idx)
+    os.makedirs(ver_a)
+    _band_index_gate_batch(first, 0, idx, ver_a)
+    _band_index_gate_batch(filler, 1, idx, ver_a)
+    assert compact_band_index(spark, idx, ver_a) == 2
+
+    # query B: fresh checkpoint, ids restart at 0; same text, new doc id —
+    # every band bucket is already claimed, so all 8 bands must flag dup
+    second = narrow_minhash_bands_arrow(
+        spark.createDataFrame([(99, text)], "doc_id bigint, text string")
+    )
+    ver_b = os.path.join(root, "verd_b")
+    os.makedirs(ver_b)
+    _band_index_gate_batch(second, 0, idx, ver_b)
+    got = spark.read.option("recursiveFileLookup", "true").parquet(ver_b)
+    dups = [r.dup for r in got.collect()]
+    assert len(dups) == 8 and all(d == 1 for d in dups)
 
 
 def test_streaming_hll_ingest_equals_batch_sketch(spark):

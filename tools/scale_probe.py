@@ -113,6 +113,7 @@ def main() -> None:
             # r12 additions: orders is symlinked (not replicated), so
             # quantile_sketch_monthly pins the fixed-state floor; the
             # bloom audit reads the replicated documents
+            "quantile_sketch_monthly",
             "bloom_membership_audit",
         ]
     elif pipeline_mode:
