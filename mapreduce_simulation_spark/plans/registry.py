@@ -422,9 +422,11 @@ _PROMOTE = (
 # staleness rotation over the remaining r9 greens, then r10.
 _DEMOTE = (
     # All former family-redundancy demotions were re-promoted in the r11
-    # (stalest-evidence back-fill) and r12 (pure staleness) windows; only
-    # the env-gated entry remains pinned behind the window so its position
-    # never depends on protobuf presence.
+    # (stalest-evidence back-fill) and r12 (pure staleness) windows. The
+    # TWS twin stays pinned behind the window this round only because the
+    # r13 window froze before its protobuf gate was removed (it now runs
+    # via the vendored mini-protobuf runtime); it is first in line for
+    # the r14 rotation.
     "stateful_user_rollup_tws",
 )
 
@@ -1227,10 +1229,13 @@ from ..streaming.stateful import (  # noqa: E402
 
 # Same semantics + oracle on Spark 4's transformWithStateInPandas.
 # Registered UNCONDITIONALLY so the registry's contents and ordering never
-# depend on the environment (protobuf presence); the builder raises a clear
-# RuntimeError at call time if the TWS state protocol is unavailable, and
-# the _DEMOTE pin keeps it behind the driver's 50-entry hash window either
-# way.
+# depend on the environment. As of round 13 it RUNS in this container: the
+# TWS state protocol's protobuf dependency is satisfied by the vendored
+# mini-runtime (vendor/pypath, activated only when the real wheel is
+# absent), so the former env skip is gone — the query is sweep- and
+# oracle-verified like every other entry. The _DEMOTE pin keeping it
+# behind the driver's 50-entry hash window is now just rotation-queue
+# ordering (it has never had a driver row; promote it in r14).
 register("stateful_user_rollup_tws", _stateful_tws, _stateful_sql)
 
 # Stream-stream watermarked join (attribution shape); single-batch staging

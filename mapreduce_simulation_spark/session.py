@@ -31,6 +31,14 @@ def build_session(
     so the same entry point works in tests and in the driver harness. On a
     real cluster, leave ``master`` unset and submit via spark-submit.
     """
+    # Optional-runtime fallbacks must land BEFORE the JVM starts: the
+    # mini-protobuf shim (transformWithState state protocol) propagates to
+    # Python workers via the JVM's inherited PYTHONPATH. No-op whenever
+    # the real protobuf wheel is installed.
+    from .vendor import ensure_protobuf
+
+    ensure_protobuf()
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

@@ -141,15 +141,19 @@ GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 try:  # the API landed in Spark 4.0; its state protocol needs protobuf.
-    import google.protobuf  # noqa: F401  (absent in some containers)
+    # Prefer the real wheel; fall back to the vendored mini-runtime
+    # (vendor/pypath — clean-room wire-format subset) so the operator runs
+    # in containers without protobuf instead of being an env-gated stub.
+    from ..vendor import ensure_protobuf as _ensure_protobuf
+
+    _ensure_protobuf()
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     _HAS_TWS = True
 except ImportError:  # pragma: no cover - environment-dependent
-    # Without protobuf the TWS driver worker crashes at query start
-    # (StateMessage_pb2 import). The operator below is complete and runs on
-    # any cluster with protobuf installed; registration is gated so this
-    # container's driver run never hits the crash.
+    # Without any protobuf runtime the TWS driver worker crashes at query
+    # start (StateMessage_pb2 import); keep the call-time gate as the
+    # loud failure mode.
     StatefulProcessor = object  # type: ignore[assignment,misc]
     _HAS_TWS = False
 
