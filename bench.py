@@ -147,6 +147,105 @@ PIPELINE = [
 ]
 
 
+# Staging-I/O groups (pipeline/sketch) are benched in SEPARATE PROCESSES,
+# median across BENCH_XPROC_N (default 3) fresh interpreters: r12 measured
+# 1.7× swings for these groups between back-to-back runs in one process
+# (staged-artifact I/O and temp-dir layout dominate), so the in-process
+# median-of-3 defends against per-run noise but not per-process noise.
+# Each child stages cold, then reports its WARM (second-run) number; the
+# recorded value is the median of the three children's warm numbers.
+XPROC_GROUPS = ("pipeline", "sketch")
+
+
+def _run_child_group(group: str) -> dict:
+    """Child-process mode: time one group and print a single JSON line."""
+    import __spark_entry__ as e
+    from mapreduce_simulation_spark.operators.caching import release_tracked
+    from mapreduce_simulation_spark.session import build_session
+
+    spark = build_session(f"bench-child-{group}")
+    qs = e.queries()
+    names = {"pipeline": PIPELINE, "sketch": SKETCH}[group]
+    # minimal warmup: sink init + codegen + the Python worker pool (the
+    # pipeline group's pandas stages must measure steady state)
+    for wname, wsf in (
+        ("top_orders", SF_DIR),
+        ("similarity_topk_pandas", "/root/testdata/sf0.001"),
+    ):
+        try:
+            qs[wname](spark, wsf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            print(f"child warmup {wname} failed: {exc}", file=sys.stderr)
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        if name not in qs:
+            continue
+        try:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            cold[name] = round(time.perf_counter() - t0, 3)
+            release_tracked()
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = str(exc).split("\n")[0][:200]
+        finally:
+            release_tracked()
+    print(json.dumps({"timings": timings, "cold": cold, "errors": errors}))
+    spark.stop()
+    return timings
+
+
+def _xproc_group(group: str, n_procs: int) -> tuple[dict, dict, dict, list]:
+    """Run `group` in n_procs fresh interpreters; per-query median of the
+    children's warm numbers. Returns (timings, cold_first_child, errors,
+    per_child_totals)."""
+    import subprocess
+
+    runs: list[dict] = []
+    colds: list[dict] = []
+    errors: dict[str, str] = {}
+    for i in range(n_procs):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child-group", group],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        parsed = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                parsed = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if parsed is None or proc.returncode != 0 and not parsed.get("timings"):
+            errors[f"_xproc_{group}_{i}"] = (
+                f"child rc={proc.returncode}: {proc.stderr.strip()[-200:]}"
+            )
+            continue
+        runs.append(parsed.get("timings", {}))
+        colds.append(parsed.get("cold", {}))
+        errors.update(parsed.get("errors", {}))
+    names = sorted({n for r in runs for n in r})
+    med = {}
+    for n in names:
+        samples = sorted(r[n] for r in runs if n in r)
+        if samples:
+            med[n] = samples[len(samples) // 2]
+    totals = [round(sum(r.values()), 3) for r in runs]
+    return med, (colds[0] if colds else {}), errors, totals
+
+
 def _cpu_calibration() -> float:
     """Fixed single-thread Python loop — a host-speed yardstick recorded
     with every run. Bench totals move with the (virtualized, shared) host:
@@ -179,6 +278,7 @@ _SUMMARY_KEYS = (
     "calib_normalized_extended",
     "primary_comparison_metric",
     "per_query_stat",
+    "staging_group_stat",
 )
 
 
@@ -200,6 +300,10 @@ def summarize(result: dict) -> dict:
 
 
 def main() -> None:
+    if "--child-group" in sys.argv:
+        _run_child_group(sys.argv[sys.argv.index("--child-group") + 1])
+        return
+
     import __spark_entry__ as e
     from mapreduce_simulation_spark.session import build_session
 
@@ -317,8 +421,31 @@ def main() -> None:
     # staging write) otherwise dominate the recorded number.
     extended = run(EXTENDED, repeats=3)
     training = run(TRAINING, repeats=3)
-    pipeline = run(PIPELINE, repeats=3)
-    sketch = run(SKETCH, repeats=3)
+    # Staging-I/O groups: median ACROSS 3 fresh processes (r12 verdict
+    # protocol fix — these two groups swung 1.7× between back-to-back
+    # same-process runs; per-process staged-artifact layout is the noise
+    # source, so the defense must span processes). BENCH_XPROC=0 falls
+    # back to the in-process path (used by quick local iterations).
+    xproc_n = int(os.environ.get("BENCH_XPROC_N", "3"))
+    xproc_meta: dict[str, list[float]] = {}
+    if os.environ.get("BENCH_XPROC", "1") != "0":
+        pipeline, pipe_cold, pipe_errs, xproc_meta["pipeline_runs"] = (
+            _xproc_group("pipeline", xproc_n)
+        )
+        sketch, sk_cold, sk_errs, xproc_meta["sketch_runs"] = _xproc_group(
+            "sketch", xproc_n
+        )
+        errors.update(pipe_errs)
+        errors.update(sk_errs)
+        cold_runs.update(pipe_cold)
+        cold_runs.update(sk_cold)
+        if not pipeline:  # all children failed — never record an empty group
+            pipeline = run(PIPELINE, repeats=3)
+        if not sketch:
+            sketch = run(SKETCH, repeats=3)
+    else:
+        pipeline = run(PIPELINE, repeats=3)
+        sketch = run(SKETCH, repeats=3)
     sketch_r12 = run(SKETCH_R12, repeats=3)
 
     total = round(sum(timings.values()), 3)
@@ -342,12 +469,22 @@ def main() -> None:
         # separate group (r9+): totals above stay set-identical to r8
         "training": training,
         "training_total": round(sum(training.values()), 3),
-        # separate group (r10+): pipeline/export compositions
+        # separate group (r10+): pipeline/export compositions. Since r13:
+        # per-query MEDIAN ACROSS 3 FRESH PROCESSES (warm second run per
+        # child); "*_runs" holds each child's group total for variance
+        # visibility. NOT comparable to the r10-r12 in-process numbers.
         "pipeline": pipeline,
         "pipeline_total": round(sum(pipeline.values()), 3),
-        # separate group (r11+): deterministic-sketch family
+        # separate group (r11+): deterministic-sketch family (same r13
+        # cross-process protocol as pipeline)
         "sketch": sketch,
         "sketch_total": round(sum(sketch.values()), 3),
+        "staging_group_stat": (
+            f"median_of_{xproc_n}_processes"
+            if xproc_meta
+            else "median_of_3_in_process"
+        ),
+        **xproc_meta,
         # separate group (r12+): quantile sketch + bloom audit
         "sketch_r12": sketch_r12,
         "sketch_r12_total": round(sum(sketch_r12.values()), 3),

@@ -37,6 +37,9 @@ def _worst_case_result() -> dict:
         "calib_normalized_extended": 9999.99,
         "primary_comparison_metric": "calib_normalized_total",
         "per_query_stat": "median_of_3",
+        "staging_group_stat": "median_of_3_processes",
+        "pipeline_runs": [9999.999, 9999.999, 9999.999],
+        "sketch_runs": [9999.999, 9999.999, 9999.999],
         "cold_first_run": {f"q{i}": 9999.999 for i in range(200)},
         "errors": {f"q{i}": "x" * 200 for i in range(50)},
     }
@@ -62,6 +65,20 @@ def test_summary_omits_missing_optional_fields():
     summary = bench.summarize({"metric": "m", "value": 1, "unit": "sec"})
     assert "n_errors" not in summary
     assert summary["metric"] == "m"
+
+
+def test_summary_carries_staging_group_protocol():
+    """BENCH_r13+ must record which protocol produced the pipeline/sketch
+    numbers (median across processes vs in-process) — the r12 verdict's
+    cross-round-comparability fix."""
+    summary = bench.summarize(_worst_case_result())
+    assert summary["staging_group_stat"] == "median_of_3_processes"
+    # per-child totals stay on the detail line, not the tail summary
+    assert "pipeline_runs" not in summary
+
+
+def test_xproc_groups_cover_the_two_staging_io_groups():
+    assert bench.XPROC_GROUPS == ("pipeline", "sketch")
 
 
 def test_bench_group_membership_is_frozen():

@@ -198,26 +198,44 @@ def main() -> None:
         results = []
         for name in probes:
             row = {"query": name}
+            # each scale is timed twice: first run = cold (absorbs any
+            # staged-artifact builds — the historical probe number),
+            # second = warm (the staged-tier serve law: what a re-run
+            # sweep costs once the per-corpus artifacts exist). The two
+            # ratios answer different 100 TB questions — build cost is
+            # corpus-linear by design; serve cost must stay sublinear.
             for label, sf in (("base", BASE), ("big", big_sf)):
-                t0 = time.perf_counter()
                 try:
+                    t0 = time.perf_counter()
                     out = qs[name](spark, sf)
                     force(out)
                     row[label] = round(time.perf_counter() - t0, 2)
+                    release_tracked()
+                    t0 = time.perf_counter()
+                    force(qs[name](spark, sf))
+                    row[f"{label}_warm"] = round(
+                        time.perf_counter() - t0, 2
+                    )
                     # register-table claim: record the agg output size
                     if name in ("events_daily_approx", "hll_monthly_users"):
                         row[f"{label}_rows"] = out.count()
                 except Exception as ex:  # noqa: BLE001
-                    row[label] = None
+                    row.setdefault(label, None)
                     row["error"] = str(ex)[:120]
                 finally:
                     release_tracked()
             if row.get("base") and row.get("big"):
                 row["ratio"] = round(row["big"] / row["base"], 1)
+            if row.get("base_warm") and row.get("big_warm"):
+                row["warm_ratio"] = round(
+                    row["big_warm"] / row["base_warm"], 1
+                )
             results.append(row)
             print(
                 f"{name:28s} base {row.get('base')}s  "
                 f"x{n_copies} {row.get('big')}s  ratio {row.get('ratio')}"
+                f"  warm {row.get('base_warm')}s/{row.get('big_warm')}s"
+                f" = {row.get('warm_ratio')}"
             )
         print(
             json.dumps(
