@@ -1,0 +1,137 @@
+"""Distribution-drift statistics between two eras of a feature column.
+
+The data-quality face of the sketch-table discipline: training pipelines
+re-ingest sources continuously and must detect when a feature's
+distribution moves (schema stays identical — values drift). The standard
+report compares a REFERENCE era against the CURRENT era over a bucketed
+histogram. The classic PSI metric needs ln() — a transcendental both
+engines round differently in the last ulp — so this operator serves the
+two drift statistics that are exactly computable cross-engine:
+
+  TVD  total variation distance, Σ_b |p_ref(b) − p_cur(b)| / 2. Kept
+       integer-scaled until one final division: Σ|a_b·n2 − c_b·n1| is an
+       exact integer sum (decimal(38,0) accumulator — order-insensitive),
+       TVD = that sum / (2·n1·n2) — a single IEEE division of exact
+       operands, deterministic on both engines.
+  KS   two-sample Kolmogorov–Smirnov statistic over the bucketed CDFs,
+       max_b |A_b·n2 − C_b·n1| / (n1·n2) with A/C cumulative counts —
+       integer max, one final division. The argmax bucket (smallest
+       bucket attaining the max) is reported so the drift is localized,
+       not just scored.
+
+No transcendental ever runs inside either engine — the same rule that
+made the HLL/quantile/Bloom/KMV oracles exact value-hash checks.
+
+Reference parity note: the reference engine (HaolingPu/MapReduce-
+Simulation) has no statistics surface; this is LLM-pipeline extension
+tier (monitoring a 100 TB continuous ingest for distribution shift).
+
+Scale: ONE scan with an era flag → groupBy(bucket) with conditional
+counts (map-side combine; state ≤ |domain|/width buckets regardless of
+row count), then all arithmetic runs on the bucket table. The cumulative
+window is a SinglePartition exchange over ≤ ~122 bucket rows — bounded
+by the price domain, not the data (window-lint whitelisted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+DRIFT_SPLIT = "1996-01-01"  # reference era: orders strictly before
+DRIFT_BUCKET = 4096  # dollars per histogram bucket (~122 over TPC-H domain)
+
+
+def feature_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row drift report for o_totalprice between the pre-1996
+    reference era and the 1996+ current era (see module docstring for
+    the integer-scaled TVD/KS construction)."""
+    orders = load_table(spark, sf_dir, "orders")
+    buckets = (
+        orders.select(
+            F.floor(F.floor(F.col("o_totalprice")).cast("long") / DRIFT_BUCKET)
+            .cast("long")
+            .alias("b"),
+            (
+                F.col("o_orderdate")
+                < F.lit(DRIFT_SPLIT).cast("timestamp_ntz")
+            ).alias("is_ref"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("is_ref").cast("long")).alias("a"),
+            F.sum((~F.col("is_ref")).cast("long")).alias("c"),
+        )
+    )
+    totals = buckets.agg(
+        F.sum("a").alias("n1"), F.sum("c").alias("n2")
+    )
+    bt = buckets.crossJoin(F.broadcast(totals))
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bt.select(
+        "b",
+        "n1",
+        "n2",
+        F.abs(F.col("a") * F.col("n2") - F.col("c") * F.col("n1")).alias(
+            "d"
+        ),
+        F.abs(
+            F.sum("a").over(w) * F.col("n2")
+            - F.sum("c").over(w) * F.col("n1")
+        ).alias("cd"),
+    )
+    agg = cum.groupBy("n1", "n2").agg(
+        F.count(F.lit(1)).cast("int").alias("n_buckets"),
+        F.sum(F.col("d").cast("decimal(38,0)")).alias("tvd_scaled"),
+        # lexicographic struct max: largest cum-diff, ties → smallest b
+        F.max(F.struct(F.col("cd").alias("v"), (-F.col("b")).alias("nb")))
+        .alias("mx"),
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_ref"),
+        F.col("n2").cast("long").alias("n_cur"),
+        "n_buckets",
+        (
+            F.col("tvd_scaled").cast("double")
+            / (F.lit(2) * F.col("n1") * F.col("n2")).cast("double")
+        ).alias("tvd"),
+        (
+            F.col("mx.v").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+        ).alias("ks_stat"),
+        (-F.col("mx.nb")).cast("long").alias("ks_bucket"),
+    )
+
+
+FEATURE_DRIFT_STATS_SQL = f"""
+WITH buckets AS (
+  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // {DRIFT_BUCKET} AS b,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_SPLIT}'
+                  THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_SPLIT}'
+                  THEN 0 ELSE 1 END) AS c
+  FROM orders GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(c) AS BIGINT) AS n2
+  FROM buckets
+),
+cum AS (
+  SELECT b, n1, n2,
+         abs(a * n2 - c * n1) AS d,
+         abs(sum(a) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) * n2 -
+             sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) * n1) AS cd
+  FROM buckets CROSS JOIN totals
+)
+SELECT CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+       CAST(count(*) AS INT) AS n_buckets,
+       CAST(sum(d) AS DOUBLE) / CAST(2 * n1 * n2 AS DOUBLE) AS tvd,
+       CAST(max(cd) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_stat,
+       (SELECT min(b) FROM cum c2 WHERE c2.cd = (SELECT max(cd) FROM cum))
+         AS ks_bucket
+FROM cum GROUP BY n1, n2
+"""

@@ -288,3 +288,202 @@ LEFT JOIN hits h ON h.doc_id = p.doc_id
 LEFT JOIN exact e ON e.doc_id = p.doc_id
 ORDER BY p.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch: order-statistics merge, the only
+# sketch discipline that also estimates SET INTERSECTIONS.
+# ---------------------------------------------------------------------------
+
+KMV_K = 128  # sketch size; distinct-count rsd ~ 1/sqrt(K-2) ~ 8.9%
+
+# Two affine rounds over the shared frozen constants (rounds 4/5 —
+# disjoint from HLL's 0/1 and Bloom's 0-3 so no operator pair shares a
+# hash family). int64-safe: every product < 1e18 < 2^63.
+(_KA1, _KB1), (_KA2, _KB2) = H.MINHASH_PERMS[4], H.MINHASH_PERMS[5]
+
+
+def _kmv_hash(col):
+    h1 = (F.col(col) * _KA1 + _KB1) % H.P
+    return (h1 * _KA2 + _KB2) % H.P
+
+
+def _kmv_hash_sql(expr: str) -> str:
+    return f"((({expr}) * {_KA1} + {_KB1}) % {H.P} * {_KA2} + {_KB2}) % {H.P}"
+
+
+# (K-1)*P — the KMV estimator numerator, exact in double (1.27e11 < 2^53).
+_KMV_NUM = (KMV_K - 1) * H.P
+
+
+def kmv_month_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month distinct-buyer overlap served from KMV
+    (k-minimum-values) sketches — the capability max-merge registers
+    (HLL) cannot provide: a KMV sketch is the K smallest hash values of
+    a set, and because min-K(A ∪ B) = min-K(min-K(A) ∪ min-K(B)) the
+    sketches both UNION losslessly (order-statistics merge) and estimate
+    INTERSECTIONS: the union sketch is a uniform K-sample of A ∪ B, so
+    the fraction of its values present in both sides estimates Jaccard,
+    and Ĵ · n̂_union estimates |A ∩ B|.
+
+    Per month m: sketch = K smallest two-round-affine hashes of the
+    month's DISTINCT o_custkey values; n̂ = (K-1)·P / h_(K) when the
+    month holds ≥ K values, EXACTLY the distinct count otherwise (the
+    standard small-set rule — at degenerate scales the sketch answer is
+    exact, pytest-asserted). For consecutive months (m, m+1): the union
+    sketch re-ranks the two sketches' values, shared_k counts union-
+    sketch values present in BOTH, jaccard_est = shared_k / ku,
+    inter_est = jaccard_est · union_est — month-over-month retained
+    buyers without ever re-reading raw orders.
+
+    Cross-engine exactness: hashing and ranking are pure int64 (shared
+    frozen constants, both engines); the ONLY float steps are single
+    IEEE divisions/products of integer-exact operands — deterministic,
+    so the oracle is an exact value-hash match while the accuracy
+    envelopes vs true distinct/overlap counts live in pytest.
+
+    Scale: one distinct-exchange over the raw scan, then everything
+    operates on ≤ K rows per month (the rank-≤-K filter compiles to
+    WindowGroupLimit — per-partition top-K BEFORE the shuffle, so the
+    full month's distinct set is never materialized on one node); the
+    sketch table is months × K rows — metadata-scale state a 100 TB
+    pipeline persists and serves dashboards from forever."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = (
+        orders.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .alias("mi"),
+            _kmv_hash("o_custkey").alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("mi").orderBy("h")
+    sk = (
+        vals.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_K)
+        .select("mi", "h")
+    )
+    stats = sk.groupBy("mi").agg(
+        F.count(F.lit(1)).cast("int").alias("nk"),
+        F.max("h").alias("kth"),
+    )
+    est = stats.select(
+        "mi",
+        F.when(
+            F.col("nk") < KMV_K, F.col("nk").cast("double")
+        )
+        .otherwise(F.lit(_KMV_NUM) / F.col("kth"))
+        .alias("n_est"),
+    )
+    both = (
+        sk.select("mi", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionByName(
+            sk.select(
+                (F.col("mi") - 1).alias("mi"),
+                "h",
+                F.lit(0).alias("ia"),
+                F.lit(1).alias("ib"),
+            )
+        )
+        .groupBy("mi", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    uk = (
+        both.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_K)
+    )
+    pair = uk.groupBy("mi").agg(
+        F.count(F.lit(1)).cast("int").alias("ku"),
+        F.max("h").alias("kth_u"),
+        F.sum((F.col("ia") * F.col("ib"))).cast("int").alias("shared_k"),
+    )
+    union_est = F.when(
+        F.col("ku") < KMV_K, F.col("ku").cast("double")
+    ).otherwise(F.lit(_KMV_NUM) / F.col("kth_u"))
+    jac = F.col("shared_k") / F.col("ku")
+    ea = est.select(F.col("mi").alias("mi"), F.col("n_est").alias("n_est"))
+    eb = est.select(
+        (F.col("mi") - 1).alias("mi"), F.col("n_est").alias("next_n_est")
+    )
+    return (
+        pair.join(ea, "mi")
+        .join(eb, "mi")  # inner joins drop phantom pair groups at the edges
+        .select(
+            (F.col("mi") / F.lit(12)).cast("int").alias("yr"),
+            (F.col("mi") % 12 + 1).cast("int").alias("mo"),
+            "n_est",
+            "next_n_est",
+            "ku",
+            "shared_k",
+            jac.alias("jaccard_est"),
+            (jac * union_est).alias("inter_est"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+# Shared CTE prefix: per-month KMV sketch + per-month estimates — reused
+# verbatim by the streaming ingest twin's oracle (same merge result).
+_KMV_SKETCH_CTES = f"""
+vals AS (
+  SELECT DISTINCT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+         {_kmv_hash_sql('o_custkey')} AS h
+  FROM orders
+),
+sk AS (
+  SELECT mi, h FROM (
+    SELECT mi, h, row_number() OVER (PARTITION BY mi ORDER BY h) AS rk
+    FROM vals
+  ) WHERE rk <= {KMV_K}
+),
+stats AS (
+  SELECT mi, CAST(count(*) AS INT) AS nk, max(h) AS kth
+  FROM sk GROUP BY mi
+),
+est AS (
+  SELECT mi, CASE WHEN nk < {KMV_K} THEN CAST(nk AS DOUBLE)
+                  ELSE CAST({_KMV_NUM} AS BIGINT) / kth END AS n_est
+  FROM stats
+)"""
+
+KMV_MONTH_OVERLAP_SQL = f"""
+WITH {_KMV_SKETCH_CTES},
+u AS (
+  SELECT mi, h, max(ia) AS ia, max(ib) AS ib FROM (
+    SELECT mi, h, 1 AS ia, 0 AS ib FROM sk
+    UNION ALL
+    SELECT mi - 1 AS mi, h, 0 AS ia, 1 AS ib FROM sk
+  ) GROUP BY mi, h
+),
+uk AS (
+  SELECT mi, h, ia, ib FROM (
+    SELECT mi, h, ia, ib,
+           row_number() OVER (PARTITION BY mi ORDER BY h) AS rk
+    FROM u
+  ) WHERE rk <= {KMV_K}
+),
+pair AS (
+  SELECT mi, CAST(count(*) AS INT) AS ku, max(h) AS kth_u,
+         CAST(sum(ia * ib) AS INT) AS shared_k
+  FROM uk GROUP BY mi
+)
+SELECT CAST(p.mi // 12 AS INT) AS yr, CAST(p.mi % 12 + 1 AS INT) AS mo,
+       ea.n_est AS n_est, eb.n_est AS next_n_est,
+       p.ku AS ku, p.shared_k AS shared_k,
+       CAST(p.shared_k AS BIGINT) / p.ku AS jaccard_est,
+       (CAST(p.shared_k AS BIGINT) / p.ku) *
+       (CASE WHEN p.ku < {KMV_K} THEN CAST(p.ku AS DOUBLE)
+             ELSE CAST({_KMV_NUM} AS BIGINT) / p.kth_u END) AS inter_est
+FROM pair p
+JOIN est ea ON ea.mi = p.mi
+JOIN est eb ON eb.mi = p.mi + 1
+ORDER BY yr, mo
+"""
+
+KMV_MONTH_ESTIMATES_SQL = f"""
+WITH {_KMV_SKETCH_CTES}
+SELECT CAST(s.mi // 12 AS INT) AS yr, CAST(s.mi % 12 + 1 AS INT) AS mo,
+       s.nk AS k_used, e.n_est AS n_est
+FROM stats s JOIN est e ON e.mi = s.mi
+ORDER BY yr, mo
+"""

@@ -1789,6 +1789,37 @@ register(
     _sk.QUANTILE_SKETCH_MONTHLY_SQL,
 )
 
+# r13 sketch-table additions: the KMV (k-minimum-values) sketch — the
+# third merge discipline (ORDER-STATISTICS merge, after max-merge HLL
+# registers and sum-merge quantile histograms) and the only one that
+# also estimates SET INTERSECTIONS (month-over-month retained-buyer
+# overlap from metadata-scale state) — plus its online ingest face, and
+# the transcendental-free drift report (integer-scaled TVD + two-sample
+# KS between order-date eras). All exact value-hash oracles; accuracy
+# envelopes in tests/test_sketches.py / tests/test_drift.py.
+register(
+    "kmv_month_overlap",
+    _sk.kmv_month_overlap,
+    _sk.KMV_MONTH_OVERLAP_SQL,
+)
+
+from ..streaming.stateful import (  # noqa: E402
+    streaming_kmv_sketch_ingest as _skmv,
+)
+
+register(
+    "streaming_kmv_sketch_ingest",
+    _skmv,
+    _sk.KMV_MONTH_ESTIMATES_SQL,
+)
+
+from ..operators.drift import (  # noqa: E402
+    FEATURE_DRIFT_STATS_SQL as _drift_sql,
+    feature_drift_stats as _drift,
+)
+
+register("feature_drift_stats", _drift, _drift_sql)
+
 # MERGE/upsert as full-outer reconciliation; the oracle replays the same
 # updates feed with SQL set logic.
 from .extended import merge_upsert_orders as _merge_upsert  # noqa: E402

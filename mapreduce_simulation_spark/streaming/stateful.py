@@ -1041,3 +1041,92 @@ def streaming_quantile_sketch_ingest(
             .alias(name)
         )
     return cum.groupBy("yr", "mo").agg(*aggs).orderBy("yr", "mo")
+
+
+def streaming_kmv_sketch_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Online face of the KMV distinct sketch
+    (operators/sketches.kmv_month_overlap): each micro-batch of orders
+    appends its own per-month min-K hash delta under batch=<id>
+    (overwrite ⇒ replay-idempotent — the HLL/quantile delta-log recipe),
+    and the rollup re-ranks the UNION of deltas to the global min-K
+    without re-reading raw orders. This is the third merge discipline
+    made append-at-ingest: max-merge registers (HLL), sum-merge
+    histograms (quantile), and now ORDER-STATISTICS merge —
+    min-K(A ∪ B) = min-K(min-K(A) ∪ min-K(B)), associative, commutative
+    and idempotent, so the drained multi-batch sketch is ROW-IDENTICAL
+    to the one-shot batch sketch and the oracle is the same SQL.
+
+    Scale: per batch one distinct + per-month top-K (WindowGroupLimit —
+    per-partition K before the exchange); delta files are ≤ K rows per
+    month per batch; the rollup reads only deltas."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches as SK
+    from ..staging import keyed_staging_dir
+    from ..tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    stage, already = keyed_staging_dir(
+        "orders_kmv_ingest_", f"sf={sf_dir}"
+    )
+    if not already:
+        orders.repartitionByRange(4, "o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(stage)
+    out_root, _ = keyed_staging_dir("kmv_ingest_out_", f"sf={sf_dir}")
+    delta_dir = f"{out_root}/deltas"
+    w = Window.partitionBy("mi").orderBy("h")
+
+    def _sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                (
+                    F.year("o_orderdate") * 12
+                    + F.month("o_orderdate")
+                    - 1
+                ).alias("mi"),
+                SK._kmv_hash("o_custkey").alias("h"),
+            )
+            .distinct()
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= SK.KMV_K)
+            .select("mi", "h")
+        )
+        delta.repartition(1).write.mode("overwrite").parquet(
+            f"{delta_dir}/batch={batch_id}"
+        )
+
+    q = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(_sketch_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sk = (
+        spark.read.option("basePath", delta_dir)
+        .parquet(f"{delta_dir}/batch=*")
+        .select("mi", "h")
+        .distinct()  # the same value may sit in several batches' min-K
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SK.KMV_K)
+    )
+    stats = sk.groupBy("mi").agg(
+        F.count(F.lit(1)).cast("int").alias("k_used"),
+        F.max("h").alias("kth"),
+    )
+    return stats.select(
+        (F.col("mi") / F.lit(12)).cast("int").alias("yr"),
+        (F.col("mi") % 12 + 1).cast("int").alias("mo"),
+        "k_used",
+        F.when(
+            F.col("k_used") < SK.KMV_K, F.col("k_used").cast("double")
+        )
+        .otherwise(F.lit(SK._KMV_NUM) / F.col("kth"))
+        .alias("n_est"),
+    ).orderBy("yr", "mo")

@@ -209,3 +209,127 @@ def test_quantile_sketch_math_envelope_property(values, q):
     true = sorted(values)[rank - 1]
     assert est is not None
     assert true < est <= true + SK.QSK_WIDTH
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch (r13): order-statistics merge + intersection estimates.
+# ---------------------------------------------------------------------------
+
+def _kmv_exact_months(sf_dir):
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    months = dict(
+        duck.execute(
+            """
+            SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1,
+                   count(DISTINCT o_custkey)
+            FROM orders GROUP BY 1
+            """
+        ).fetchall()
+    )
+    inter = dict(
+        ((yr, mo), n)
+        for yr, mo, n in duck.execute(
+            """
+            WITH mc AS (
+              SELECT DISTINCT
+                     year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+                     o_custkey AS c
+              FROM orders
+            )
+            SELECT CAST(a.mi // 12 AS INT), CAST(a.mi % 12 + 1 AS INT),
+                   count(*)
+            FROM mc a JOIN mc b ON b.mi = a.mi + 1 AND b.c = a.c
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    return months, inter
+
+
+def test_kmv_exact_mode_at_degenerate_scale(spark):
+    """sf0.001: every month holds < K distinct buyers, so the sketch IS
+    the full value set — n_est and inter_est must equal the exact
+    distinct/overlap counts (the small-set rule, not an envelope)."""
+    rows = SK.kmv_month_overlap(spark, SF_DIR).collect()
+    assert rows
+    months, inter = _kmv_exact_months(SF_DIR)
+    for r in rows:
+        mi = r.yr * 12 + r.mo - 1
+        assert months[mi] < SK.KMV_K, "not degenerate — fixture grew"
+        assert r.n_est == float(months[mi]), r
+        assert r.next_n_est == float(months[mi + 1]), r
+        assert r.inter_est == pytest.approx(
+            float(inter.get((r.yr, r.mo), 0)), abs=1e-9
+        ), r
+
+
+def test_kmv_estimate_envelope(spark):
+    """sf0.01: months exceed K distinct buyers (estimate mode is actually
+    exercised) and the KMV estimator lands within its sampling envelope —
+    rsd ≈ 1/sqrt(K-2) ≈ 8.9%, asserted at ~4σ per month plus a mean-error
+    bound across all 80 months."""
+    sf = "/root/testdata/sf0.01"
+    rows = SK.kmv_month_overlap(spark, sf).collect()
+    months, inter = _kmv_exact_months(sf)
+    errs = []
+    n_estimate_mode = 0
+    for r in rows:
+        mi = r.yr * 12 + r.mo - 1
+        exact = months[mi]
+        if exact >= SK.KMV_K:
+            n_estimate_mode += 1
+        errs.append(abs(r.n_est - exact) / exact)
+    assert n_estimate_mode > 0, "no month in estimate mode — raise SF"
+    assert max(errs) < 0.40, max(errs)
+    assert sum(errs) / len(errs) < 0.12, sum(errs) / len(errs)
+    # intersection estimates: individually high-variance (shared_k is a
+    # K-sample binomial), so assert the aggregate: total estimated
+    # month-over-month retained buyers within 30% of the exact total.
+    est_total = sum(r.inter_est for r in rows)
+    exact_total = sum(inter.get((r.yr, r.mo), 0) for r in rows)
+    assert exact_total > 0
+    assert abs(est_total - exact_total) / exact_total < 0.30, (
+        est_total,
+        exact_total,
+    )
+
+
+def test_kmv_plan_uses_window_group_limit(spark):
+    """The rank-≤-K filter must compile to WindowGroupLimit (per-partition
+    top-K pushed below the exchange) — the property that keeps a month's
+    full distinct set off any single node at 100 TB."""
+    plan = SK.kmv_month_overlap(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_streaming_kmv_ingest_equals_batch_sketch(spark):
+    """Order-statistics merge is lossless: the drained multi-batch min-K
+    state re-ranked equals the one-shot batch sketch row-for-row (the
+    oracle SQL is the batch construction — compare against it), and the
+    drain really produced multiple delta batches."""
+    import glob as _glob
+
+    from mapreduce_simulation_spark.staging import keyed_staging_dir
+    from mapreduce_simulation_spark.streaming.stateful import (
+        streaming_kmv_sketch_ingest,
+    )
+
+    got = sorted(
+        (r.yr, r.mo, r.k_used, r.n_est)
+        for r in streaming_kmv_sketch_ingest(spark, SF_DIR).collect()
+    )
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in duck.execute(SK.KMV_MONTH_ESTIMATES_SQL).fetchall()
+    )
+    assert got == want
+    out_root, already = keyed_staging_dir("kmv_ingest_out_", f"sf={SF_DIR}")
+    assert already, "drain should have staged its delta log"
+    batches = _glob.glob(f"{out_root}/deltas/batch=*")
+    assert len(batches) >= 2, batches

@@ -34,6 +34,11 @@ WHITELIST: dict[str, str] = {
         "ORDER BY — corpus-scale work is below the partial aggregates "
         "(documented at the operator docstring, r10)"
     ),
+    "feature_drift_stats": (
+        "the cumulative-CDF window runs over the bucket table — ≤ "
+        "domain/width ≈ 122 rows bounded by the price domain, not the "
+        "data; the raw scan aggregates below it (operators/drift.py, r13)"
+    ),
 }
 
 # Streaming queries execute eagerly on call (they drain a stream) — plan
