@@ -124,6 +124,15 @@ SKETCH_R12 = [
     "bloom_membership_audit",
 ]
 
+# Round-13 additions, same own-group rule: the KMV order-statistics
+# sketch (month-overlap face) and the transcendental-free drift report.
+# NOT benched: streaming_kmv_sketch_ingest (fixed streaming machinery —
+# the same rationale that excludes the HLL/quantile ingest twins).
+SKETCH_R13 = [
+    "kmv_month_overlap",
+    "feature_drift_stats",
+]
+
 # Round-10 additions, same own-group rule: the gate→batch dedup pipeline
 # and the batch/streaming shard-export manifests.
 PIPELINE = [
@@ -272,6 +281,7 @@ _SUMMARY_KEYS = (
     "pipeline_total",
     "sketch_total",
     "sketch_r12_total",
+    "sketch_r13_total",
     "cpu_calib_sec",
     "spark_calib_sec",
     "calib_normalized_total",
@@ -447,6 +457,7 @@ def main() -> None:
         pipeline = run(PIPELINE, repeats=3)
         sketch = run(SKETCH, repeats=3)
     sketch_r12 = run(SKETCH_R12, repeats=3)
+    sketch_r13 = run(SKETCH_R13, repeats=3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -488,6 +499,8 @@ def main() -> None:
         # separate group (r12+): quantile sketch + bloom audit
         "sketch_r12": sketch_r12,
         "sketch_r12_total": round(sum(sketch_r12.values()), 3),
+        "sketch_r13": sketch_r13,
+        "sketch_r13_total": round(sum(sketch_r13.values()), 3),
         "cpu_calib_sec": cpu_calib,
         "spark_calib_sec": spark_calib,
         # PRIMARY cross-round comparison metric (see README "Benchmark"):

@@ -31,6 +31,8 @@ def _worst_case_result() -> dict:
         "sketch_total": 99999.999,
         "sketch_r12": {name: 9999.999 for name in bench.SKETCH_R12},
         "sketch_r12_total": 99999.999,
+        "sketch_r13": {name: 9999.999 for name in bench.SKETCH_R13},
+        "sketch_r13_total": 99999.999,
         "cpu_calib_sec": 99.999,
         "spark_calib_sec": 99.999,
         "calib_normalized_total": 9999.99,
@@ -102,4 +104,7 @@ def test_bench_group_membership_is_frozen():
     assert h(bench.SKETCH) == "cb6525270c3823fe", sorted(bench.SKETCH)
     assert h(bench.SKETCH_R12) == "95d2b628a228577c", sorted(
         bench.SKETCH_R12
+    )
+    assert h(bench.SKETCH_R13) == "3b2e783237d7c756", sorted(
+        bench.SKETCH_R13
     )

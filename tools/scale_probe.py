@@ -115,6 +115,10 @@ def main() -> None:
             # bloom audit reads the replicated documents
             "quantile_sketch_monthly",
             "bloom_membership_audit",
+            # r13 additions: both read the symlinked orders table, so
+            # like quantile_sketch_monthly they pin the fixed-state floor
+            "kmv_month_overlap",
+            "feature_drift_stats",
         ]
     elif pipeline_mode:
         probes = [
