@@ -417,9 +417,13 @@ _PROMOTE = (
 # Round-13 rotation APPLIED above (r12 came back 50/50 green so the
 # drafted composition was valid verbatim): the 4 late-r12 never-checked
 # names, the 16 r8-stale leftovers, and 30 r9-stale greens. A green r13
-# window brings the cumulative driver-green union to 217/218 (all but
-# the env-gated TWS twin). The r14 queue should continue oldest-first
-# staleness rotation over the remaining r9 greens, then r10.
+# window brings the cumulative driver-green union to 217/221 (all but
+# the TWS twin — runnable since r13 via the vendored mini-protobuf
+# runtime — and the 3 late-r13 additions). The r14 window should lead
+# with the four never-driver-checked names (stateful_user_rollup_tws,
+# kmv_month_overlap, streaming_kmv_sketch_ingest, feature_drift_stats),
+# then continue oldest-first staleness rotation over the remaining r9
+# greens, then r10.
 _DEMOTE = (
     # All former family-redundancy demotions were re-promoted in the r11
     # (stalest-evidence back-fill) and r12 (pure staleness) windows. The
@@ -1819,6 +1823,16 @@ from ..operators.drift import (  # noqa: E402
 )
 
 register("feature_drift_stats", _drift, _drift_sql)
+
+# r13: the MapState surface of transformWithState — per-user sub-keyed
+# (event_type → counters) state; emitted rows are read back from the
+# state handle, so the GROUP BY oracle checks the store round trip.
+from ..streaming.stateful import (  # noqa: E402
+    STATEFUL_USER_TYPE_ROLLUP_TWS_SQL as _tws_map_sql,
+    stateful_user_type_rollup_tws as _tws_map,
+)
+
+register("stateful_user_type_rollup_tws", _tws_map, _tws_map_sql)
 
 # MERGE/upsert as full-outer reconciliation; the oracle replays the same
 # updates feed with SQL set logic.

@@ -29,6 +29,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -1130,3 +1131,148 @@ def streaming_kmv_sketch_ingest(
         .otherwise(F.lit(SK._KMV_NUM) / F.col("kth"))
         .alias("n_est"),
     ).orderBy("yr", "mo")
+
+
+# ---------------------------------------------------------------------------
+# transformWithState MapState surface: per-user sub-keyed accumulator.
+# ---------------------------------------------------------------------------
+
+TWS_MAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("min_event_id", LongType()),
+        StructField("max_event_id", LongType()),
+    ]
+)
+
+
+class _TypeRollupProcessor(StatefulProcessor):
+    """Per-user MapState keyed by event_type holding (n, min_id, max_id) —
+    the sub-keyed-state shape a long-lived personalization pipeline keeps
+    per (user, category). Exercises the MapState protocol surface
+    (containsKey / getValue / updateValue / iterator) on top of the same
+    vendored mini-protobuf runtime the ValueState twin runs on; the
+    emitted rows are read BACK from the state handle (iterator()), not
+    from a local accumulator, so the round trip through the state store
+    is what the oracle checks."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._per_type = handle.getMapState(
+            "per_type",
+            StructType([StructField("event_type", StringType())]),
+            StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("mn", LongType()),
+                    StructField("mx", LongType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            g = pdf.groupby("event_type")["event_id"].agg(
+                ["count", "min", "max"]
+            )
+            for et, (n, mn, mx) in g.iterrows():
+                mk = (et,)
+                if self._per_type.containsKey(mk):
+                    pn, pmn, pmx = self._per_type.getValue(mk)
+                    self._per_type.updateValue(
+                        mk,
+                        (pn + int(n), min(pmn, int(mn)), max(pmx, int(mx))),
+                    )
+                else:
+                    self._per_type.updateValue(
+                        mk, (int(n), int(mn), int(mx))
+                    )
+        (user_id,) = key
+        out = sorted(
+            (k[0], v[0], v[1], v[2]) for k, v in self._per_type.iterator()
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "event_type": [r[0] for r in out],
+                "n_events": [r[1] for r in out],
+                "min_event_id": [r[2] for r in out],
+                "max_event_id": [r[3] for r in out],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_type_rollup_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(user, event_type) rollup through transformWithStateInPandas
+    MapState — the sub-keyed state handle (see _TypeRollupProcessor).
+    Same staging/drain recipe as the ValueState twin; exact oracle is the
+    plain GROUP BY the state must reproduce after its store round trip.
+
+    Scale: state is one (type → 3 longs) map entry per (user, type) —
+    the per-user maps live in RocksDB partitioned by the group key, so
+    state size is |user × type| rows spread across executors; each
+    micro-batch shuffles only its own rows."""
+    if not _HAS_TWS:
+        raise RuntimeError(
+            "stateful_user_type_rollup_tws needs a protobuf runtime "
+            "(transformWithState state protocol)"
+        )
+    from ..staging import staging_dir
+    from ..tables import load_table
+    from .events import read_event_stream
+
+    stage = staging_dir("events_tws_map_")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=None)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_TypeRollupProcessor(),
+                outputStructType=TWS_MAP_OUTPUT_SCHEMA,
+                outputMode="Append",
+                timeMode="None",
+            )
+            .writeStream.format("memory")
+            .queryName("stateful_user_type_rollup_tws")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table("stateful_user_type_rollup_tws").orderBy(
+        "user_id", "event_type"
+    )
+
+
+STATEFUL_USER_TYPE_ROLLUP_TWS_SQL = """
+SELECT user_id, event_type,
+       count(*) AS n_events,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""

@@ -1564,3 +1564,48 @@ def test_streaming_hll_ingest_equals_batch_sketch(spark):
         .collect()
     ]
     assert online == offline and len(online) > 0
+
+
+def test_tws_mapstate_rollup_parity(spark, sf_dir):
+    """MapState surface of transformWithState (r13): the per-user
+    per-event-type rollup read BACK from the state handle must equal the
+    batch GROUP BY — the store round trip (updateValue/getValue/iterator
+    through the state protocol) is what's under test."""
+    import pytest as _pytest
+
+    from mapreduce_simulation_spark.streaming.stateful import _HAS_TWS
+
+    if not _HAS_TWS:
+        _pytest.skip("no protobuf runtime: TWS worker cannot start")
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.streaming.stateful import (
+        stateful_user_type_rollup_tws,
+    )
+    from mapreduce_simulation_spark.tables import load_table
+
+    got = {
+        (r.user_id, r.event_type): (
+            r.n_events,
+            r.min_event_id,
+            r.max_event_id,
+        )
+        for r in stateful_user_type_rollup_tws(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_type): (
+            r.n_events,
+            r.min_event_id,
+            r.max_event_id,
+        )
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .collect()
+    }
+    assert got == want
