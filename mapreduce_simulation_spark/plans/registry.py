@@ -417,13 +417,13 @@ _PROMOTE = (
 # Round-13 rotation APPLIED above (r12 came back 50/50 green so the
 # drafted composition was valid verbatim): the 4 late-r12 never-checked
 # names, the 16 r8-stale leftovers, and 30 r9-stale greens. A green r13
-# window brings the cumulative driver-green union to 217/221 (all but
+# window brings the cumulative driver-green union to 217/222 (all but
 # the TWS twin — runnable since r13 via the vendored mini-protobuf
-# runtime — and the 3 late-r13 additions). The r14 window should lead
-# with the four never-driver-checked names (stateful_user_rollup_tws,
-# kmv_month_overlap, streaming_kmv_sketch_ingest, feature_drift_stats),
-# then continue oldest-first staleness rotation over the remaining r9
-# greens, then r10.
+# runtime — and the 4 late-r13 additions). The r14 window should lead
+# with the five never-driver-checked names (stateful_user_rollup_tws,
+# kmv_month_overlap, streaming_kmv_sketch_ingest, feature_drift_stats,
+# stateful_user_type_rollup_tws), then continue oldest-first staleness
+# rotation over the remaining r9 greens, then r10.
 _DEMOTE = (
     # All former family-redundancy demotions were re-promoted in the r11
     # (stalest-evidence back-fill) and r12 (pure staleness) windows. The
