@@ -417,13 +417,14 @@ _PROMOTE = (
 # Round-13 rotation APPLIED above (r12 came back 50/50 green so the
 # drafted composition was valid verbatim): the 4 late-r12 never-checked
 # names, the 16 r8-stale leftovers, and 30 r9-stale greens. A green r13
-# window brings the cumulative driver-green union to 217/222 (all but
+# window brings the cumulative driver-green union to 217/223 (all but
 # the TWS twin — runnable since r13 via the vendored mini-protobuf
-# runtime — and the 4 late-r13 additions). The r14 window should lead
-# with the five never-driver-checked names (stateful_user_rollup_tws,
+# runtime — and the 5 late-r13 additions). The r14 window should lead
+# with the six never-driver-checked names (stateful_user_rollup_tws,
 # kmv_month_overlap, streaming_kmv_sketch_ingest, feature_drift_stats,
-# stateful_user_type_rollup_tws), then continue oldest-first staleness
-# rotation over the remaining r9 greens, then r10.
+# stateful_user_type_rollup_tws, stateful_user_delta_log_tws), then
+# continue oldest-first staleness rotation over the remaining r9
+# greens, then r10.
 _DEMOTE = (
     # All former family-redundancy demotions were re-promoted in the r11
     # (stalest-evidence back-fill) and r12 (pure staleness) windows. The
@@ -1833,6 +1834,16 @@ from ..streaming.stateful import (  # noqa: E402
 )
 
 register("stateful_user_type_rollup_tws", _tws_map, _tws_map_sql)
+
+# r13: the ListState surface — append-only per-user partial-aggregate
+# log, folded at emission (order-insensitive folds, so deterministic
+# under any Arrow chunking). Completes the typed-handle trio.
+from ..streaming.stateful import (  # noqa: E402
+    STATEFUL_USER_DELTA_LOG_TWS_SQL as _tws_list_sql,
+    stateful_user_delta_log_tws as _tws_list,
+)
+
+register("stateful_user_delta_log_tws", _tws_list, _tws_list_sql)
 
 # MERGE/upsert as full-outer reconciliation; the oracle replays the same
 # updates feed with SQL set logic.

@@ -1276,3 +1276,140 @@ FROM events
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# transformWithState ListState surface: append-only per-user delta log.
+# ---------------------------------------------------------------------------
+
+TWS_LIST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_purchases", LongType()),
+        StructField("min_event_id", LongType()),
+        StructField("max_event_id", LongType()),
+    ]
+)
+
+
+class _DeltaLogProcessor(StatefulProcessor):
+    """Per-user ListState as an append-only partial-aggregate log: every
+    arrow chunk appends ONE (n, n_purchase, min_id, max_id) delta, and the
+    emission FOLDS the list read back from the store. The folds are
+    order-insensitive (sum/sum/min/max), so the output is deterministic
+    whatever the chunking — the same map-side-combine discipline a delta
+    log table uses, here as state-protocol exercise for appendValue/get.
+    Completes the typed-handle trio: ValueState (_RollupProcessor),
+    MapState (_TypeRollupProcessor), ListState (this)."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._log = handle.getListState(
+            "deltas",
+            StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("np", LongType()),
+                    StructField("mn", LongType()),
+                    StructField("mx", LongType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            self._log.appendValue(
+                (
+                    len(pdf),
+                    int((pdf["event_type"] == "purchase").sum()),
+                    int(pdf["event_id"].min()),
+                    int(pdf["event_id"].max()),
+                )
+            )
+        n = np = 0
+        mn = mx = None
+        for d in self._log.get():
+            n += d[0]
+            np += d[1]
+            mn = d[2] if mn is None else min(mn, d[2])
+            mx = d[3] if mx is None else max(mx, d[3])
+        (user_id,) = key
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "n_purchases": [np],
+                "min_event_id": [mn],
+                "max_event_id": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_delta_log_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user rollup through transformWithState ListState — the
+    append-only delta-log state shape (see _DeltaLogProcessor). Same
+    staging/drain recipe as the other TWS twins; the oracle is the plain
+    GROUP BY the folded log must reproduce after its store round trip."""
+    if not _HAS_TWS:
+        raise RuntimeError(
+            "stateful_user_delta_log_tws needs a protobuf runtime "
+            "(transformWithState state protocol)"
+        )
+    from ..staging import staging_dir
+    from ..tables import load_table
+    from .events import read_event_stream
+
+    stage = staging_dir("events_tws_list_")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=None)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_DeltaLogProcessor(),
+                outputStructType=TWS_LIST_OUTPUT_SCHEMA,
+                outputMode="Append",
+                timeMode="None",
+            )
+            .writeStream.format("memory")
+            .queryName("stateful_user_delta_log_tws")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table("stateful_user_delta_log_tws").orderBy("user_id")
+
+
+STATEFUL_USER_DELTA_LOG_TWS_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS n_purchases,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

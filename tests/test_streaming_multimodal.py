@@ -1609,3 +1609,42 @@ def test_tws_mapstate_rollup_parity(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_tws_liststate_delta_log_parity(spark, sf_dir):
+    """ListState surface of transformWithState (r13): per-user append-only
+    partial-aggregate log folded at emission must equal the batch GROUP BY
+    whatever the Arrow chunking (order-insensitive folds)."""
+    import pytest as _pytest
+
+    from mapreduce_simulation_spark.streaming.stateful import _HAS_TWS
+
+    if not _HAS_TWS:
+        _pytest.skip("no protobuf runtime: TWS worker cannot start")
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simulation_spark.streaming.stateful import (
+        stateful_user_delta_log_tws,
+    )
+    from mapreduce_simulation_spark.tables import load_table
+
+    got = {
+        r.user_id: (r.n_events, r.n_purchases, r.min_event_id, r.max_event_id)
+        for r in stateful_user_delta_log_tws(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.n_purchases, r.min_event_id, r.max_event_id)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("n_purchases"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .collect()
+    }
+    assert got == want
