@@ -43,7 +43,7 @@ WHITELIST: dict[str, str] = {
 
 # Streaming queries execute eagerly on call (they drain a stream) — plan
 # inspection would run the whole query; they have no batch plan to lint.
-SKIP_PREFIXES = ("streaming_", "stateful_user_rollup")
+SKIP_PREFIXES = ("streaming_", "stateful_user_")
 
 
 def main() -> int:
