@@ -333,3 +333,39 @@ def test_streaming_kmv_ingest_equals_batch_sketch(spark):
     assert already, "drain should have staged its delta log"
     batches = _glob.glob(f"{out_root}/deltas/batch=*")
     assert len(batches) >= 2, batches
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000_000),
+        min_size=1,
+        max_size=500,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_kmv_order_statistics_merge_property(keys, n_chunks):
+    """Pure-Python replay of the KMV merge law over arbitrary key sets and
+    arbitrary partitionings: min-K of the distinct hashed universe equals
+    min-K of the union of per-chunk min-K sketches — the property that
+    makes the streaming ingest row-identical to the batch sketch for ANY
+    batch boundaries. Also pins the small-set rule: below K values the
+    sketch IS the set, so the estimate is exact."""
+    A1, B1 = SK._KA1, SK._KB1
+    A2, B2 = SK._KA2, SK._KB2
+    P = 1_000_000_007
+    K = SK.KMV_K
+
+    def h(x):
+        return ((x * A1 + B1) % P * A2 + B2) % P
+
+    universe = sorted({h(x) for x in keys})
+    want = universe[:K]
+    # arbitrary partition: round-robin into n_chunks
+    chunks = [keys[i::n_chunks] for i in range(n_chunks)]
+    partials = [sorted({h(x) for x in c})[:K] for c in chunks if c]
+    merged = sorted(set().union(*partials))[:K] if partials else []
+    assert merged == want
+    if len(universe) < K:
+        # small-set rule: the sketch holds the whole set — exact count
+        assert len(merged) == len(universe)
