@@ -72,21 +72,29 @@ def feature_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # Products are taken over decimal(20,0) operands, NOT int64: counts are
+    # < 2^63 (19 digits) and the count×count products reach ~8.5e37 — past
+    # 2^63 at era sizes ≳ 3e9 rows, where a long multiply would silently
+    # wrap while the DuckDB oracle (sum() → HUGEINT, 128-bit) stays exact.
+    # decimal(20,0)×decimal(20,0) → decimal(38,0) keeps both engines
+    # integer-exact to 1e38 — beyond any physical corpus.
+    dec = lambda c: c.cast("decimal(20,0)")  # noqa: E731
     cum = bt.select(
         "b",
         "n1",
         "n2",
-        F.abs(F.col("a") * F.col("n2") - F.col("c") * F.col("n1")).alias(
-            "d"
-        ),
         F.abs(
-            F.sum("a").over(w) * F.col("n2")
-            - F.sum("c").over(w) * F.col("n1")
+            dec(F.col("a")) * dec(F.col("n2"))
+            - dec(F.col("c")) * dec(F.col("n1"))
+        ).alias("d"),
+        F.abs(
+            dec(F.sum("a").over(w)) * dec(F.col("n2"))
+            - dec(F.sum("c").over(w)) * dec(F.col("n1"))
         ).alias("cd"),
     )
     agg = cum.groupBy("n1", "n2").agg(
         F.count(F.lit(1)).cast("int").alias("n_buckets"),
-        F.sum(F.col("d").cast("decimal(38,0)")).alias("tvd_scaled"),
+        F.sum("d").alias("tvd_scaled"),
         # lexicographic struct max: largest cum-diff, ties → smallest b
         F.max(F.struct(F.col("cd").alias("v"), (-F.col("b")).alias("nb")))
         .alias("mx"),
@@ -97,11 +105,15 @@ def feature_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_buckets",
         (
             F.col("tvd_scaled").cast("double")
-            / (F.lit(2) * F.col("n1") * F.col("n2")).cast("double")
+            / (
+                F.lit(2).cast("decimal(20,0)")
+                * dec(F.col("n1"))
+                * dec(F.col("n2"))
+            ).cast("double")
         ).alias("tvd"),
         (
             F.col("mx.v").cast("double")
-            / (F.col("n1") * F.col("n2")).cast("double")
+            / (dec(F.col("n1")) * dec(F.col("n2"))).cast("double")
         ).alias("ks_stat"),
         (-F.col("mx.nb")).cast("long").alias("ks_bucket"),
     )

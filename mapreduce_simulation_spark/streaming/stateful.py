@@ -196,38 +196,37 @@ class _RollupProcessor(StatefulProcessor):
         pass
 
 
-def user_rollup_tws(stream: DataFrame) -> DataFrame:
-    """The rollup through transformWithStateInPandas."""
-    return stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_RollupProcessor(),
-        outputStructType=OUTPUT_SCHEMA,
-        outputMode="Append",
-        timeMode="None",
-    )
-
-
-def stateful_user_rollup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing twin of stateful_user_rollup on the new state API —
-    same single-batch staging, same output, same oracle."""
+def _drain_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    stage_prefix: str,
+    query_name: str,
+    processor: "StatefulProcessor",
+    output_schema: StructType,
+) -> DataFrame:
+    """Shared drain recipe for every transformWithState twin: stage events
+    as a single-file parquet stream (one micro-batch → exactly one
+    cumulative emission per key, so the result equals the batch GROUP BY
+    and the oracle hash-matches), run the processor grouped by user_id,
+    drain AvailableNow into a memory sink. transformWithState requires
+    the RocksDB state store provider (the default HDFS-backed provider is
+    unsupported); the setting is scoped to this query's start and
+    restored afterwards."""
     if not _HAS_TWS:
         raise RuntimeError(
-            "stateful_user_rollup_tws needs protobuf (transformWithState "
-            "state protocol); install google.protobuf or use "
-            "stateful_user_rollup, the applyInPandasWithState twin"
+            f"{query_name} needs a protobuf runtime (transformWithState "
+            "state protocol); install google.protobuf or use the "
+            "applyInPandasWithState twin stateful_user_rollup"
         )
     from ..staging import staging_dir
     from ..tables import load_table
-
     from .events import read_event_stream
 
-    stage = staging_dir("events_tws_")
+    stage = staging_dir(stage_prefix)
     load_table(spark, sf_dir, "events").coalesce(1).write.mode(
         "overwrite"
     ).parquet(stage)
     stream = read_event_stream(spark, stage, max_files_per_trigger=None)
-    # transformWithState requires the RocksDB state store provider (the
-    # default HDFS-backed provider is unsupported); scope the setting to
-    # this query's start and restore afterwards.
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     spark.conf.set(
@@ -237,9 +236,15 @@ def stateful_user_rollup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q = (
-            user_rollup_tws(stream)
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=processor,
+                outputStructType=output_schema,
+                outputMode="Append",
+                timeMode="None",
+            )
             .writeStream.format("memory")
-            .queryName("stateful_user_rollup_tws")
+            .queryName(query_name)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
@@ -250,7 +255,20 @@ def stateful_user_rollup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
-    return spark.table("stateful_user_rollup_tws")
+    return spark.table(query_name)
+
+
+def stateful_user_rollup_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing twin of stateful_user_rollup on the new state API —
+    same single-batch staging, same output, same oracle."""
+    return _drain_tws(
+        spark,
+        sf_dir,
+        "events_tws_",
+        "stateful_user_rollup_tws",
+        _RollupProcessor(),
+        OUTPUT_SCHEMA,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1220,51 +1238,14 @@ def stateful_user_type_rollup_tws(
     the per-user maps live in RocksDB partitioned by the group key, so
     state size is |user × type| rows spread across executors; each
     micro-batch shuffles only its own rows."""
-    if not _HAS_TWS:
-        raise RuntimeError(
-            "stateful_user_type_rollup_tws needs a protobuf runtime "
-            "(transformWithState state protocol)"
-        )
-    from ..staging import staging_dir
-    from ..tables import load_table
-    from .events import read_event_stream
-
-    stage = staging_dir("events_tws_map_")
-    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(stage)
-    stream = read_event_stream(spark, stage, max_files_per_trigger=None)
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
-        q = (
-            stream.groupBy("user_id")
-            .transformWithStateInPandas(
-                statefulProcessor=_TypeRollupProcessor(),
-                outputStructType=TWS_MAP_OUTPUT_SCHEMA,
-                outputMode="Append",
-                timeMode="None",
-            )
-            .writeStream.format("memory")
-            .queryName("stateful_user_type_rollup_tws")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
-    return spark.table("stateful_user_type_rollup_tws").orderBy(
-        "user_id", "event_type"
-    )
+    return _drain_tws(
+        spark,
+        sf_dir,
+        "events_tws_map_",
+        "stateful_user_type_rollup_tws",
+        _TypeRollupProcessor(),
+        TWS_MAP_OUTPUT_SCHEMA,
+    ).orderBy("user_id", "event_type")
 
 
 STATEFUL_USER_TYPE_ROLLUP_TWS_SQL = """
@@ -1357,49 +1338,14 @@ def stateful_user_delta_log_tws(
     append-only delta-log state shape (see _DeltaLogProcessor). Same
     staging/drain recipe as the other TWS twins; the oracle is the plain
     GROUP BY the folded log must reproduce after its store round trip."""
-    if not _HAS_TWS:
-        raise RuntimeError(
-            "stateful_user_delta_log_tws needs a protobuf runtime "
-            "(transformWithState state protocol)"
-        )
-    from ..staging import staging_dir
-    from ..tables import load_table
-    from .events import read_event_stream
-
-    stage = staging_dir("events_tws_list_")
-    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(stage)
-    stream = read_event_stream(spark, stage, max_files_per_trigger=None)
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
-        q = (
-            stream.groupBy("user_id")
-            .transformWithStateInPandas(
-                statefulProcessor=_DeltaLogProcessor(),
-                outputStructType=TWS_LIST_OUTPUT_SCHEMA,
-                outputMode="Append",
-                timeMode="None",
-            )
-            .writeStream.format("memory")
-            .queryName("stateful_user_delta_log_tws")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
-    return spark.table("stateful_user_delta_log_tws").orderBy("user_id")
+    return _drain_tws(
+        spark,
+        sf_dir,
+        "events_tws_list_",
+        "stateful_user_delta_log_tws",
+        _DeltaLogProcessor(),
+        TWS_LIST_OUTPUT_SCHEMA,
+    ).orderBy("user_id")
 
 
 STATEFUL_USER_DELTA_LOG_TWS_SQL = """

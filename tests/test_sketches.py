@@ -271,7 +271,14 @@ def test_kmv_estimate_envelope(spark):
     exercised) and the KMV estimator lands within its sampling envelope —
     rsd ≈ 1/sqrt(K-2) ≈ 8.9%, asserted at ~4σ per month plus a mean-error
     bound across all 80 months."""
-    sf = "/root/testdata/sf0.01"
+    import os
+
+    # estimate mode needs months with > K distinct buyers — one SF up from
+    # the default fixture, resolved from the same data root (TEST_SF_DIR
+    # convention) so an env-redirected root still works; skip if absent.
+    sf = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf):
+        pytest.skip(f"estimate-mode fixture missing: {sf}")
     rows = SK.kmv_month_overlap(spark, sf).collect()
     months, inter = _kmv_exact_months(sf)
     errs = []
