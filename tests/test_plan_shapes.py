@@ -486,3 +486,35 @@ def test_sketch_queries_prune_scan_columns(spark, sf_dir):
     for s in set(_re.findall(r"ReadSchema: struct<([^>]*)>", bplan)):
         cols = {c.split(":")[0] for c in s.split(",") if c}
         assert cols <= {"doc_id", "text"}, cols
+
+
+def test_r13_sketch_queries_prune_scan_columns(spark, sf_dir):
+    """The r13 additions must read only the columns they use —
+    kmv_month_overlap: (o_orderdate, o_custkey) of 6 order columns;
+    feature_drift_stats: (o_orderdate, o_totalprice)."""
+    import re as _re
+
+    from mapreduce_simulation_spark.operators import drift as D
+    from mapreduce_simulation_spark.operators import sketches as SK
+
+    kplan = (
+        SK.kmv_month_overlap(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    kschemas = set(_re.findall(r"ReadSchema: struct<([^>]*)>", kplan))
+    assert kschemas, kplan[:800]
+    for s in kschemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"o_orderdate", "o_custkey"}, cols
+
+    dplan = (
+        D.feature_drift_stats(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for s in set(_re.findall(r"ReadSchema: struct<([^>]*)>", dplan)):
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"o_orderdate", "o_totalprice"}, cols
