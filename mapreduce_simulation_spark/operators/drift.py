@@ -147,3 +147,89 @@ SELECT CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
          AS ks_bucket
 FROM cum GROUP BY n1, n2
 """
+
+
+HEAVY_CHANGE_TOPK = 20
+
+
+def heavy_change_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-change detection over the corpus vocabulary: the
+    HEAVY_CHANGE_TOPK tokens whose relative frequency moved most between
+    the even-doc_id reference era and the odd-doc_id current era (the
+    incremental_dedup split). Where `feature_drift_stats` scores HOW MUCH
+    a distribution moved, this localizes WHICH keys moved — the
+    deltoids/heavy-change question a training pipeline asks when a new
+    crawl shifts its vocabulary.
+
+    shift = |a·n2 − c·n1| / (n1·n2) — the absolute difference of the two
+    relative frequencies, kept integer-scaled (decimal(20,0) operands,
+    exact to 1e38 — the drift-stats rule) until ONE final IEEE division,
+    so the oracle is an exact value-hash match. Ties broken by word so
+    the top-k is total-ordered.
+
+    Scale: tokenize → ONE exchange on (word, map-side combined era
+    counts); totals are a broadcast one-row frame; the top-k is
+    TakeOrderedAndProject (per-partition k, O(k) driver merge) — no
+    global sort, no second scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            (F.col("doc_id") % 2 == 0).alias("is_ref"),
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+                "word"
+            ),
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.sum(F.col("is_ref").cast("long")).alias("a"),
+            F.sum((~F.col("is_ref")).cast("long")).alias("c"),
+        )
+    )
+    totals = counts.agg(F.sum("a").alias("n1"), F.sum("c").alias("n2"))
+    dec = lambda c: c.cast("decimal(20,0)")  # noqa: E731
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "word",
+            F.col("a").alias("n_ref"),
+            F.col("c").alias("n_cur"),
+            (
+                F.abs(
+                    dec(F.col("a")) * dec(F.col("n2"))
+                    - dec(F.col("c")) * dec(F.col("n1"))
+                ).cast("double")
+                / (dec(F.col("n1")) * dec(F.col("n2"))).cast("double")
+            ).alias("shift"),
+        )
+        .orderBy(F.col("shift").desc(), F.col("word").asc())
+        .limit(HEAVY_CHANGE_TOPK)
+    )
+
+
+HEAVY_CHANGE_TERMS_SQL = f"""
+WITH counts AS (
+  SELECT word,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c
+  FROM (
+    SELECT doc_id % 2 = 0 AS is_ref,
+           unnest(string_split_regex(lower(text), '\\s+')) AS word
+    FROM documents
+  )
+  WHERE word <> ''
+  GROUP BY word
+),
+totals AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(c) AS BIGINT) AS n2
+  FROM counts
+)
+SELECT word,
+       CAST(a AS BIGINT) AS n_ref,
+       CAST(c AS BIGINT) AS n_cur,
+       CAST(abs(a * n2 - c * n1) AS DOUBLE) /
+       CAST(n1 * CAST(n2 AS HUGEINT) AS DOUBLE) AS shift
+FROM counts CROSS JOIN totals
+ORDER BY shift DESC, word ASC
+LIMIT {HEAVY_CHANGE_TOPK}
+"""

@@ -417,14 +417,14 @@ _PROMOTE = (
 # Round-13 rotation APPLIED above (r12 came back 50/50 green so the
 # drafted composition was valid verbatim): the 4 late-r12 never-checked
 # names, the 16 r8-stale leftovers, and 30 r9-stale greens. A green r13
-# window brings the cumulative driver-green union to 217/223 (all but
+# window brings the cumulative driver-green union to 217/224 (all but
 # the TWS twin — runnable since r13 via the vendored mini-protobuf
-# runtime — and the 5 late-r13 additions). The r14 window should lead
-# with the six never-driver-checked names (stateful_user_rollup_tws,
+# runtime — and the 6 late-r13 additions). The r14 window should lead
+# with the seven never-driver-checked names (stateful_user_rollup_tws,
 # kmv_month_overlap, streaming_kmv_sketch_ingest, feature_drift_stats,
-# stateful_user_type_rollup_tws, stateful_user_delta_log_tws), then
-# continue oldest-first staleness rotation over the remaining r9
-# greens, then r10.
+# stateful_user_type_rollup_tws, stateful_user_delta_log_tws,
+# heavy_change_terms), then continue oldest-first staleness rotation
+# over the remaining r9 greens, then r10.
 _DEMOTE = (
     # All former family-redundancy demotions were re-promoted in the r11
     # (stalest-evidence back-fill) and r12 (pure staleness) windows. The
@@ -1844,6 +1844,16 @@ from ..streaming.stateful import (  # noqa: E402
 )
 
 register("stateful_user_delta_log_tws", _tws_list, _tws_list_sql)
+
+# r13: heavy-change detection — the top-k tokens whose relative frequency
+# moved most between corpus eras (localizes WHICH keys drifted where
+# feature_drift_stats scores HOW MUCH; integer-scaled like it).
+from ..operators.drift import (  # noqa: E402
+    HEAVY_CHANGE_TERMS_SQL as _hchange_sql,
+    heavy_change_terms as _hchange,
+)
+
+register("heavy_change_terms", _hchange, _hchange_sql)
 
 # MERGE/upsert as full-outer reconciliation; the oracle replays the same
 # updates feed with SQL set logic.

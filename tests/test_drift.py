@@ -75,3 +75,47 @@ def test_drift_metric_contracts(spark):
     assert row.ks_stat <= 2 * row.tvd + 1e-15
     assert row.n_ref > 0 and row.n_cur > 0
     assert row.n_buckets <= 600_000 // D.DRIFT_BUCKET + 2
+
+
+def test_heavy_change_terms_matches_recompute_and_plan(spark):
+    """Top-k vocabulary shift: values equal an unbounded-int Python
+    recompute (same single IEEE division), the k rows are the true top-k
+    under the (shift desc, word asc) total order, and the plan uses
+    TakeOrderedAndProject — per-partition k, no global sort."""
+    from mapreduce_simulation_spark.operators.drift import (
+        HEAVY_CHANGE_TOPK,
+        heavy_change_terms,
+    )
+
+    df = heavy_change_terms(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    got = [(r.word, r.n_ref, r.n_cur, r.shift) for r in df.collect()]
+    assert len(got) == HEAVY_CHANGE_TOPK
+
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    rows = duck.execute(
+        """
+        SELECT word,
+               sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c
+        FROM (
+          SELECT doc_id % 2 = 0 AS is_ref,
+                 unnest(string_split_regex(lower(text), '\\s+')) AS word
+          FROM documents
+        ) WHERE word <> '' GROUP BY word
+        """
+    ).fetchall()
+    n1 = sum(a for _, a, _ in rows)
+    n2 = sum(c for _, _, c in rows)
+    scored = sorted(
+        (
+            (w, a, c, abs(a * n2 - c * n1) / (n1 * n2))
+            for w, a, c in rows
+        ),
+        key=lambda t: (-t[3], t[0]),
+    )[:HEAVY_CHANGE_TOPK]
+    assert got == scored
