@@ -1351,8 +1351,8 @@ def stateful_user_delta_log_tws(
 STATEFUL_USER_DELTA_LOG_TWS_SQL = """
 SELECT user_id,
        count(*) AS n_events,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-         AS n_purchases,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
        min(event_id) AS min_event_id,
        max(event_id) AS max_event_id
 FROM events
