@@ -127,7 +127,12 @@ SKETCH_R12 = [
 # Round-13 additions, same own-group rule: the KMV order-statistics
 # sketch (month-overlap face) and the transcendental-free drift report.
 # NOT benched: streaming_kmv_sketch_ingest (fixed streaming machinery —
-# the same rationale that excludes the HLL/quantile ingest twins).
+# the same rationale that excludes the HLL/quantile ingest twins);
+# heavy_change_terms (landed after this group's membership froze, and
+# its tokenize→word-exchange→top-k shape is already timed by word_count
+# + the retrieval family — no new perf signal); the TWS MapState/
+# ListState twins (fixed streaming machinery, the stateful_user_rollup
+# precedent).
 SKETCH_R13 = [
     "kmv_month_overlap",
     "feature_drift_stats",
