@@ -161,14 +161,25 @@ PIPELINE = [
 ]
 
 
-# Staging-I/O groups (pipeline/sketch) are benched in SEPARATE PROCESSES,
-# median across BENCH_XPROC_N (default 3) fresh interpreters: r12 measured
-# 1.7× swings for these groups between back-to-back runs in one process
-# (staged-artifact I/O and temp-dir layout dominate), so the in-process
-# median-of-3 defends against per-run noise but not per-process noise.
-# Each child stages cold, then reports its WARM (second-run) number; the
-# recorded value is the median of the three children's warm numbers.
-XPROC_GROUPS = ("pipeline", "sketch")
+# Cross-process groups are benched in SEPARATE PROCESSES, median across
+# BENCH_XPROC_N (default 3) fresh interpreters. Two escalations of the
+# same defense:
+#   r13: the staging-I/O groups (pipeline/sketch) — r12 measured 1.7×
+#        swings between back-to-back runs in ONE process (staged-artifact
+#        I/O and temp-dir layout dominate), so the in-process median-of-3
+#        defends against per-run noise but not per-process noise.
+#   r14: headline/extended/training too — the r13 driver-recorded
+#        calibrated total (23.41) sat at the upper edge of a ±11% spread
+#        the builder measured across three full same-commit passes
+#        (18.05/19.35/22.32); round-over-round judgments are made on the
+#        ONE recorded file, so the recorded number itself must be a
+#        cross-process median, with the per-child totals kept for spread
+#        visibility.
+# Each child stages/compiles cold, then reports its WARM (second-run)
+# number; the recorded value is the median of the children's warm numbers.
+# Each child also reports its own spark_calib so normalized totals pair
+# each child's seconds with THAT child's host speed.
+XPROC_GROUPS = ("pipeline", "sketch", "headline", "extended", "training")
 
 
 def _run_child_group(group: str) -> dict:
@@ -179,7 +190,13 @@ def _run_child_group(group: str) -> dict:
 
     spark = build_session(f"bench-child-{group}")
     qs = e.queries()
-    names = {"pipeline": PIPELINE, "sketch": SKETCH}[group]
+    names = {
+        "pipeline": PIPELINE,
+        "sketch": SKETCH,
+        "headline": HEADLINE,
+        "extended": EXTENDED,
+        "training": TRAINING,
+    }[group]
     # minimal warmup: sink init + codegen + the Python worker pool (the
     # pipeline group's pandas stages must measure steady state)
     for wname, wsf in (
@@ -192,6 +209,15 @@ def _run_child_group(group: str) -> dict:
             ).save()
         except Exception as exc:  # noqa: BLE001
             print(f"child warmup {wname} failed: {exc}", file=sys.stderr)
+    # Per-child host-speed yardstick — the IDENTICAL count()-forced
+    # operation the parent measures (see main), so each child's seconds
+    # can be normalized by that child's own host speed.
+    try:
+        t0 = time.perf_counter()
+        qs["pricing_summary"](spark, "/root/testdata/sf0.001").count()
+        calib = round(time.perf_counter() - t0, 3)
+    except Exception:  # noqa: BLE001
+        calib = None
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -214,19 +240,31 @@ def _run_child_group(group: str) -> dict:
             errors[name] = str(exc).split("\n")[0][:200]
         finally:
             release_tracked()
-    print(json.dumps({"timings": timings, "cold": cold, "errors": errors}))
+    print(
+        json.dumps(
+            {
+                "timings": timings,
+                "cold": cold,
+                "errors": errors,
+                "calib": calib,
+            }
+        )
+    )
     spark.stop()
     return timings
 
 
-def _xproc_group(group: str, n_procs: int) -> tuple[dict, dict, dict, list]:
+def _xproc_group(
+    group: str, n_procs: int
+) -> tuple[dict, dict, dict, list, list]:
     """Run `group` in n_procs fresh interpreters; per-query median of the
     children's warm numbers. Returns (timings, cold_first_child, errors,
-    per_child_totals)."""
+    per_child_totals, per_child_calibs)."""
     import subprocess
 
     runs: list[dict] = []
     colds: list[dict] = []
+    calibs: list[float] = []
     errors: dict[str, str] = {}
     for i in range(n_procs):
         proc = subprocess.run(
@@ -249,6 +287,8 @@ def _xproc_group(group: str, n_procs: int) -> tuple[dict, dict, dict, list]:
             continue
         runs.append(parsed.get("timings", {}))
         colds.append(parsed.get("cold", {}))
+        if parsed.get("calib") is not None:
+            calibs.append(parsed["calib"])
         errors.update(parsed.get("errors", {}))
     names = sorted({n for r in runs for n in r})
     med = {}
@@ -257,7 +297,7 @@ def _xproc_group(group: str, n_procs: int) -> tuple[dict, dict, dict, list]:
         if samples:
             med[n] = samples[len(samples) // 2]
     totals = [round(sum(r.values()), 3) for r in runs]
-    return med, (colds[0] if colds else {}), errors, totals
+    return med, (colds[0] if colds else {}), errors, totals, calibs
 
 
 def _cpu_calibration() -> float:
@@ -291,6 +331,8 @@ _SUMMARY_KEYS = (
     "spark_calib_sec",
     "calib_normalized_total",
     "calib_normalized_extended",
+    "value_spread_pct",
+    "extended_spread_pct",
     "primary_comparison_metric",
     "per_query_stat",
     "staging_group_stat",
@@ -429,40 +471,58 @@ def main() -> None:
     qs["pricing_summary"](spark, "/root/testdata/sf0.001").count()
     spark_calib = round(time.perf_counter() - t0, 3)
 
-    timings = run(HEADLINE, repeats=3)
-    # Extended gets the same median-of-3 treatment: single-shot numbers at
-    # this scale move ±20% with host noise (cdc_chunking read as a
-    # regression in r6 on one sample), and one-time layout steps (the DPP
-    # staging write) otherwise dominate the recorded number.
-    extended = run(EXTENDED, repeats=3)
-    training = run(TRAINING, repeats=3)
-    # Staging-I/O groups: median ACROSS 3 fresh processes (r12 verdict
-    # protocol fix — these two groups swung 1.7× between back-to-back
-    # same-process runs; per-process staged-artifact layout is the noise
-    # source, so the defense must span processes). BENCH_XPROC=0 falls
-    # back to the in-process path (used by quick local iterations).
+    # Cross-process medians (r13 for the staging-I/O groups, widened to
+    # headline/extended/training in r14 — see XPROC_GROUPS). Each group
+    # runs in BENCH_XPROC_N fresh interpreters; the recorded per-query
+    # number is the median of the children's warm runs, and the per-child
+    # group totals + per-child calibs are recorded for spread visibility.
+    # BENCH_XPROC=0 falls back to the in-process path (quick iterations).
     xproc_n = int(os.environ.get("BENCH_XPROC_N", "3"))
     xproc_meta: dict[str, list[float]] = {}
-    if os.environ.get("BENCH_XPROC", "1") != "0":
-        pipeline, pipe_cold, pipe_errs, xproc_meta["pipeline_runs"] = (
-            _xproc_group("pipeline", xproc_n)
-        )
-        sketch, sk_cold, sk_errs, xproc_meta["sketch_runs"] = _xproc_group(
-            "sketch", xproc_n
-        )
-        errors.update(pipe_errs)
-        errors.update(sk_errs)
-        cold_runs.update(pipe_cold)
-        cold_runs.update(sk_cold)
-        if not pipeline:  # all children failed — never record an empty group
-            pipeline = run(PIPELINE, repeats=3)
-        if not sketch:
-            sketch = run(SKETCH, repeats=3)
-    else:
-        pipeline = run(PIPELINE, repeats=3)
-        sketch = run(SKETCH, repeats=3)
+    use_xproc = os.environ.get("BENCH_XPROC", "1") != "0"
+    in_process = {
+        "headline": lambda: run(HEADLINE, repeats=3),
+        "extended": lambda: run(EXTENDED, repeats=3),
+        "training": lambda: run(TRAINING, repeats=3),
+        "pipeline": lambda: run(PIPELINE, repeats=3),
+        "sketch": lambda: run(SKETCH, repeats=3),
+    }
+    group_timings: dict[str, dict[str, float]] = {}
+    for group in XPROC_GROUPS:
+        if not use_xproc:
+            group_timings[group] = in_process[group]()
+            continue
+        med, cold0, errs, totals, calibs = _xproc_group(group, xproc_n)
+        errors.update(errs)
+        cold_runs.update(cold0)
+        xproc_meta[f"{group}_runs"] = totals
+        xproc_meta[f"{group}_calib_runs"] = calibs
+        # all children failed — never record an empty group
+        group_timings[group] = med if med else in_process[group]()
+    timings = group_timings["headline"]
+    extended = group_timings["extended"]
+    training = group_timings["training"]
+    pipeline = group_timings["pipeline"]
+    sketch = group_timings["sketch"]
     sketch_r12 = run(SKETCH_R12, repeats=3)
     sketch_r13 = run(SKETCH_R13, repeats=3)
+
+    def _norm_median(group: str) -> float | None:
+        """Median over children of (child group total / child calib) —
+        pairs each child's seconds with THAT child's host-speed sample,
+        so one slow-host child moves one sample, not the recorded ratio."""
+        totals = xproc_meta.get(f"{group}_runs", [])
+        calibs = xproc_meta.get(f"{group}_calib_runs", [])
+        pairs = sorted(t / c for t, c in zip(totals, calibs) if c)
+        return round(pairs[len(pairs) // 2], 2) if pairs else None
+
+    def _spread_pct(group: str) -> float | None:
+        """(max-min)/median of the per-child group totals, percent."""
+        totals = sorted(xproc_meta.get(f"{group}_runs", []))
+        if len(totals) < 2 or not totals[len(totals) // 2]:
+            return None
+        med = totals[len(totals) // 2]
+        return round(100.0 * (totals[-1] - totals[0]) / med, 1)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -509,21 +569,34 @@ def main() -> None:
         "cpu_calib_sec": cpu_calib,
         "spark_calib_sec": spark_calib,
         # PRIMARY cross-round comparison metric (see README "Benchmark"):
-        # value / spark_calib_sec, unitless. Three rounds of ±15% host
-        # drift (same-commit raw totals varied 3× across round-5 hosts)
-        # make raw-second deltas unattributable; judge regressions and
-        # wins on the normalized numbers. Raw seconds stay in "value" so
-        # the since-round-1 series keeps its units.
-        "calib_normalized_total": round(total / spark_calib, 2)
-        if spark_calib
-        else None,
-        "calib_normalized_extended": round(
-            sum(extended.values()) / spark_calib, 2
-        )
-        if spark_calib
-        else None,
+        # headline total / spark_calib, unitless. Three rounds of ±15%
+        # host drift (same-commit raw totals varied 3× across round-5
+        # hosts) make raw-second deltas unattributable; judge regressions
+        # and wins on the normalized numbers. Since r14 this is the MEDIAN
+        # over children of (child total / child calib) — the r13 verdict's
+        # protocol fix: the single recorded ratio sat at the upper edge of
+        # a measured ±11% cross-process spread. Falls back to the parent's
+        # single ratio when xproc is off.
+        "calib_normalized_total": _norm_median("headline")
+        if use_xproc and _norm_median("headline") is not None
+        else (round(total / spark_calib, 2) if spark_calib else None),
+        "calib_normalized_extended": _norm_median("extended")
+        if use_xproc and _norm_median("extended") is not None
+        else (
+            round(sum(extended.values()) / spark_calib, 2)
+            if spark_calib
+            else None
+        ),
+        # (max-min)/median of the per-child group totals — the recorded
+        # noise bound round-over-round comparisons should be read against.
+        "value_spread_pct": _spread_pct("headline"),
+        "extended_spread_pct": _spread_pct("extended"),
         "primary_comparison_metric": "calib_normalized_total",
-        "per_query_stat": "median_of_3",
+        "per_query_stat": (
+            f"median_of_{xproc_n}_processes_warm"
+            if use_xproc
+            else "median_of_3"
+        ),
         # First-touch seconds per query (run order): the run that absorbs
         # any staged index build this process. cold - median ≈ the staged
         # build cost attributable to that query's artifacts.

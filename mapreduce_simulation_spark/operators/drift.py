@@ -121,11 +121,14 @@ def feature_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FEATURE_DRIFT_STATS_SQL = f"""
 WITH buckets AS (
+  -- NULL-neutral era flags: a NULL o_orderdate must land in NEITHER era
+  -- (Spark's sum() skips the NULL is_ref rows on both sides), so each
+  -- era counts only on its own satisfied comparison — never via ELSE.
   SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // {DRIFT_BUCKET} AS b,
          sum(CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_SPLIT}'
                   THEN 1 ELSE 0 END) AS a,
-         sum(CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_SPLIT}'
-                  THEN 0 ELSE 1 END) AS c
+         sum(CASE WHEN o_orderdate >= TIMESTAMP '{DRIFT_SPLIT}'
+                  THEN 1 ELSE 0 END) AS c
   FROM orders GROUP BY 1
 ),
 totals AS (
@@ -141,8 +144,13 @@ cum AS (
 )
 SELECT CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
        CAST(count(*) AS INT) AS n_buckets,
-       CAST(sum(d) AS DOUBLE) / CAST(2 * n1 * n2 AS DOUBLE) AS tvd,
-       CAST(max(cd) AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_stat,
+       -- HUGEINT denominators: n1*n2 as BIGINT would overflow-error in
+       -- DuckDB at era sizes ~2.1e9 rows (n1*n2 >= 2^62) while the
+       -- decimal(38,0) Spark side still works; widen before multiplying.
+       CAST(sum(d) AS DOUBLE)
+         / CAST(2 * CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS tvd,
+       CAST(max(cd) AS DOUBLE)
+         / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS ks_stat,
        (SELECT min(b) FROM cum c2 WHERE c2.cd = (SELECT max(cd) FROM cum))
          AS ks_bucket
 FROM cum GROUP BY n1, n2
@@ -209,9 +217,11 @@ def heavy_change_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HEAVY_CHANGE_TERMS_SQL = f"""
 WITH counts AS (
+  -- NULL-neutral: NOT is_ref (not ELSE) so a NULL doc_id row lands in
+  -- NEITHER era, matching Spark's NULL-skipping sum on both flags.
   SELECT word,
          sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
-         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c
   FROM (
     SELECT doc_id % 2 = 0 AS is_ref,
            unnest(string_split_regex(lower(text), '\\s+')) AS word

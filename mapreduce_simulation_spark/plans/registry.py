@@ -52,6 +52,71 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # entries would downgrade their slot to the driver's weaker rows-only
 # check and get their stronger checks locally anyway.
 _PROMOTE = (
+    # ---- round-14 window: pure staleness rotation (the r13 window came
+    # back 50/50 driver-green, zero err — CORRECTNESS_r13.json), applied
+    # verbatim from the PLANS.md draft committed in r13 (e82aae7). FIRST
+    # the seven names that have NEVER had a driver row (the six late-r13
+    # registrations plus the TWS ValueState twin, runnable since the
+    # vendored mini-protobuf runtime landed in r13 and un-pinned from
+    # _DEMOTE this round). A green first-7 makes the cumulative driver
+    # union 224/224 — every registry name driver-proven at least once.
+    # THEN the remaining r9-stale greens, THEN r10-stale greens
+    # (alphabetical within a round), per-name staleness replayed from
+    # CORRECTNESS_r01..r13. ----
+    # never driver-checked (late-r13 additions + un-pinned TWS twin)
+    "kmv_month_overlap",             # KMV bottom-k distinct/overlap sketch
+    "streaming_kmv_sketch_ingest",   # online KMV ingest == batch
+    "feature_drift_stats",           # integer-scaled TVD/KS era drift
+    "stateful_user_type_rollup_tws",  # transformWithState MapState
+    "stateful_user_delta_log_tws",   # transformWithState ListState
+    "heavy_change_terms",            # top-k vocabulary shift between eras
+    "stateful_user_rollup_tws",      # transformWithState ValueState
+    # r9-stale greens (alphabetical back-fill)
+    "percentile_trim",
+    "pii_scrub",
+    "pivot_revenue_by_status",
+    "pps_sample",
+    "pseudonymize_customers",
+    "range_join_promos",
+    "scd2_point_in_time",
+    "scd2_priority_history",
+    "snapshot_diff",
+    "streaming_attribution_outer",
+    "streaming_dedup_within_watermark",
+    "streaming_events_hourly_append",
+    "streaming_events_sliding",
+    "streaming_sessions",
+    "streaming_static_enrichment",
+    "temperature_sample",
+    "triangle_count_nations",
+    "unpivot_revenue",
+    "variant_props_extract",
+    "vocab_encode",
+    # r10-stale greens (alphabetical back-fill)
+    "above_avg_orders",
+    "association_rules",
+    "balance_distribution",
+    "cms_word_freq",
+    "customer_balance_ntiles",
+    "distributed_kmeans_train",
+    "distributed_logreg_train",
+    "dynamic_partition_pruning",
+    "embedding_label_stats",
+    "event_peak_concurrency",
+    "exact_ols_train",
+    "exists_returned_orders",
+    "fuzzy_name_pairs",
+    "idle_high_balance_customers",
+    "important_parts",
+    "intersect_segments",
+    "json_props_extract",
+    "key_skew_profile",
+    "large_quantity_orders",
+    "market_share",
+    "max_revenue_supplier",
+    "media_frame_sample",
+    "media_metadata",
+    # ---- history: round-13 window, 50/50 driver-green in r13 ----
     # ---- round-13 window: pure staleness rotation (the r12 window came
     # back 50/50 driver-green, zero err — CORRECTNESS_r12.json). Per the
     # r12 verdict's recipe and the PLANS.md draft: FIRST the four late-r12
@@ -419,20 +484,19 @@ _PROMOTE = (
 # names, the 16 r8-stale leftovers, and 30 r9-stale greens. A green r13
 # window brings the cumulative driver-green union to 217/224 (all but
 # the TWS twin — runnable since r13 via the vendored mini-protobuf
-# runtime — and the 6 late-r13 additions). The r14 window should lead
-# with the seven never-driver-checked names (stateful_user_rollup_tws,
-# kmv_month_overlap, streaming_kmv_sketch_ingest, feature_drift_stats,
-# stateful_user_type_rollup_tws, stateful_user_delta_log_tws,
-# heavy_change_terms), then continue oldest-first staleness rotation
-# over the remaining r9 greens, then r10.
-_DEMOTE = (
-    # All former family-redundancy demotions were re-promoted in the r11
-    # (stalest-evidence back-fill) and r12 (pure staleness) windows. The
-    # TWS twin stays pinned behind the window this round only because the
-    # r13 window froze before its protobuf gate was removed (it now runs
-    # via the vendored mini-protobuf runtime); it is first in line for
-    # the r14 rotation.
-    "stateful_user_rollup_tws",
+# runtime — and the 6 late-r13 additions).
+#
+# Round-14 rotation APPLIED above (r13 came back 50/50 green so the
+# drafted composition was valid verbatim): the seven never-driver-checked
+# names first (6 late-r13 additions + the un-pinned TWS ValueState twin),
+# then 20 r9-stale and 23 r10-stale greens. A green first-7 brings the
+# cumulative driver-green union to 224/224 — the whole registry
+# driver-proven at least once.
+_DEMOTE: tuple[str, ...] = (
+    # Empty since round 14: the TWS ValueState twin — the last pinned
+    # name — rotated INTO the window once the vendored mini-protobuf
+    # runtime (landed r13) made it runnable in this container. Kept as a
+    # mechanism for any future entry that must stay behind position 50.
 )
 
 
@@ -1238,9 +1302,9 @@ from ..streaming.stateful import (  # noqa: E402
 # TWS state protocol's protobuf dependency is satisfied by the vendored
 # mini-runtime (vendor/pypath, activated only when the real wheel is
 # absent), so the former env skip is gone — the query is sweep- and
-# oracle-verified like every other entry. The _DEMOTE pin keeping it
-# behind the driver's 50-entry hash window is now just rotation-queue
-# ordering (it has never had a driver row; promote it in r14).
+# oracle-verified like every other entry. Since round 14 it sits INSIDE
+# the driver's 50-entry hash window (_PROMOTE position 7) to earn its
+# first driver row.
 register("stateful_user_rollup_tws", _stateful_tws, _stateful_sql)
 
 # Stream-stream watermarked join (attribution shape); single-batch staging

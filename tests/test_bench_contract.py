@@ -38,10 +38,18 @@ def _worst_case_result() -> dict:
         "calib_normalized_total": 9999.99,
         "calib_normalized_extended": 9999.99,
         "primary_comparison_metric": "calib_normalized_total",
-        "per_query_stat": "median_of_3",
+        "per_query_stat": "median_of_3_processes_warm",
         "staging_group_stat": "median_of_3_processes",
-        "pipeline_runs": [9999.999, 9999.999, 9999.999],
-        "sketch_runs": [9999.999, 9999.999, 9999.999],
+        "value_spread_pct": 999.9,
+        "extended_spread_pct": 999.9,
+        **{
+            f"{g}_runs": [9999.999, 9999.999, 9999.999]
+            for g in bench.XPROC_GROUPS
+        },
+        **{
+            f"{g}_calib_runs": [99.999, 99.999, 99.999]
+            for g in bench.XPROC_GROUPS
+        },
         "cold_first_run": {f"q{i}": 9999.999 for i in range(200)},
         "errors": {f"q{i}": "x" * 200 for i in range(50)},
     }
@@ -79,8 +87,16 @@ def test_summary_carries_staging_group_protocol():
     assert "pipeline_runs" not in summary
 
 
-def test_xproc_groups_cover_the_two_staging_io_groups():
-    assert bench.XPROC_GROUPS == ("pipeline", "sketch")
+def test_xproc_groups_cover_staging_io_and_primary_groups():
+    # r13: the two staging-I/O groups; r14: the three groups whose totals
+    # drive round-over-round judgments (the ±11% cross-process spread fix).
+    assert bench.XPROC_GROUPS == (
+        "pipeline",
+        "sketch",
+        "headline",
+        "extended",
+        "training",
+    )
 
 
 def test_bench_group_membership_is_frozen():

@@ -23,8 +23,8 @@ def _python_recompute(sf_dir):
         SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // {D.DRIFT_BUCKET} AS b,
                sum(CASE WHEN o_orderdate < TIMESTAMP '{D.DRIFT_SPLIT}'
                         THEN 1 ELSE 0 END) AS a,
-               sum(CASE WHEN o_orderdate < TIMESTAMP '{D.DRIFT_SPLIT}'
-                        THEN 0 ELSE 1 END) AS c
+               sum(CASE WHEN o_orderdate >= TIMESTAMP '{D.DRIFT_SPLIT}'
+                        THEN 1 ELSE 0 END) AS c
         FROM orders GROUP BY 1 ORDER BY 1
         """
     ).fetchall()
@@ -101,7 +101,7 @@ def test_heavy_change_terms_matches_recompute_and_plan(spark):
         """
         SELECT word,
                sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
-               sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c
+               sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c
         FROM (
           SELECT doc_id % 2 = 0 AS is_ref,
                  unnest(string_split_regex(lower(text), '\\s+')) AS word

@@ -113,57 +113,57 @@ def test_loaded_schema_matches_contract(spark, sf_dir, table):
 # registry._PROMOTE/_DEMOTE) must update this list deliberately.
 # ---------------------------------------------------------------------------
 
-DRIVER_WINDOW_R13 = [
-    "quantile_sketch_monthly",
-    "bloom_membership_audit",
-    "streaming_quantile_sketch_ingest",
-    "pipe_syntax_revenue",
-    "sequence_packing",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    "sole_blame_suppliers",
-    "sql_table_function_word_count",
-    "sql_udf_pricing",
-    "streaming_custom_source_rollup",
-    "streaming_events_hourly",
-    "streaming_kvtext_sink_roundtrip",
-    "streaming_upsert_profiles",
-    "substring_dedup_spans",
-    "text_stats",
-    "training_data_pipeline",
-    "training_shuffle",
-    "word_count",
-    "xml_source_customers",
-    "bigram_lm_counts",
-    "bigram_perplexity",
-    "binary_file_source",
-    "chunk_for_training",
-    "co_purchase_pairs",
-    "cohort_retention",
-    "contrastive_triples",
-    "csv_bad_records",
-    "csv_source_revenue",
-    "cube_revenue",
-    "dedup_canonical",
-    "densify_daily_revenue",
-    "deterministic_sample",
-    "domain_cap_sample",
-    "embedding_argmax_arrow",
-    "ewma_daily_revenue",
-    "exact_global_percentiles",
-    "funnel_conversion",
-    "incremental_dedup",
-    "json_source_segments",
-    "lateral_top_suppliers",
-    "media_ahash_near_dup",
-    "media_decode",
-    "media_dedup",
-    "merge_upsert_orders",
-    "metadata_agg_pushdown",
-    "orc_source_parts",
-    "pandas_api_priority_stats",
-    "pandas_group_rank",
-    "pandas_scalar_digit_stats",
+DRIVER_WINDOW_R14 = [
+    "kmv_month_overlap",
+    "streaming_kmv_sketch_ingest",
+    "feature_drift_stats",
+    "stateful_user_type_rollup_tws",
+    "stateful_user_delta_log_tws",
+    "heavy_change_terms",
+    "stateful_user_rollup_tws",
+    "percentile_trim",
+    "pii_scrub",
+    "pivot_revenue_by_status",
+    "pps_sample",
+    "pseudonymize_customers",
+    "range_join_promos",
+    "scd2_point_in_time",
+    "scd2_priority_history",
+    "snapshot_diff",
+    "streaming_attribution_outer",
+    "streaming_dedup_within_watermark",
+    "streaming_events_hourly_append",
+    "streaming_events_sliding",
+    "streaming_sessions",
+    "streaming_static_enrichment",
+    "temperature_sample",
+    "triangle_count_nations",
+    "unpivot_revenue",
+    "variant_props_extract",
+    "vocab_encode",
+    "above_avg_orders",
+    "association_rules",
+    "balance_distribution",
+    "cms_word_freq",
+    "customer_balance_ntiles",
+    "distributed_kmeans_train",
+    "distributed_logreg_train",
+    "dynamic_partition_pruning",
+    "embedding_label_stats",
+    "event_peak_concurrency",
+    "exact_ols_train",
+    "exists_returned_orders",
+    "fuzzy_name_pairs",
+    "idle_high_balance_customers",
+    "important_parts",
+    "intersect_segments",
+    "json_props_extract",
+    "key_skew_profile",
+    "large_quantity_orders",
+    "market_share",
+    "max_revenue_supplier",
+    "media_frame_sample",
+    "media_metadata",
 ]
 
 
@@ -171,11 +171,11 @@ def test_driver_hash_window_is_frozen():
     from mapreduce_simulation_spark.plans import registry
 
     got = list(registry.queries())[:50]
-    assert got == DRIVER_WINDOW_R13, (
+    assert got == DRIVER_WINDOW_R14, (
         "the driver's first-50 hash window shifted — if this is an intended "
-        "promotion/demotion, update DRIVER_WINDOW_R13; otherwise find the "
+        "promotion/demotion, update DRIVER_WINDOW_R14; otherwise find the "
         "import/registration reorder that moved it.\n"
-        f"got:  {got}\nwant: {DRIVER_WINDOW_R13}"
+        f"got:  {got}\nwant: {DRIVER_WINDOW_R14}"
     )
 
 
@@ -183,7 +183,7 @@ def test_driver_window_queries_all_have_oracles():
     from mapreduce_simulation_spark.plans import registry
 
     oracles = registry.oracle_sql()
-    missing = [n for n in DRIVER_WINDOW_R13 if n not in oracles]
+    missing = [n for n in DRIVER_WINDOW_R14 if n not in oracles]
     assert missing == [], (
         f"driver-window queries without an exact oracle: {missing} — the "
         "gate would fall back to the weaker rows-only check"
@@ -192,9 +192,10 @@ def test_driver_window_queries_all_have_oracles():
 
 def test_registry_contents_do_not_depend_on_environment():
     # stateful_user_rollup_tws must be registered whether or not protobuf
-    # is importable, and pinned behind the hash window.
+    # is importable. Since round 14 it sits INSIDE the hash window (slot 7
+    # of the never-driver-checked leads) to earn its first driver row.
     from mapreduce_simulation_spark.plans import registry
 
     names = list(registry.queries())
     assert "stateful_user_rollup_tws" in names
-    assert names.index("stateful_user_rollup_tws") >= 50
+    assert names.index("stateful_user_rollup_tws") == 6

@@ -259,6 +259,13 @@ def test_kmv_exact_mode_at_degenerate_scale(spark):
     for r in rows:
         mi = r.yr * 12 + r.mo - 1
         assert months[mi] < SK.KMV_K, "not degenerate — fixture grew"
+        # inter_est is exact only if the UNION sketch is also untruncated:
+        # each month being < K does not imply |month ∪ next| <= K, and a
+        # truncated union silently degrades inter_est to an estimate.
+        union = months[mi] + months[mi + 1] - inter.get((r.yr, r.mo), 0)
+        assert union <= SK.KMV_K, (
+            f"union {union} exceeds K — fixture left degenerate mode"
+        )
         assert r.n_est == float(months[mi]), r
         assert r.next_n_est == float(months[mi + 1]), r
         assert r.inter_est == pytest.approx(

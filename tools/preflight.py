@@ -23,6 +23,60 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DRIVER_WINDOW = 50
 SMOKE_SF = "/root/testdata/sf0.001"
+MAX_STALE_ROUNDS = 5  # 224 names / 50 slots → full refresh every ≤5 windows
+
+
+def _staleness_check(
+    window: set[str], names: set[str]
+) -> tuple[list[str], str]:
+    """Replay CORRECTNESS_r*.json for each name's newest hash-green round.
+
+    Returns (violations, human_note). Violations are non-empty only once
+    cumulative coverage is complete (every registry name has at least one
+    green row — before that the gap IS the rotation queue, reported in the
+    note instead) and only for names the current window does not refresh.
+    """
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    rounds: list[int] = []
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnum = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        rounds.append(rnum)
+        try:
+            data = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                latest[name] = max(latest.get(name, 0), rnum)
+    if not rounds:
+        return [], "staleness: no CORRECTNESS files — skipped"
+    upcoming = max(rounds) + 1  # the round the current window targets
+    never = sorted(n for n in names if n not in latest)
+    if never:
+        unqueued = sorted(n for n in never if n not in window)
+        note = (
+            f"staleness: coverage {len(names) - len(never)}/{len(names)} — "
+            f"{len(never)} never driver-green ({len(unqueued)} of them NOT "
+            f"in the upcoming window{': ' + ', '.join(unqueued[:8]) if unqueued else ''})"
+        )
+        return [], note
+    stale = sorted(
+        n
+        for n in names
+        if n not in window and upcoming - latest[n] > MAX_STALE_ROUNDS
+    )
+    oldest = min(latest[n] for n in names if n not in window)
+    note = (
+        f"staleness: coverage {len(names)}/{len(names)}, oldest "
+        f"out-of-window green r{oldest} vs upcoming r{upcoming} "
+        f"(budget {MAX_STALE_ROUNDS}); {len(stale)} violations"
+    )
+    return stale, note
 
 
 def main() -> int:
@@ -94,6 +148,18 @@ def main() -> int:
         print(f"  {line}")
     if lint.returncode != 0 or lint_bad:
         failures.append(f"oracle dtype lint red: {lint_bad or lint.returncode}")
+
+    # (2c) driver-check staleness burn-down (r13 verdict item 5): once
+    # every registry name has at least one hash-green driver row, the
+    # rotation must stay mechanical — fail if any name's NEWEST green row
+    # is more than MAX_STALE_ROUNDS behind the upcoming round AND the
+    # current window doesn't refresh it. 224 names / 50 slots means pure
+    # staleness rotation refreshes every name within 5 windows, so 5 is
+    # exactly the budget an unbroken rotation satisfies.
+    stale_fail, stale_note = _staleness_check(set(window), set(e.queries()))
+    print(stale_note)
+    if stale_fail:
+        failures.append(f"driver-check staleness: {stale_fail}")
 
     # (3) bench — optional, the slow part.
     if "--bench" in sys.argv:

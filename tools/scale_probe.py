@@ -91,11 +91,16 @@ def main() -> None:
     from mapreduce_simulation_spark.staging import staging_dir
     from mapreduce_simulation_spark.tables import load_table
 
-    args = [
-        a
-        for a in sys.argv[1:]
-        if a not in ("--unique", "--events", "--pipeline", "--sketch")
-    ]
+    only: list[str] | None = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            # restrict any mode's probe list, e.g. the r14 ×100 runs that
+            # target just the two banded paths without paying for the
+            # whole family at two decades up
+            only = a.split("=", 1)[1].split(",")
+        elif a not in ("--unique", "--events", "--pipeline", "--sketch"):
+            args.append(a)
     unique = "--unique" in sys.argv[1:]
     events_mode = "--events" in sys.argv[1:]
     pipeline_mode = "--pipeline" in sys.argv[1:]
@@ -141,6 +146,11 @@ def main() -> None:
         ]
     else:
         probes = PROBES
+    if only is not None:
+        unknown = [n for n in only if n not in probes]
+        if unknown:
+            print(f"--only names not in this mode's probe list: {unknown}")
+        probes = [n for n in probes if n in only]
 
     from pyspark.sql import functions as F
 
