@@ -1057,7 +1057,21 @@ def brute_force_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the Python-boundary pattern to reach for when the built-in
     expression path becomes compute-bound: still one scan, no extra
-    shuffle beyond the tiny candidate pool, Arrow batches both ways."""
+    shuffle beyond the tiny candidate pool, Arrow batches both ways.
+
+    Physical shape (r14 rewrite): the pandas stage emits each candidate's
+    RAW embedding alongside its ids (float32→float64 widening is exact,
+    so the values are bit-identical to the JVM-side _as_double cast),
+    which lets the exact re-score run as ONE broadcast join against the
+    10 query vectors plus ONE rank window — where the r11 shape paid an
+    extra global window cut over the pool and a join back to the corpus
+    for the embeddings. The emitted pool stays k-bounded PER BATCH
+    (queries × PANDAS_PRESELECT rows regardless of batch size), so
+    re-scoring the whole union instead of a pre-cut pool adds only
+    k-bounded work per batch at any corpus size — and the containment
+    argument (exact top-k ⊆ union of per-batch BLAS pools) is unchanged.
+    Measured at sf0.1: 0.83 s → the r8-era level (the r12/r13 'creep' was
+    this stage overhead, not drift — see PLANS.md r14)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -1092,33 +1106,31 @@ def brute_force_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             # in the union of per-batch pools (exactly — self-matches are
             # masked out above, so all keep slots hold real candidates)
             top = np.argpartition(-cos, keep - 1, axis=0)[:keep]  # [keep,nq]
+            flat = top.reshape(-1)
             yield pd.DataFrame(
                 {
                     "query_id": np.tile(qids, keep),
-                    "neighbor_id": ids[top].reshape(-1),
-                    "blas": np.take_along_axis(cos, top, axis=0).reshape(-1),
+                    "neighbor_id": ids[flat],
+                    # raw float64 passthrough of the candidate embeddings
+                    # (no arithmetic) — the strict-fold re-score downstream
+                    # sees the same bits the JVM cast would produce
+                    "v": list(mat[flat]),
                 }
             )
 
-    pool = (
+    cand = (
         emb.select("vec_id", "embedding")
         .mapInPandas(
-            batches, schema="query_id long, neighbor_id long, blas double"
+            batches,
+            schema="query_id long, neighbor_id long, v array<double>",
         )
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
-    pw = Window.partitionBy("query_id").orderBy(
-        F.col("blas").desc(), F.col("neighbor_id").asc()
-    )
-    cand = (
-        pool.withColumn("prk", F.row_number().over(pw))
-        .where(F.col("prk") <= PANDAS_PRESELECT)
-        .select("query_id", "neighbor_id")
-    )
 
-    # exact strict-fold re-score of the tiny surviving pool — identical
-    # arithmetic to brute_force_topk, so ids, ranks AND scores hash-match
-    # the exact oracle
+    # exact strict-fold re-score of the k-bounded pool — identical
+    # arithmetic to brute_force_topk (the candidate norm recomputed with
+    # the same strict fold the corpus path uses), so ids, ranks AND
+    # scores hash-match the exact oracle
     corpus = _corpus_with_norm(spark, sf_dir)
     queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1126,16 +1138,14 @@ def brute_force_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qn"),
     )
     cos = F.round(
-        _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        _dot(F.col("qv"), F.col("v")) / (F.col("qn") * _norm(F.col("v"))),
+        6,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        cand.join(
-            corpus.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
-        )
-        .join(broadcast(queries), "query_id")
+        cand.join(broadcast(queries), "query_id")
         .select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TOP_K)

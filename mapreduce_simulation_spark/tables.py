@@ -10,6 +10,7 @@ predicate pushdown for free — verify with ``df.explain()``: look for
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -28,6 +29,35 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-session DataFrame cache: `spark.read.parquet` costs ~0.12 s of
+# driver-side py4j + file-listing + footer-schema work PER CALL, and every
+# query calls load_table 1-3 times — a fixed floor on each of the ~224
+# registry queries (measured r14 while bisecting the similarity_topk_pandas
+# plan-build cost). DataFrames are immutable logical plans, so reuse is
+# safe; the cache key carries the file's (mtime_ns, size) signature so an
+# overwritten fixture (scale probes, staging twins) re-reads instead of
+# serving a stale FileIndex. Weak-keyed on the session so a stopped
+# session's plans don't outlive it.
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _file_sig(path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if os.path.isdir(path):
+        # dataset dir: include the entry list so an in-place file swap
+        # that preserves the dir mtime still invalidates
+        try:
+            entries = tuple(sorted(os.listdir(path)))
+        except OSError:
+            entries = ()
+        return (st.st_mtime_ns, st.st_size, entries)
+    return (st.st_mtime_ns, st.st_size)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table. Parquet scan → Catalyst prunes/pushes.
@@ -42,6 +72,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    sig = _file_sig(path)
+    # V1-vs-V2 relation resolution happens at spark.read time, so a plan
+    # cached under one useV1SourceList value is the WRONG relation under
+    # another (metadata_agg_pushdown flips parquet to V2 for its footer
+    # aggregation — caught by test_plan_shapes when the cache first
+    # landed); key on the conf so conf-guarded queries get their own entry.
+    v1list = spark.conf.get("spark.sql.sources.useV1SourceList", "")
+    per_session = _DF_CACHE.setdefault(spark, {})
+    cached = per_session.get((path, v1list))
+    if cached is not None and cached[0] == sig and sig is not None:
+        if name == "events":
+            # the events session confs are an engine contract — re-pin
+            # them on every load, cached or not (a caller may have
+            # changed the session zone between queries)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return cached[1]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # The ntz→ltz normalization below is value-preserving only when the
@@ -62,8 +109,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Downstream operators (unix_micros, watermarks) expect TIMESTAMP;
             # session tz is UTC so the cast is value-preserving vs the oracle.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        per_session[(path, v1list)] = (sig, df)
         return df
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    per_session[(path, v1list)] = (sig, df)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

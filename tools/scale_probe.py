@@ -183,7 +183,7 @@ def main() -> None:
         for k in range(n_copies):
             p = docs.select(
                 (F.col("doc_id") + F.lit(k * max_id)).alias("doc_id"),
-                F.regexp_replace("text", r"(\S+)", f"c{k}$1").alias(
+                F.regexp_replace("text", r"(\S+)", f"c{k:03d}$1").alias(
                     "text"
                 ),
                 "lang",
@@ -332,8 +332,11 @@ def main() -> None:
         if unique:
             # clique-free replication: prefix EVERY token with the copy
             # marker — injective per copy, so within-copy jaccard
-            # structure is preserved exactly and no shingle crosses copies
-            txt = F.regexp_replace("text", r"(\S+)", f"c{k}$1")
+            # structure is preserved exactly and no shingle crosses copies.
+            # FIXED-WIDTH marker (c007): with variable width, c1+'0abc'
+            # and c10+'abc' collide past x10, silently re-introducing
+            # cross-copy shingles the mode exists to exclude
+            txt = F.regexp_replace("text", r"(\S+)", f"c{k:03d}$1")
         else:
             # distinct marker token per copy: copies are near-dups
             # (high jaccard), not byte-identical rows — the honest
