@@ -331,6 +331,8 @@ _SUMMARY_KEYS = (
     "spark_calib_sec",
     "calib_normalized_total",
     "calib_normalized_extended",
+    "calib_normalized_total_xproc",
+    "calib_normalized_extended_xproc",
     "value_spread_pct",
     "extended_spread_pct",
     "primary_comparison_metric",
@@ -569,24 +571,25 @@ def main() -> None:
         "cpu_calib_sec": cpu_calib,
         "spark_calib_sec": spark_calib,
         # PRIMARY cross-round comparison metric (see README "Benchmark"):
-        # headline total / spark_calib, unitless. Three rounds of ±15%
-        # host drift (same-commit raw totals varied 3× across round-5
-        # hosts) make raw-second deltas unattributable; judge regressions
-        # and wins on the normalized numbers. Since r14 this is the MEDIAN
-        # over children of (child total / child calib) — the r13 verdict's
-        # protocol fix: the single recorded ratio sat at the upper edge of
-        # a measured ±11% cross-process spread. Falls back to the parent's
-        # single ratio when xproc is off.
-        "calib_normalized_total": _norm_median("headline")
-        if use_xproc and _norm_median("headline") is not None
-        else (round(total / spark_calib, 2) if spark_calib else None),
-        "calib_normalized_extended": _norm_median("extended")
-        if use_xproc and _norm_median("extended") is not None
-        else (
-            round(sum(extended.values()) / spark_calib, 2)
-            if spark_calib
-            else None
-        ),
+        # headline total / the PARENT session's spark_calib, unitless —
+        # the same denominator protocol as every round since r5, so the
+        # series stays continuous (child calibs run in a cooler JVM and
+        # measure ~2× the parent's steady-state number; pairing the series
+        # numerator with them would fake a 2× speedup). The r13 verdict's
+        # noise fix lands in the NUMERATOR (value = per-query medians
+        # across 3 fresh processes) and in the *_xproc twins below, which
+        # pair each child's total with THAT child's own calib sample — a
+        # new, fully cross-process series starting r14.
+        "calib_normalized_total": round(total / spark_calib, 2)
+        if spark_calib
+        else None,
+        "calib_normalized_extended": round(
+            sum(extended.values()) / spark_calib, 2
+        )
+        if spark_calib
+        else None,
+        "calib_normalized_total_xproc": _norm_median("headline"),
+        "calib_normalized_extended_xproc": _norm_median("extended"),
         # (max-min)/median of the per-child group totals — the recorded
         # noise bound round-over-round comparisons should be read against.
         "value_spread_pct": _spread_pct("headline"),

@@ -98,6 +98,83 @@ HAVING count(*) >= {CONTAM_MIN_SHINGLES}
 
 
 # ---------------------------------------------------------------------------
+# N-gram novelty scoring (per-doc fraction of n-grams unseen in the
+# reference era)
+# ---------------------------------------------------------------------------
+
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against the reference corpus era: for
+    each current-era document (odd doc_id — the incremental_dedup /
+    feature-drift split), the fraction of its distinct 3-token shingles
+    that appear in NO reference-era document (even doc_ids). The standard
+    curation signal for ranking a fresh crawl snapshot: near-0 novelty =
+    the corpus already covers this document's content (a near-dup the
+    hash dedups missed, or boilerplate); near-1 = genuinely new text
+    worth its training tokens. Documents with fewer than 3 tokens have no
+    shingles and are absent from the output (both engines).
+
+    Reference parity: no novelty surface in the reference engine
+    (HaolingPu/MapReduce-Simulation) — LLM-pipeline extension tier.
+
+    Scale: the shape decontaminate CANNOT use — its eval set broadcasts,
+    but the reference era here is half the corpus, so this is the
+    corpus×corpus case: ONE shuffle hash join on the 8-byte shingle key.
+    The reference side is pre-distincted, so every current-era shingle
+    row matches at most one reference row — join fan-out is 1 and a hot
+    shingle ("the of and") cannot blow up the exchange. Both sides come
+    from the staged shingle store (integer columns only — raw text never
+    shuffles), and the per-doc aggregation re-uses the join's doc_id
+    co-location. novelty is one IEEE division of two exact counts, so
+    the DuckDB oracle is an exact value-hash match.
+    """
+    from .dedup import staged_shingles
+
+    sh = staged_shingles(spark, sf_dir)
+    ref = (
+        sh.where(F.col("doc_id") % 2 == 0).select("shingle").distinct()
+    )
+    cur = sh.where(F.col("doc_id") % 2 == 1)
+    return (
+        cur.join(
+            ref.withColumn("seen", F.lit(1)), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("seen").isNull(), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_ngrams").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH {_SHINGLES_SQL},
+ref AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty
+FROM sh s LEFT JOIN ref r USING (shingle)
+WHERE s.doc_id % 2 = 1
+GROUP BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Stratified deterministic sampling
 # ---------------------------------------------------------------------------
 

@@ -1044,6 +1044,13 @@ register("dedup_simhash", dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL)
 from ..operators import curation  # noqa: E402
 
 register("decontaminate", curation.decontaminate, curation.DECONTAMINATE_SQL)
+# Late-r14 addition — never driver-checked; per the rotation policy it
+# leads the r15 window (amend the PLANS.md r15 draft accordingly).
+register(
+    "ngram_novelty_score",
+    curation.ngram_novelty_score,
+    curation.NGRAM_NOVELTY_SQL,
+)
 register(
     "stratified_sample",
     curation.stratified_sample,

@@ -37,6 +37,8 @@ def _worst_case_result() -> dict:
         "spark_calib_sec": 99.999,
         "calib_normalized_total": 9999.99,
         "calib_normalized_extended": 9999.99,
+        "calib_normalized_total_xproc": 9999.99,
+        "calib_normalized_extended_xproc": 9999.99,
         "primary_comparison_metric": "calib_normalized_total",
         "per_query_stat": "median_of_3_processes_warm",
         "staging_group_stat": "median_of_3_processes",

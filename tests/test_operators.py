@@ -1255,3 +1255,32 @@ def test_banding_threshold_curve_confusion_identities(spark, sf_dir):
             assert r.n_est_accept <= prev_e
             assert r.n_exact_accept <= prev_x
         prev_e, prev_x = r.n_est_accept, r.n_exact_accept
+
+
+def test_ngram_novelty_score_matches_python_recompute(spark, sf_dir):
+    """Exact per-doc novelty against an independent set-arithmetic
+    recomputation from the same shingle table: only current-era (odd)
+    docs appear, counts are the per-doc distinct-shingle cardinalities,
+    and novelty is exactly n_novel/n_ngrams (== comparison — one IEEE
+    division of exact ints on both sides)."""
+    from mapreduce_simulation_spark.operators import curation, dedup
+    from mapreduce_simulation_spark.tables import load_table
+
+    rows = curation.ngram_novelty_score(spark, sf_dir).collect()
+    assert rows
+    assert all(r.doc_id % 2 == 1 for r in rows)
+
+    sh = dedup._shingles(load_table(spark, sf_dir, "documents")).collect()
+    ref = {s.shingle for s in sh if s.doc_id % 2 == 0}
+    by_doc: dict[int, set] = {}
+    for s in sh:
+        if s.doc_id % 2 == 1:
+            by_doc.setdefault(s.doc_id, set()).add(s.shingle)
+    assert {r.doc_id for r in rows} == set(by_doc)
+    for r in rows:
+        shs = by_doc[r.doc_id]
+        novel = len(shs - ref)
+        assert r.n_ngrams == len(shs), r
+        assert r.n_novel == novel, r
+        assert r.novelty == novel / len(shs), r
+        assert 0.0 <= r.novelty <= 1.0
