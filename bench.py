@@ -138,6 +138,16 @@ SKETCH_R13 = [
     "feature_drift_stats",
 ]
 
+# Round-14 additions, same own-group rule: the corpus-vs-corpus n-gram
+# novelty scorer and the asymmetric containment dedup — both consumers of
+# the staged shingle store, so their warm numbers measure the join/agg
+# work and the first-touch (cold) number absorbs any shingle build this
+# process (the cold_first_run discipline).
+CURATION_R14 = [
+    "ngram_novelty_score",
+    "containment_dedup",
+]
+
 # Round-10 additions, same own-group rule: the gate→batch dedup pipeline
 # and the batch/streaming shard-export manifests.
 PIPELINE = [
@@ -327,6 +337,7 @@ _SUMMARY_KEYS = (
     "sketch_total",
     "sketch_r12_total",
     "sketch_r13_total",
+    "curation_r14_total",
     "cpu_calib_sec",
     "spark_calib_sec",
     "calib_normalized_total",
@@ -508,6 +519,7 @@ def main() -> None:
     sketch = group_timings["sketch"]
     sketch_r12 = run(SKETCH_R12, repeats=3)
     sketch_r13 = run(SKETCH_R13, repeats=3)
+    curation_r14 = run(CURATION_R14, repeats=3)
 
     def _norm_median(group: str) -> float | None:
         """Median over children of (child group total / child calib) —
@@ -568,6 +580,9 @@ def main() -> None:
         "sketch_r12_total": round(sum(sketch_r12.values()), 3),
         "sketch_r13": sketch_r13,
         "sketch_r13_total": round(sum(sketch_r13.values()), 3),
+        # separate group (r14+): shingle-store curation pair
+        "curation_r14": curation_r14,
+        "curation_r14_total": round(sum(curation_r14.values()), 3),
         "cpu_calib_sec": cpu_calib,
         "spark_calib_sec": spark_calib,
         # PRIMARY cross-round comparison metric (see README "Benchmark"):

@@ -1396,6 +1396,134 @@ GATED_PIPELINE_SQL = _gated_pipeline_oracle_sql()
 # SimHash
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Containment dedup (asymmetric near-dup: quote/subset detection)
+# ---------------------------------------------------------------------------
+
+CONTAIN_MIN = 0.8  # emit pairs where either direction's containment >= this
+CONTAIN_BUCKET_CAP = 64  # skip min-shingle buckets larger than this
+
+
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate pairs by SET CONTAINMENT,
+    |A∩B| / min-side: the doc-contains-doc cases (a short document quoted
+    whole inside a longer one, a page plus boilerplate) that Jaccard-LSH
+    structurally misses — containment(A→B) = 1 can coexist with
+    jaccard = |A|/|B| ≈ 0 when B is much longer. Production curation
+    (quote/subset scrubbing) needs this as its own pass.
+
+    Candidates bucket on each document's MINIMUM shingle hash: if A ⊆ B
+    (full containment), min(A) ∈ B, and min(A) = min(B) exactly when B's
+    global minimum lies inside the shared part — the single-anchor analog
+    of one LSH band at signature length 1. Each doc contributes ONE
+    8-byte bucket key, so candidate generation is one exchange on the
+    anchor, and buckets larger than CONTAIN_BUCKET_CAP (a viral
+    boilerplate string) are skipped — the SHINGLE_DF_CAP discipline; the
+    cap is part of the declared semantics and the oracle replays it.
+    Candidate pairs are then verified EXACTLY against the staged shingle
+    store (intersection volume = Σ|A| over candidates, never corpus²),
+    and both directions' containment are emitted for pairs where either
+    reaches CONTAIN_MIN. Doubles are single IEEE divisions of exact
+    counts — exact value-hash oracle.
+
+    Reference parity: no dedup surface in the reference engine
+    (HaolingPu/MapReduce-Simulation) — LLM-pipeline extension tier,
+    sibling of dedup_minhash_lsh (symmetric jaccard twin).
+
+    Scale: three reads of the staged integer shingle parquet (sizes,
+    anchors, verification join) — no raw text moves; one exchange per
+    groupBy/join; candidate fan-out bounded by CAP² per bucket.
+    """
+    sh = staged_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    anchor = sh.groupBy("doc_id").agg(F.min("shingle").alias("bucket"))
+    ok = (
+        anchor.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= CONTAIN_BUCKET_CAP)
+        .select("bucket")
+    )
+    a = anchor.join(ok, "bucket").select(
+        F.col("doc_id").alias("doc_a"), "bucket"
+    )
+    b = anchor.join(ok, "bucket").select(
+        F.col("doc_id").alias("doc_b"), "bucket"
+    )
+    cand = a.join(b, "bucket").where(F.col("doc_a") < F.col("doc_b"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            (
+                F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+            ).alias("contain_a_in_b"),
+            (
+                F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+            ).alias("contain_b_in_a"),
+        )
+        .where(
+            (F.col("contain_a_in_b") >= CONTAIN_MIN)
+            | (F.col("contain_b_in_a") >= CONTAIN_MIN)
+        )
+    )
+
+
+CONTAINMENT_DEDUP_SQL = f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+anchor AS (SELECT doc_id, min(shingle) AS bucket FROM sh GROUP BY doc_id),
+ok AS (
+  SELECT bucket FROM anchor GROUP BY bucket
+  HAVING count(*) <= {CONTAIN_BUCKET_CAP}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM anchor a JOIN ok USING (bucket) JOIN anchor b USING (bucket)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS contain_a_in_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS contain_b_in_a
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= {CONTAIN_MIN}
+   OR CAST(i.n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) >= {CONTAIN_MIN}
+"""
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 30-bit frequency-weighted sign fingerprint."""
     tok_cnt = (

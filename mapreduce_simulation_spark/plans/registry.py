@@ -1020,6 +1020,13 @@ register(
 )
 register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.DEDUP_NGRAM_SQL)
 register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.DEDUP_MINHASH_SQL)
+# Late-r14 addition — never driver-checked; leads the r15 window with
+# ngram_novelty_score (PLANS.md r15 draft amendment).
+register(
+    "containment_dedup",
+    dedup.containment_dedup,
+    dedup.CONTAINMENT_DEDUP_SQL,
+)
 # Sketch calibration: estimated (signature-match) vs exact jaccard per
 # LSH candidate pair, unthresholded — both divisions of exact integers,
 # so the oracle hash-matches bit-for-bit.

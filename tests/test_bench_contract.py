@@ -33,6 +33,8 @@ def _worst_case_result() -> dict:
         "sketch_r12_total": 99999.999,
         "sketch_r13": {name: 9999.999 for name in bench.SKETCH_R13},
         "sketch_r13_total": 99999.999,
+        "curation_r14": {name: 9999.999 for name in bench.CURATION_R14},
+        "curation_r14_total": 99999.999,
         "cpu_calib_sec": 99.999,
         "spark_calib_sec": 99.999,
         "calib_normalized_total": 9999.99,
@@ -125,4 +127,7 @@ def test_bench_group_membership_is_frozen():
     )
     assert h(bench.SKETCH_R13) == "3b2e783237d7c756", sorted(
         bench.SKETCH_R13
+    )
+    assert h(bench.CURATION_R14) == "cd0b07a403ac7467", sorted(
+        bench.CURATION_R14
     )

@@ -1284,3 +1284,70 @@ def test_ngram_novelty_score_matches_python_recompute(spark, sf_dir):
         assert r.n_novel == novel, r
         assert r.novelty == novel / len(shs), r
         assert 0.0 <= r.novelty <= 1.0
+
+
+def test_containment_dedup_matches_python_recompute(spark, sf_dir):
+    """Exact containment pairs vs an independent set-arithmetic replay of
+    the declared candidate rule (min-shingle bucket, cap, a<b) and the
+    exact intersection — including that no qualifying pair is missed and
+    the doubles equal single divisions of the exact counts."""
+    from mapreduce_simulation_spark.operators import dedup
+    from mapreduce_simulation_spark.tables import load_table
+
+    rows = dedup.containment_dedup(spark, sf_dir).collect()
+    assert rows, "sf corpus contains exact dups — containment must fire"
+
+    sh = dedup._shingles(load_table(spark, sf_dir, "documents")).collect()
+    by_doc: dict[int, set] = {}
+    for s in sh:
+        by_doc.setdefault(s.doc_id, set()).add(s.shingle)
+    buckets: dict[int, list[int]] = {}
+    for d, shs in by_doc.items():
+        buckets.setdefault(min(shs), []).append(d)
+    expect = {}
+    for _b, docs in buckets.items():
+        if len(docs) > dedup.CONTAIN_BUCKET_CAP:
+            continue
+        docs = sorted(docs)
+        for i, da in enumerate(docs):
+            for db in docs[i + 1 :]:
+                ni = len(by_doc[da] & by_doc[db])
+                ca = ni / len(by_doc[da])
+                cb = ni / len(by_doc[db])
+                if max(ca, cb) >= dedup.CONTAIN_MIN:
+                    expect[(da, db)] = (
+                        len(by_doc[da]),
+                        len(by_doc[db]),
+                        ni,
+                        ca,
+                        cb,
+                    )
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.n_a,
+            r.n_b,
+            r.n_inter,
+            r.contain_a_in_b,
+            r.contain_b_in_a,
+        )
+        for r in rows
+    }
+    assert got == expect
+
+
+def test_containment_catches_subset_jaccard_misses(spark, sf_dir):
+    """The operator's reason to exist: at least one emitted pair must have
+    high containment in one direction while its jaccard sits BELOW the
+    LSH family's JACCARD_THRESHOLD — the doc-contains-doc case the
+    symmetric pipeline is blind to — OR the corpus contains no such pair
+    (then every containment pair is also a jaccard pair, fine at tiny
+    SF). Assert the arithmetic rather than the corpus: jaccard computed
+    from the same counts must equal ni/(na+nb-ni)."""
+    from mapreduce_simulation_spark.operators import dedup
+
+    rows = dedup.containment_dedup(spark, sf_dir).collect()
+    for r in rows:
+        jac = r.n_inter / (r.n_a + r.n_b - r.n_inter)
+        assert 0.0 < jac <= 1.0
+        assert max(r.contain_a_in_b, r.contain_b_in_a) >= dedup.CONTAIN_MIN
+        assert jac <= min(r.contain_a_in_b, r.contain_b_in_a) + 1e-12
