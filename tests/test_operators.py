@@ -1351,3 +1351,58 @@ def test_containment_catches_subset_jaccard_misses(spark, sf_dir):
         assert 0.0 < jac <= 1.0
         assert max(r.contain_a_in_b, r.contain_b_in_a) >= dedup.CONTAIN_MIN
         assert jac <= min(r.contain_a_in_b, r.contain_b_in_a) + 1e-12
+
+
+def test_containment_semantics_on_constructed_corpus(spark, tmp_path):
+    """Ground-truth semantics on a corpus built to exercise each case:
+    a short doc quoted whole inside a long one must emit containment 1.0
+    in the short→long direction even though the pair's jaccard is far
+    below JACCARD_THRESHOLD (the case the operator exists for), while a
+    disjoint doc pairs with nothing."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_simulation_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    # long doc = short doc + a long unique tail → containment(short→long)
+    # is 1.0 but jaccard ≈ |short|/|long| is small
+    tail = " ".join(f"tailword{i}" for i in range(60))
+    long_doc = short + " " + tail
+    disjoint = " ".join(f"other{i}" for i in range(40))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([short, long_doc, disjoint]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["t"] * 3),
+            "n_chars": pa.array(
+                [len(short), len(long_doc), len(disjoint)], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    rows = dedup.containment_dedup(spark, str(tmp_path)).collect()
+    # the short doc's min shingle is shared with the long doc iff the
+    # long doc's global min falls in the quoted prefix — not guaranteed
+    # by hashes, so assert conditionally on candidate generation but
+    # UNCONDITIONALLY on the verify arithmetic below
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    assert all({a, b} != {0, 2} and {a, b} != {1, 2} for a, b in got)
+    if (0, 1) in got:
+        r = got[(0, 1)]
+        n_short = r.n_a
+        assert r.n_inter == n_short  # every short shingle is in long
+        assert r.contain_a_in_b == 1.0
+        jac = r.n_inter / (r.n_a + r.n_b - r.n_inter)
+        assert jac < dedup.JACCARD_THRESHOLD, jac
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path / 'documents.parquet'}'"
+    )
+    oracle = con.execute(dedup.CONTAINMENT_DEDUP_SQL).fetchall()
+    assert {(o[0], o[1]) for o in oracle} == set(got)
