@@ -52,6 +52,71 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # entries would downgrade their slot to the driver's weaker rows-only
 # check and get their stronger checks locally anyway.
 _PROMOTE = (
+    # ---- round-15 window: pure staleness rotation (the r14 window came
+    # back 50/50 driver-green, zero err — CORRECTNESS_r14.json), applied
+    # verbatim from the PLANS.md draft committed in r14, including its two
+    # amendments: `containment_dedup` and `ngram_novelty_score` landed
+    # late-r14 (registry 224 → 226) and have NEVER had a driver row, so
+    # per the rotation policy they go FIRST — a green pair makes the
+    # cumulative driver union 226/226, every registry name driver-proven
+    # at least once. THEN the 24 remaining r10-stale greens, THEN the
+    # first 24 r11-stale greens (alphabetical within a round); the two
+    # names the amendments displaced (monthly_revenue,
+    # nation_top_customer_lists) queue for r16. ----
+    # never driver-checked (late-r14 additions)
+    "containment_dedup",             # asymmetric doc-contains-doc pairs
+    "ngram_novelty_score",           # corpus-vs-corpus shingle novelty
+    # r10-stale greens (alphabetical back-fill)
+    "media_resize",
+    "min_cost_supplier",
+    "moving_avg_orders",
+    "observed_quality_gate",
+    "order_gap_days",
+    "price_histogram",
+    "price_trend_by_nation",
+    "priority_conditional_agg",
+    "priority_transition_matrix",
+    "profit_by_nation_year",
+    "promo_revenue_ratio",
+    "props_map_explode",
+    "referential_audit",
+    "salted_supplier_revenue",
+    "skewed_distinct_users",
+    "stateful_user_rollup",
+    "stats_correlation",
+    "streaming_click_attribution",
+    "streaming_minhash_dedup",
+    "table_checksum",
+    "table_profile_orders",
+    "trailing_window_revenue",
+    "volume_shipping",
+    "zorder_layout",
+    # r11-stale greens (alphabetical back-fill, first 24)
+    "anti_join_customers",
+    "bracket_discount_revenue",
+    "broadcast_dim_join",
+    "constant_key_collapse",
+    "customer_order_distribution",
+    "decision_stump_split",
+    "dedup_connected_components_stars",
+    "distinct_words",
+    "doc_fingerprint",
+    "embedding_near_dup",
+    "entity_resolution_pipeline",
+    "events_daily",
+    "events_daily_approx",
+    "gated_dedup_pipeline",
+    "global_sort",
+    "grep",
+    "grouping_sets_revenue",
+    "heavy_hitters_sketch",
+    "hll_monthly_users",
+    "identity_projection",
+    "kmeans_assign_corpus",
+    "left_outer_order_counts",
+    "linestatus_priority_counts",
+    "logreg_score_corpus",
+    # ---- history: round-14 window, 50/50 driver-green in r14 ----
     # ---- round-14 window: pure staleness rotation (the r13 window came
     # back 50/50 driver-green, zero err — CORRECTNESS_r13.json), applied
     # verbatim from the PLANS.md draft committed in r13 (e82aae7). FIRST

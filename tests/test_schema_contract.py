@@ -113,57 +113,57 @@ def test_loaded_schema_matches_contract(spark, sf_dir, table):
 # registry._PROMOTE/_DEMOTE) must update this list deliberately.
 # ---------------------------------------------------------------------------
 
-DRIVER_WINDOW_R14 = [
-    "kmv_month_overlap",
-    "streaming_kmv_sketch_ingest",
-    "feature_drift_stats",
-    "stateful_user_type_rollup_tws",
-    "stateful_user_delta_log_tws",
-    "heavy_change_terms",
-    "stateful_user_rollup_tws",
-    "percentile_trim",
-    "pii_scrub",
-    "pivot_revenue_by_status",
-    "pps_sample",
-    "pseudonymize_customers",
-    "range_join_promos",
-    "scd2_point_in_time",
-    "scd2_priority_history",
-    "snapshot_diff",
-    "streaming_attribution_outer",
-    "streaming_dedup_within_watermark",
-    "streaming_events_hourly_append",
-    "streaming_events_sliding",
-    "streaming_sessions",
-    "streaming_static_enrichment",
-    "temperature_sample",
-    "triangle_count_nations",
-    "unpivot_revenue",
-    "variant_props_extract",
-    "vocab_encode",
-    "above_avg_orders",
-    "association_rules",
-    "balance_distribution",
-    "cms_word_freq",
-    "customer_balance_ntiles",
-    "distributed_kmeans_train",
-    "distributed_logreg_train",
-    "dynamic_partition_pruning",
-    "embedding_label_stats",
-    "event_peak_concurrency",
-    "exact_ols_train",
-    "exists_returned_orders",
-    "fuzzy_name_pairs",
-    "idle_high_balance_customers",
-    "important_parts",
-    "intersect_segments",
-    "json_props_extract",
-    "key_skew_profile",
-    "large_quantity_orders",
-    "market_share",
-    "max_revenue_supplier",
-    "media_frame_sample",
-    "media_metadata",
+DRIVER_WINDOW_R15 = [
+    "containment_dedup",
+    "ngram_novelty_score",
+    "media_resize",
+    "min_cost_supplier",
+    "moving_avg_orders",
+    "observed_quality_gate",
+    "order_gap_days",
+    "price_histogram",
+    "price_trend_by_nation",
+    "priority_conditional_agg",
+    "priority_transition_matrix",
+    "profit_by_nation_year",
+    "promo_revenue_ratio",
+    "props_map_explode",
+    "referential_audit",
+    "salted_supplier_revenue",
+    "skewed_distinct_users",
+    "stateful_user_rollup",
+    "stats_correlation",
+    "streaming_click_attribution",
+    "streaming_minhash_dedup",
+    "table_checksum",
+    "table_profile_orders",
+    "trailing_window_revenue",
+    "volume_shipping",
+    "zorder_layout",
+    "anti_join_customers",
+    "bracket_discount_revenue",
+    "broadcast_dim_join",
+    "constant_key_collapse",
+    "customer_order_distribution",
+    "decision_stump_split",
+    "dedup_connected_components_stars",
+    "distinct_words",
+    "doc_fingerprint",
+    "embedding_near_dup",
+    "entity_resolution_pipeline",
+    "events_daily",
+    "events_daily_approx",
+    "gated_dedup_pipeline",
+    "global_sort",
+    "grep",
+    "grouping_sets_revenue",
+    "heavy_hitters_sketch",
+    "hll_monthly_users",
+    "identity_projection",
+    "kmeans_assign_corpus",
+    "left_outer_order_counts",
+    "linestatus_priority_counts",
+    "logreg_score_corpus",
 ]
 
 
@@ -171,11 +171,11 @@ def test_driver_hash_window_is_frozen():
     from mapreduce_simulation_spark.plans import registry
 
     got = list(registry.queries())[:50]
-    assert got == DRIVER_WINDOW_R14, (
+    assert got == DRIVER_WINDOW_R15, (
         "the driver's first-50 hash window shifted — if this is an intended "
-        "promotion/demotion, update DRIVER_WINDOW_R14; otherwise find the "
+        "promotion/demotion, update DRIVER_WINDOW_R15; otherwise find the "
         "import/registration reorder that moved it.\n"
-        f"got:  {got}\nwant: {DRIVER_WINDOW_R14}"
+        f"got:  {got}\nwant: {DRIVER_WINDOW_R15}"
     )
 
 
@@ -183,7 +183,7 @@ def test_driver_window_queries_all_have_oracles():
     from mapreduce_simulation_spark.plans import registry
 
     oracles = registry.oracle_sql()
-    missing = [n for n in DRIVER_WINDOW_R14 if n not in oracles]
+    missing = [n for n in DRIVER_WINDOW_R15 if n not in oracles]
     assert missing == [], (
         f"driver-window queries without an exact oracle: {missing} — the "
         "gate would fall back to the weaker rows-only check"
@@ -192,10 +192,10 @@ def test_driver_window_queries_all_have_oracles():
 
 def test_registry_contents_do_not_depend_on_environment():
     # stateful_user_rollup_tws must be registered whether or not protobuf
-    # is importable. Since round 14 it sits INSIDE the hash window (slot 7
-    # of the never-driver-checked leads) to earn its first driver row.
+    # is importable. It earned its driver row in r14 (slot 7 of that
+    # window); since r15 it sits in the rotated-out body — still present,
+    # still swept every round by tools/verify_local.py.
     from mapreduce_simulation_spark.plans import registry
 
     names = list(registry.queries())
     assert "stateful_user_rollup_tws" in names
-    assert names.index("stateful_user_rollup_tws") == 6
