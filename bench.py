@@ -274,7 +274,7 @@ def _xproc_group(
 
     runs: list[dict] = []
     colds: list[dict] = []
-    calibs: list[float] = []
+    calibs: list[float | None] = []
     errors: dict[str, str] = {}
     for i in range(n_procs):
         proc = subprocess.run(
@@ -297,8 +297,10 @@ def _xproc_group(
             continue
         runs.append(parsed.get("timings", {}))
         colds.append(parsed.get("cold", {}))
-        if parsed.get("calib") is not None:
-            calibs.append(parsed["calib"])
+        # ALWAYS append (possibly None) so calibs stays index-aligned with
+        # runs/totals — a child whose calib measurement failed must not
+        # shift later children onto the wrong calib in _norm_median.
+        calibs.append(parsed.get("calib"))
         errors.update(parsed.get("errors", {}))
     names = sorted({n for r in runs for n in r})
     med = {}
@@ -517,6 +519,15 @@ def main() -> None:
     training = group_timings["training"]
     pipeline = group_timings["pipeline"]
     sketch = group_timings["sketch"]
+    # Transition-round dual record (r15+, ADVICE r14): the primary series'
+    # numerator switched methodology in r14 (in-process median-of-3 →
+    # median of warm runs in fresh child interpreters, which run a cooler
+    # JVM). Record the OLD numerator path too — same parent JVM as the
+    # calib denominator, same repeats — so the r13→r14+ join in
+    # calib_normalized_total is backed by a same-commit measured ratio
+    # (calib_normalized_total_inproc / calib_normalized_total) instead of
+    # an asserted continuity. Costs ~3 warm headline passes.
+    inproc_headline = run(HEADLINE, repeats=3) if use_xproc else dict(timings)
     sketch_r12 = run(SKETCH_R12, repeats=3)
     sketch_r13 = run(SKETCH_R13, repeats=3)
     curation_r14 = run(CURATION_R14, repeats=3)
@@ -527,7 +538,11 @@ def main() -> None:
         so one slow-host child moves one sample, not the recorded ratio."""
         totals = xproc_meta.get(f"{group}_runs", [])
         calibs = xproc_meta.get(f"{group}_calib_runs", [])
-        pairs = sorted(t / c for t, c in zip(totals, calibs) if c)
+        # calibs is index-aligned with totals (None where a child's calib
+        # failed); drop the unpaired samples, never shift them.
+        pairs = sorted(
+            t / c for t, c in zip(totals, calibs) if c is not None and c
+        )
         return round(pairs[len(pairs) // 2], 2) if pairs else None
 
     def _spread_pct(group: str) -> float | None:
@@ -596,6 +611,15 @@ def main() -> None:
         # pair each child's total with THAT child's own calib sample — a
         # new, fully cross-process series starting r14.
         "calib_normalized_total": round(total / spark_calib, 2)
+        if spark_calib
+        else None,
+        # the r1-r13 methodology measured on THIS commit (see the dual-
+        # record comment above): divide by calib_normalized_total for the
+        # measured cross-methodology ratio.
+        "value_inproc": round(sum(inproc_headline.values()), 3),
+        "calib_normalized_total_inproc": round(
+            sum(inproc_headline.values()) / spark_calib, 2
+        )
         if spark_calib
         else None,
         "calib_normalized_extended": round(

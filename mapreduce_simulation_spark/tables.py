@@ -49,10 +49,19 @@ def _file_sig(path: str) -> tuple | None:
     except OSError:
         return None
     if os.path.isdir(path):
-        # dataset dir: include the entry list so an in-place file swap
-        # that preserves the dir mtime still invalidates
+        # dataset dir: directory mtime only moves on create/delete/rename,
+        # so an in-place rewrite of a part file that keeps its name would
+        # slip past a names-only entry list — stat each entry and fold its
+        # (mtime_ns, size) into the signature too.
         try:
-            entries = tuple(sorted(os.listdir(path)))
+            entries = []
+            for e in sorted(os.listdir(path)):
+                try:
+                    est = os.stat(os.path.join(path, e))
+                    entries.append((e, est.st_mtime_ns, est.st_size))
+                except OSError:
+                    entries.append((e, -1, -1))
+            entries = tuple(entries)
         except OSError:
             entries = ()
         return (st.st_mtime_ns, st.st_size, entries)

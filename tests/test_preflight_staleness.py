@@ -107,3 +107,13 @@ def test_real_repo_state_satisfies_the_rotation_budget():
     window = set(list(e.queries())[:50])
     fail, note = pf._staleness_check(window, names)
     assert fail == [], note
+
+def test_all_names_in_window_is_a_pass_not_a_crash(tmp_path):
+    """Degenerate registry-fits-in-window case (ADVICE r14): with every
+    name inside the window the oldest-out-of-window min() runs on an empty
+    generator — must report, not raise ValueError."""
+    pf = _load_preflight()
+    _write_rounds(tmp_path, {8: {"a": True, "b": True}})
+    fail, note = _check_in(pf, tmp_path, window={"a", "b"}, names={"a", "b"})
+    assert fail == []
+    assert "r9" in note  # oldest defaults to the upcoming round

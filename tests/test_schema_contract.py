@@ -199,3 +199,27 @@ def test_registry_contents_do_not_depend_on_environment():
 
     names = list(registry.queries())
     assert "stateful_user_rollup_tws" in names
+
+
+def test_file_sig_detects_in_place_part_overwrite(tmp_path):
+    """ADVICE r14: a part file rewritten in place under the SAME name does
+    not move the directory mtime (that only changes on create/delete/
+    rename), so the dataset signature must fold each entry's own
+    (mtime_ns, size) in — not just the sorted names."""
+    import os
+
+    from mapreduce_simulation_spark.tables import _file_sig
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    part = d / "part-00000"
+    part.write_bytes(b"aaaa")
+    os.utime(part, ns=(1_000, 1_000))
+    os.utime(d, ns=(1_000, 1_000))
+    sig1 = _file_sig(str(d))
+    # same entry name, same byte count, new content/mtime; dir pinned
+    part.write_bytes(b"bbbb")
+    os.utime(part, ns=(2_000, 2_000))
+    os.utime(d, ns=(1_000, 1_000))
+    sig2 = _file_sig(str(d))
+    assert sig1 != sig2

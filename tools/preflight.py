@@ -70,7 +70,12 @@ def _staleness_check(
         for n in names
         if n not in window and upcoming - latest[n] > MAX_STALE_ROUNDS
     )
-    oldest = min(latest[n] for n in names if n not in window)
+    # default guards the degenerate registry-fits-in-window case (every
+    # name in-window → empty generator must read as "nothing stale", not
+    # a ValueError that turns preflight into a crash).
+    oldest = min(
+        (latest[n] for n in names if n not in window), default=upcoming
+    )
     note = (
         f"staleness: coverage {len(names)}/{len(names)}, oldest "
         f"out-of-window green r{oldest} vs upcoming r{upcoming} "
