@@ -1401,7 +1401,8 @@ GATED_PIPELINE_SQL = _gated_pipeline_oracle_sql()
 # ---------------------------------------------------------------------------
 
 CONTAIN_MIN = 0.8  # emit pairs where either direction's containment >= this
-CONTAIN_BUCKET_CAP = 64  # skip min-shingle buckets larger than this
+CONTAIN_BUCKET_CAP = 64  # skip anchor buckets larger than this
+CONTAIN_ANCHORS = 3  # bottom-anchor bands m: candidate recall 1-(1-J)^m
 
 
 def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,44 +1413,80 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = |A|/|B| ≈ 0 when B is much longer. Production curation
     (quote/subset scrubbing) needs this as its own pass.
 
-    Candidates bucket on each document's MINIMUM shingle hash: if A ⊆ B
-    (full containment), min(A) ∈ B, and min(A) = min(B) exactly when B's
-    global minimum lies inside the shared part — the single-anchor analog
-    of one LSH band at signature length 1. Each doc contributes ONE
-    8-byte bucket key, so candidate generation is one exchange on the
-    anchor, and buckets larger than CONTAIN_BUCKET_CAP (a viral
-    boilerplate string) are skipped — the SHINGLE_DF_CAP discipline; the
-    cap is part of the declared semantics and the oracle replays it.
-    Candidate pairs are then verified EXACTLY against the staged shingle
-    store (intersection volume = Σ|A| over candidates, never corpus²),
-    and both directions' containment are emitted for pairs where either
-    reaches CONTAIN_MIN. Doubles are single IEEE divisions of exact
-    counts — exact value-hash oracle.
+    Candidates bucket on CONTAIN_ANCHORS independent min-hash anchors
+    (``perm_hash`` permutations of the shingle hash, min per doc — LSH
+    bands at signature length 1). RECALL ENVELOPE, stated the way the ANN
+    top-k queries state theirs: band i collides exactly when that
+    permutation's argmin over A∪B lands in A∩B, which happens with
+    probability J = jaccard(A, B), so
+    ``P(candidate) = 1 - (1-J)^CONTAIN_ANCHORS``. A single anchor is the
+    degenerate m=1 case whose recall IS the pair's jaccard — precisely the
+    quantity asymmetric pairs are low on (a doc quoted whole inside a
+    4×-longer page has J = 1/4: one anchor catches 25 %, m=3 catches
+    1-(3/4)³ ≈ 58 %). The knob is CONTAIN_ANCHORS — recall multiplies at
+    O(m) 8-byte keys/doc and m candidate exchanges, never corpus². The
+    envelope governs which pairs SURFACE; every surfaced pair's values
+    are exact (verified below), so the oracle replays the same anchors
+    and stays value-hash exact. Anchor buckets larger than
+    CONTAIN_BUCKET_CAP (a viral boilerplate string) are skipped per band
+    — the SHINGLE_DF_CAP discipline; the cap is part of the declared
+    semantics and the oracle replays it. Candidate pairs are deduped
+    across bands, then verified EXACTLY against the staged shingle store
+    (intersection volume = Σ|A| over candidates), and both directions'
+    containment are emitted for pairs where either reaches CONTAIN_MIN.
+    Doubles are single IEEE divisions of exact counts — exact value-hash
+    oracle.
 
     Reference parity: no dedup surface in the reference engine
     (HaolingPu/MapReduce-Simulation) — LLM-pipeline extension tier,
     sibling of dedup_minhash_lsh (symmetric jaccard twin).
 
     Scale: three reads of the staged integer shingle parquet (sizes,
-    anchors, verification join) — no raw text moves; one exchange per
-    groupBy/join; candidate fan-out bounded by CAP² per bucket.
+    anchors, verification join) — no raw text moves; the anchor build is
+    ONE partial-agg exchange (m mins in one groupBy — map-side combine
+    shrinks the shuffle to one row/doc, unlike a per-doc bottom-m window
+    sort which would move every shingle row); candidate fan-out bounded
+    by m·CAP² per bucket.
     """
     sh = staged_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    anchor = sh.groupBy("doc_id").agg(F.min("shingle").alias("bucket"))
+    anchor = sh.groupBy("doc_id").agg(
+        *[
+            F.min(H.perm_hash(F.col("shingle"), i)).alias(f"a{i}")
+            for i in range(CONTAIN_ANCHORS)
+        ]
+    )
+    anchors = anchor.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"a{i}").alias("bucket")
+                    )
+                    for i in range(CONTAIN_ANCHORS)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.band", "x.bucket")
     ok = (
-        anchor.groupBy("bucket")
+        anchors.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("bn"))
         .where(F.col("bn") <= CONTAIN_BUCKET_CAP)
-        .select("bucket")
+        .select("band", "bucket")
     )
-    a = anchor.join(ok, "bucket").select(
-        F.col("doc_id").alias("doc_a"), "bucket"
+    a = anchors.join(ok, ["band", "bucket"]).select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
     )
-    b = anchor.join(ok, "bucket").select(
-        F.col("doc_id").alias("doc_b"), "bucket"
+    b = anchors.join(ok, ["band", "bucket"]).select(
+        F.col("doc_id").alias("doc_b"), "band", "bucket"
     )
-    cand = a.join(b, "bucket").where(F.col("doc_a") < F.col("doc_b"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()  # a pair caught by 2+ bands verifies once
+    )
     inter = (
         cand.join(
             sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
@@ -1493,14 +1530,28 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_DEDUP_SQL = f"""
 WITH {_SHINGLES_SQL},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-anchor AS (SELECT doc_id, min(shingle) AS bucket FROM sh GROUP BY doc_id),
+anchor AS (
+  SELECT doc_id,
+         {", ".join(
+             f"min({H.perm_hash_sql('shingle', i)}) AS a{i}"
+             for i in range(CONTAIN_ANCHORS)
+         )}
+  FROM sh GROUP BY doc_id
+),
+anchors AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {i} AS band, a{i} AS bucket FROM anchor"
+      for i in range(CONTAIN_ANCHORS)
+  )}
+),
 ok AS (
-  SELECT bucket FROM anchor GROUP BY bucket
+  SELECT band, bucket FROM anchors GROUP BY band, bucket
   HAVING count(*) <= {CONTAIN_BUCKET_CAP}
 ),
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM anchor a JOIN ok USING (bucket) JOIN anchor b USING (bucket)
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM anchors a JOIN ok USING (band, bucket)
+  JOIN anchors b USING (band, bucket)
   WHERE a.doc_id < b.doc_id
 ),
 inter AS (

@@ -1385,9 +1385,9 @@ def test_containment_semantics_on_constructed_corpus(spark, tmp_path):
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
 
     rows = dedup.containment_dedup(spark, str(tmp_path)).collect()
-    # the short doc's min shingle is shared with the long doc iff the
-    # long doc's global min falls in the quoted prefix — not guaranteed
-    # by hashes, so assert conditionally on candidate generation but
+    # a band's anchors agree iff that permutation's argmin over the long
+    # doc falls in the quoted prefix — P = 1-(1-J)^CONTAIN_ANCHORS, not
+    # guaranteed, so assert conditionally on candidate generation but
     # UNCONDITIONALLY on the verify arithmetic below
     got = {(r.doc_a, r.doc_b): r for r in rows}
     assert all({a, b} != {0, 2} and {a, b} != {1, 2} for a, b in got)
@@ -1406,3 +1406,106 @@ def test_containment_semantics_on_constructed_corpus(spark, tmp_path):
     )
     oracle = con.execute(dedup.CONTAINMENT_DEDUP_SQL).fetchall()
     assert {(o[0], o[1]) for o in oracle} == set(got)
+
+
+def test_containment_recall_envelope_on_planted_pairs(spark, tmp_path):
+    """r14 verdict item 3: the containment candidate stage is probabilistic
+    and its recall law must be pinned the way the ANN queries pin theirs.
+    Law: anchor band i collides iff that permutation's argmin over A∪B
+    lands in A∩B — probability J = jaccard(A, B) per band, so
+    P(candidate) = 1-(1-J)^CONTAIN_ANCHORS. This plants 40 asymmetric
+    pairs at containment ≈ 0.8 (J ≈ 0.35, where a single min-anchor's
+    expected recall is only ~35 %), computes ground truth by brute force
+    with the same fold in pure Python, and asserts (a) every emitted pair
+    is value-exact vs brute force, (b) the m-band candidate set contains
+    the band-0-only one (recall is monotone in m and strictly better
+    here), and (c) measured recall clears a floor above the m=1 envelope
+    — all deterministic integer hashing, exact replays, not flaky
+    statistics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_simulation_spark.functions.hashing import (
+        MINHASH_PERMS,
+        P as HP,
+    )
+    from mapreduce_simulation_spark.operators import dedup
+
+    n_pairs = 40
+    texts = []
+    for p in range(n_pairs):
+        a_toks = [f"p{p}w{i}" for i in range(50)]
+        # B = 43-token prefix of A + unique tail → 41 of A's 48 shingles
+        # shared → containment ≈ 0.85, J = 41/108 ≈ 0.38
+        b_toks = a_toks[:43] + [f"p{p}t{i}" for i in range(60)]
+        texts += [" ".join(a_toks), " ".join(b_toks)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    def tok_hash(w: str) -> int:
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % HP
+        return h
+
+    def shingle_set(text: str) -> set[int]:
+        hs = [tok_hash(w) for w in text.lower().split()]
+        return {
+            ((hs[i] * 131 + hs[i + 1]) % HP * 131 + hs[i + 2]) % HP
+            for i in range(len(hs) - 2)
+        }
+
+    sets = [shingle_set(t) for t in texts]
+    planted = set()
+    gt_vals = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            if not inter:
+                continue
+            if (
+                inter / len(sets[i]) >= dedup.CONTAIN_MIN
+                or inter / len(sets[j]) >= dedup.CONTAIN_MIN
+            ):
+                planted.add((i, j))
+                gt_vals[(i, j)] = (len(sets[i]), len(sets[j]), inter)
+    # the construction yields exactly the 40 (A_p, B_p) pairs
+    assert planted == {(2 * p, 2 * p + 1) for p in range(n_pairs)}
+
+    def band_min(s: set[int], band: int) -> int:
+        a, b = MINHASH_PERMS[band]
+        return min((x * a + b) % HP for x in s)
+
+    def caught_with(m: int) -> set[tuple[int, int]]:
+        return {
+            pair
+            for pair in planted
+            if any(
+                band_min(sets[pair[0]], i) == band_min(sets[pair[1]], i)
+                for i in range(m)
+            )
+        }
+
+    expected_caught = caught_with(dedup.CONTAIN_ANCHORS)
+    assert expected_caught >= caught_with(1)
+    assert len(expected_caught) > len(caught_with(1))
+
+    rows = dedup.containment_dedup(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b): (r.n_a, r.n_b, r.n_inter) for r in rows}
+    # (a) exactness: emitted ⊆ ground truth with exact counts
+    for pair, vals in got.items():
+        assert pair in planted and gt_vals[pair] == vals, (pair, vals)
+    # the operator's candidate stage must agree with the pure-Python replay
+    assert set(got) == expected_caught
+    # (c) recall floor: above the m=1 envelope (J ≈ 0.35), below-slack of
+    # the m=3 one (1-(1-J)³ ≈ 0.73) — deterministic on this corpus
+    recall = len(got) / n_pairs
+    assert recall >= 0.55, recall
