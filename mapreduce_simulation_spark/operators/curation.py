@@ -37,6 +37,7 @@ from .caching import persist_tracked
 
 from ..functions import hashing as H
 from ..tables import load_table
+from ..staging import read_staged
 from .dedup import _SHINGLES_SQL, _shingles
 from .text import bigram_pairs, staged_tokenized_docs, tokens
 
@@ -1630,7 +1631,7 @@ def _staged_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = os.path.join(root, "_tmp_w")
         wtab.write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-    return spark.read.parquet(final)
+    return read_staged(spark, final)
 
 
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2093,9 +2094,9 @@ def _staged_ccnet_lm(
         ).write.mode("overwrite").parquet(os.path.join(tmp, "v"))
         os.rename(tmp, final)
     return (
-        spark.read.parquet(os.path.join(final, "c12")),
-        spark.read.parquet(os.path.join(final, "c1")),
-        spark.read.parquet(os.path.join(final, "v")),
+        read_staged(spark, os.path.join(final, "c12")),
+        read_staged(spark, os.path.join(final, "c1")),
+        read_staged(spark, os.path.join(final, "v")),
     )
 
 

@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 
 from ..functions import hashing as H
 from ..tables import load_table
+from ..staging import read_staged
 from .caching import persist_tracked
 from .text import tokens
 
@@ -133,7 +134,7 @@ def staged_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(tmp)
         os.rename(tmp, final)
-    return spark.read.parquet(final)
+    return read_staged(spark, final)
 
 
 # ---------------------------------------------------------------------------
@@ -592,7 +593,7 @@ def staged_near_dup_pairs(
             docs_full, sh=staged_shingles(spark, sf_dir)
         ).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-    return spark.read.parquet(final)
+    return read_staged(spark, final)
 
 
 DEDUP_NGRAM_SQL = f"""
@@ -845,7 +846,7 @@ def _staged_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(tmp)
         os.rename(tmp, final)
-    return spark.read.parquet(final)
+    return read_staged(spark, final)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1165,7 +1166,7 @@ def _staged_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_jaccard", "exact_jaccard"
         ).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-    return spark.read.parquet(final)
+    return read_staged(spark, final)
 
 
 def banding_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1610,7 +1611,7 @@ def _staged_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = os.path.join(root, "_tmp_fp")
         _simhash_from_counts(tok_cnt).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-    return spark.read.parquet(final)
+    return read_staged(spark, final)
 
 
 def _simhash_from_counts(tok_cnt: DataFrame) -> DataFrame:

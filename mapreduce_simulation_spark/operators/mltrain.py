@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from ..staging import read_staged
 
 SCALE = 1_000_000
 LOGREG_ITERS = 5
@@ -296,7 +297,7 @@ def _staged_logreg_weights(spark: SparkSession, sf_dir: str) -> list[int]:
             [(j, w[j]) for j in range(4)], "j int, w bigint"
         ).repartition(1).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-    rows = spark.read.parquet(final).collect()
+    rows = read_staged(spark, final).collect()
     out = [0, 0, 0, 0]
     for r in rows:
         out[r.j] = int(r.w)
@@ -530,7 +531,7 @@ def _staged_kmeans_centroids(
             "overwrite"
         ).parquet(tmp)
         os.rename(tmp, final)
-    rows = spark.read.parquet(final).collect()
+    rows = read_staged(spark, final).collect()
     dim = 1 + max(r.dim for r in rows)
     cents = [[0] * dim for _ in range(KMEANS_K)]
     for r in rows:

@@ -44,6 +44,7 @@ from pyspark.sql.window import Window
 
 
 from ..tables import load_table
+from ..staging import read_staged
 from .similarity import _as_double, _dot, _norm
 from .text import tokens
 
@@ -102,7 +103,7 @@ def _staged_tf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("tf")
         ).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-    return spark.read.parquet(final)
+    return read_staged(spark, final)
 
 
 def _staged_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +123,7 @@ def _staged_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tf").cast("long").alias("dl")
         ).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-    return spark.read.parquet(final)
+    return read_staged(spark, final)
 
 
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

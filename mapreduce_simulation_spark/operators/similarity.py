@@ -295,7 +295,7 @@ def _staged_band_signatures(
             spark.sparkContext.defaultParallelism
         ).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-    return spark.read.parquet(final)
+    return read_staged(spark, final)
 
 
 def near_dup_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,7 +569,7 @@ def _staged_ivf_assign(
             spark.sparkContext.defaultParallelism
         ).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-    return spark.read.parquet(final)
+    return read_staged(spark, final)
 
 
 # Codebook training sample cap: k-means for a k≤16 codebook needs a few
@@ -592,6 +592,7 @@ CB_ITERS = 3
 CB_SCALE = 1_000_000
 
 from ..functions.hashing import MINHASH_PERMS as _PERMS, P as _HASH_P
+from ..staging import read_staged
 
 (_CB_A, _CB_B) = _PERMS[2]  # distinct stream from MinHash/HLL uses
 
@@ -703,7 +704,7 @@ def _staged_trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid bigint, cv array<double>",
         ).repartition(1).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-    return spark.read.parquet(final).select(
+    return read_staged(spark, final).select(
         "cid", "cv", _norm(F.col("cv")).alias("cn")
     )
 
@@ -1359,8 +1360,8 @@ def _staged_pq_index(
         codes.write.mode("overwrite").parquet(tmp_e)
         os.rename(tmp_e, codes_final)
     return (
-        spark.read.parquet(cents_final),
-        spark.read.parquet(codes_final),
+        read_staged(spark, cents_final),
+        read_staged(spark, codes_final),
     )
 
 

@@ -19,6 +19,7 @@ from .caching import persist_tracked
 
 from ..functions.hashing import char_hash
 from ..tables import load_table
+from ..staging import read_staged
 
 # Tiny multilingual stopword marker sets for the language-ID heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -101,7 +102,7 @@ def staged_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(tmp)
         os.rename(tmp, final)
-    return spark.read.parquet(final)
+    return read_staged(spark, final)
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..tables import load_table
+from ..staging import read_staged
 
 
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,7 +731,7 @@ def partitioned_source_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").write.partitionBy("lang").mode(
         "overwrite"
     ).parquet(stage)
-    docs = spark.read.parquet(stage)
+    docs = read_staged(spark, stage)
     return (
         docs.where(F.col("lang").isin("de", "es"))
         .groupBy("lang", "source")
@@ -3518,7 +3519,7 @@ def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn(
             "month", F.date_format("o_orderdate", "yyyy-MM")
         ).write.mode("overwrite").partitionBy("month").parquet(stage)
-    fact = spark.read.parquet(stage)
+    fact = read_staged(spark, stage)
     li = load_table(spark, sf_dir, "lineitem")
     dim = (
         li.where(F.col("l_quantity") >= 45)

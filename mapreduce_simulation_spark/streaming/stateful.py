@@ -630,7 +630,7 @@ def _staged_gate_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-batch drain makes bucket minima batch-global."""
     import os
 
-    from ..staging import keyed_staging_dir
+    from ..staging import keyed_staging_dir, read_staged
 
     root, _ = keyed_staging_dir("gate_verdicts_", f"sf={sf_dir}")
     final = os.path.join(root, "verdicts")
@@ -640,7 +640,7 @@ def _staged_gate_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sparkContext.defaultParallelism
         ).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-    return spark.read.parquet(final)
+    return read_staged(spark, final)
 
 
 def gated_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -134,7 +134,11 @@ def main() -> None:
             "entity_resolution_pipeline",
         ]
     elif unique:
-        probes = ["dedup_exact", "dedup_minhash_lsh"]
+        # containment_dedup added r15: its anchor/cap/verify path is the
+        # newest banded discipline — the clique-free rewrite preserves
+        # each copy's internal containment pairs so the workload scales
+        # exactly N× (r14 verdict item 4).
+        probes = ["dedup_exact", "dedup_minhash_lsh", "containment_dedup"]
     elif events_mode:
         probes = [
             "events_daily",
