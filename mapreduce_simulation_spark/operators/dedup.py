@@ -1576,6 +1576,188 @@ WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= {CONTAIN_MIN}
 """
 
 
+AUDIT_PANE_CAP = 200  # fixed-size audit pane — corpus-independent cost
+AUDIT_PERM = 7  # MINHASH_PERMS index for pane selection (disjoint from
+#                 the CONTAIN_ANCHORS bands 0..2, so the pane draw can't
+#                 correlate with the anchor collisions it audits)
+AUDIT_J_FLOOR = 0.05  # pairs below this jaccard aren't audit-relevant
+
+
+def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall audit for the containment candidate stage — the
+    production QA pass that turns containment_dedup's PAPER envelope
+    (P(candidate) = 1-(1-J)^CONTAIN_ANCHORS) into a per-corpus MEASURED
+    table, the way real pipelines periodically audit their LSH recall on
+    a sample instead of trusting the formula across corpus drift.
+
+    Pane: the AUDIT_PANE_CAP documents with the smallest
+    ``perm_hash(doc_id, AUDIT_PERM)`` (tie-broken on doc_id) — a
+    deterministic uniform draw whose size is FIXED, so the audit's
+    all-pairs term is pane²-bounded and independent of corpus size (a
+    fixed FRACTION would re-grow quadratically with the corpus). Within
+    the pane: exact ground truth from the staged shingle store (every
+    pair sharing ≥1 shingle, true jaccard from full shingle sets), the
+    anchor verdict from the SAME perm-hash minima containment_dedup
+    buckets on, and the analytic prediction — per pair:
+    ``bands_agree`` (how many of the m anchor bands collide), ``caught``
+    (≥1 band — would the pair surface as a candidate), and ``predicted``
+    (1-(1-J)^m, expanded as repeated IEEE multiplication, not libm
+    pow(), so both engines produce the identical double). Audits the
+    PROBABILISTIC stage only: the deterministic CONTAIN_BUCKET_CAP skip
+    is corpus-level semantics pinned by its own tests, not re-applied
+    inside the pane.
+
+    Reference parity: no dedup surface in the reference engine
+    (HaolingPu/MapReduce-Simulation) — LLM-pipeline extension tier, QA
+    sibling of containment_dedup.
+
+    Scale: pane selection is a top-k (TakeOrdered — no global sort
+    materialization); everything after is pane-bounded (≤ CAP docs'
+    shingles self-joined), so the audit costs the same at sf0.01 and at
+    100 TB. Exact value-hash oracle.
+    """
+    m = CONTAIN_ANCHORS
+    sh = staged_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pane = (
+        sizes.select(
+            "doc_id", H.perm_hash(F.col("doc_id"), AUDIT_PERM).alias("ph")
+        )
+        .orderBy("ph", "doc_id")
+        .limit(AUDIT_PANE_CAP)
+        .select("doc_id")
+    )
+    psh = sh.join(pane, "doc_id")
+    anchor = psh.groupBy("doc_id").agg(
+        *[
+            F.min(H.perm_hash(F.col("shingle"), i)).alias(f"a{i}")
+            for i in range(m)
+        ]
+    )
+    pairs = (
+        psh.alias("a")
+        .join(psh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    jp = (
+        pairs.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= AUDIT_J_FLOOR)
+    )
+    agree = sum(
+        (F.col(f"x{i}") == F.col(f"y{i}")).cast("long") for i in range(m)
+    )
+    miss = F.lit(1.0) - F.col("jaccard")
+    predicted = F.lit(1.0) - _times(miss, m)
+    return (
+        jp.join(
+            anchor.select(
+                F.col("doc_id").alias("doc_a"),
+                *[F.col(f"a{i}").alias(f"x{i}") for i in range(m)],
+            ),
+            "doc_a",
+        )
+        .join(
+            anchor.select(
+                F.col("doc_id").alias("doc_b"),
+                *[F.col(f"a{i}").alias(f"y{i}") for i in range(m)],
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            "jaccard",
+            agree.alias("bands_agree"),
+            (agree >= 1).cast("long").alias("caught"),
+            predicted.alias("predicted"),
+        )
+    )
+
+
+def _times(col, k: int):
+    """col multiplied by itself k times via repeated IEEE multiplication —
+    the libm-free pow(col, k) both engines reproduce bit-for-bit."""
+    out = col
+    for _ in range(k - 1):
+        out = out * col
+    return out
+
+
+def _audit_sql() -> str:
+    m = CONTAIN_ANCHORS
+    mins = ", ".join(
+        f"min({H.perm_hash_sql('shingle', i)}) AS a{i}" for i in range(m)
+    )
+    agree = " + ".join(
+        f"CAST(xa.a{i} = xb.a{i} AS BIGINT)" for i in range(m)
+    )
+    miss = "(1.0 - jp.jaccard)"
+    predicted = "1.0 - " + " * ".join([miss] * m)
+    return f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pane AS (
+  SELECT doc_id FROM sizes
+  ORDER BY {H.perm_hash_sql('doc_id', AUDIT_PERM)}, doc_id
+  LIMIT {AUDIT_PANE_CAP}
+),
+psh AS (SELECT sh.doc_id, shingle FROM sh JOIN pane USING (doc_id)),
+anchor AS (SELECT doc_id, {mins} FROM psh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM psh a JOIN psh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT p.doc_a, p.doc_b, sa.n AS n_a, sb.n AS n_b, p.n_inter,
+         CAST(p.n_inter AS DOUBLE)
+           / CAST(sa.n + sb.n - p.n_inter AS DOUBLE) AS jaccard
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE CAST(p.n_inter AS DOUBLE)
+          / CAST(sa.n + sb.n - p.n_inter AS DOUBLE) >= {AUDIT_J_FLOOR}
+)
+SELECT jp.doc_a, jp.doc_b,
+       CAST(jp.n_a AS BIGINT) AS n_a,
+       CAST(jp.n_b AS BIGINT) AS n_b,
+       CAST(jp.n_inter AS BIGINT) AS n_inter,
+       jp.jaccard,
+       {agree} AS bands_agree,
+       CAST(({agree}) >= 1 AS BIGINT) AS caught,
+       {predicted} AS predicted
+FROM jp
+JOIN anchor xa ON xa.doc_id = jp.doc_a
+JOIN anchor xb ON xb.doc_id = jp.doc_b
+"""
+
+
+CONTAINMENT_RECALL_AUDIT_SQL = _audit_sql()
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 30-bit frequency-weighted sign fingerprint."""
     tok_cnt = (

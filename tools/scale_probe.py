@@ -446,13 +446,27 @@ def main() -> None:
                 else:
                     force(qs[name](spark, sf))
                     row[label] = round(time.perf_counter() - t0, 2)
+                    # warm second run (r15, parity with the sketch/events
+                    # branches): cold absorbs the corpus-linear staged
+                    # builds; warm is the serve law — what a re-run sweep
+                    # costs once the per-corpus artifacts exist
+                    release_tracked()
+                    t0 = time.perf_counter()
+                    force(qs[name](spark, sf))
+                    row[f"{label}_warm"] = round(
+                        time.perf_counter() - t0, 2
+                    )
             except Exception as ex:  # noqa: BLE001
-                row[label] = None
+                row.setdefault(label, None)
                 row["error"] = str(ex)[:120]
             finally:
                 release_tracked()
         if row.get("base") and row.get("big"):
             row["ratio"] = round(row["big"] / row["base"], 1)
+        if row.get("base_warm") and row.get("big_warm"):
+            row["warm_ratio"] = round(
+                row["big_warm"] / row["base_warm"], 1
+            )
         if pipeline_mode and name == "streaming_minhash_dedup":
             # the gate's scale law: per-batch band joins against the
             # persisted index — report drain milliseconds per document
@@ -469,6 +483,8 @@ def main() -> None:
         print(
             f"{name:28s} base {row.get('base')}s  "
             f"x{n_copies} {row.get('big')}s  ratio {row.get('ratio')}"
+            f"  warm {row.get('base_warm')}s/{row.get('big_warm')}s"
+            f" = {row.get('warm_ratio')}"
         )
     print(
         json.dumps(
