@@ -183,6 +183,73 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) tokenizer fertility — the corpus-QA table a
+    training pipeline tracks per slice before committing a tokenizer:
+    document count, exact char / whitespace-token / BPE-ish-token totals,
+    and the derived rates (fertility = BPE tokens per whitespace word;
+    chars_per_token = compression), each ONE IEEE division of exact
+    bigint sums (div-by-zero guarded to NULL on both engines).
+
+    Reference parity: no text surface in the reference engine
+    (HaolingPu/MapReduce-Simulation) — LLM-pipeline extension tier,
+    aggregate sibling of token_count_bpe.
+
+    Scale: one corpus scan with all counting inside whole-stage codegen
+    (regexp_count + size — no explode, no UDF, the raw text never
+    shuffles), then one partial-agg exchange whose payload is
+    |lang × source| rows — the shuffle is the group cardinality, not the
+    corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("chars"),
+        F.size(tokens(F.col("text"))).cast("long").alias("ws"),
+        F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("long")
+        .alias("bpe"),
+    )
+    ws_sum = F.sum("ws").cast("long")
+    bpe_sum = F.sum("bpe").cast("long")
+    chars_sum = F.sum("chars").cast("long")
+    return per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        chars_sum.alias("total_chars"),
+        ws_sum.alias("total_ws_tokens"),
+        bpe_sum.alias("total_bpe_tokens"),
+        F.when(
+            ws_sum > 0, bpe_sum.cast("double") / ws_sum.cast("double")
+        ).alias("fertility"),
+        F.when(
+            bpe_sum > 0, chars_sum.cast("double") / bpe_sum.cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH per AS (
+  SELECT lang, source,
+         length(text) AS chars,
+         len(list_filter(str_split_regex(lower(text), '\s+'),
+             x -> x <> '')) AS ws,
+         len(regexp_extract_all(lower(text),
+             ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS bpe
+  FROM documents
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(ws) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(bpe) AS DOUBLE) / CAST(nullif(sum(ws), 0) AS DOUBLE)
+         AS fertility,
+       CAST(sum(chars) AS DOUBLE) / CAST(nullif(sum(bpe), 0) AS DOUBLE)
+         AS chars_per_token
+FROM per GROUP BY lang, source
+"""
+
+
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization — the cleanup pass ahead of tokenize/dedup in a
     curation pipeline: lowercase, strip non-alphanumeric-non-space chars,

@@ -1063,6 +1063,15 @@ register(
     """,
 )
 
+# Late-r15 addition — never driver-checked; leads the r16 window per the
+# rotation policy. Tokenizer-QA aggregate: per-(lang, source) fertility /
+# compression from exact codegen counts, one group-cardinality exchange.
+register(
+    "tokenizer_fertility_stats",
+    text.tokenizer_fertility_stats,
+    text.TOKENIZER_FERTILITY_SQL,
+)
+
 # ---------------------------------------------------------------------------
 # Deduplication (LLM-pipeline operators)
 # ---------------------------------------------------------------------------
@@ -1091,6 +1100,16 @@ register(
     "containment_dedup",
     dedup.containment_dedup,
     dedup.CONTAINMENT_DEDUP_SQL,
+)
+# Late-r15 addition — never driver-checked; leads the r16 window per the
+# rotation policy. Measured recall QA for the containment anchor stage:
+# fixed-size pane (top-k by a disjoint perm-hash), exact in-pane ground
+# truth, per-pair bands_agree/caught/predicted — the audit pass that
+# pins the 1-(1-J)^m envelope to the actual corpus.
+register(
+    "containment_recall_audit",
+    dedup.containment_recall_audit,
+    dedup.CONTAINMENT_RECALL_AUDIT_SQL,
 )
 # Sketch calibration: estimated (signature-match) vs exact jaccard per
 # LSH candidate pair, unthresholded — both divisions of exact integers,

@@ -1509,3 +1509,109 @@ def test_containment_recall_envelope_on_planted_pairs(spark, tmp_path):
     # the m=3 one (1-(1-J)³ ≈ 0.73) — deterministic on this corpus
     recall = len(got) / n_pairs
     assert recall >= 0.55, recall
+
+
+def test_containment_recall_audit_replays_the_envelope(spark, tmp_path):
+    """The audit query's bands_agree / caught / predicted columns must be
+    exact replays of the anchor law on a corpus small enough that the
+    fixed pane covers it entirely — every planted pair appears, and every
+    column matches a pure-Python recomputation bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_simulation_spark.functions.hashing import (
+        MINHASH_PERMS,
+        P as HP,
+    )
+    from mapreduce_simulation_spark.operators import dedup
+
+    n_pairs = 10
+    texts = []
+    for p in range(n_pairs):
+        a_toks = [f"q{p}w{i}" for i in range(50)]
+        b_toks = a_toks[:43] + [f"q{p}t{i}" for i in range(60)]
+        texts += [" ".join(a_toks), " ".join(b_toks)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    def tok_hash(w: str) -> int:
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % HP
+        return h
+
+    def shingle_set(text: str) -> set[int]:
+        hs = [tok_hash(w) for w in text.lower().split()]
+        return {
+            ((hs[i] * 131 + hs[i + 1]) % HP * 131 + hs[i + 2]) % HP
+            for i in range(len(hs) - 2)
+        }
+
+    sets = [shingle_set(t) for t in texts]
+    m = dedup.CONTAIN_ANCHORS
+    rows = dedup.containment_recall_audit(spark, str(tmp_path)).collect()
+    # pane (cap 200) covers all 20 docs; the only shingle-sharing pairs
+    # are the planted ones, all above the jaccard floor
+    assert {(r.doc_a, r.doc_b) for r in rows} == {
+        (2 * p, 2 * p + 1) for p in range(n_pairs)
+    }
+    for r in rows:
+        sa, sb = sets[r.doc_a], sets[r.doc_b]
+        inter = len(sa & sb)
+        assert (r.n_a, r.n_b, r.n_inter) == (len(sa), len(sb), inter)
+        jac = inter / (len(sa) + len(sb) - inter)
+        assert r.jaccard == jac
+        agree = sum(
+            min((x * MINHASH_PERMS[i][0] + MINHASH_PERMS[i][1]) % HP for x in sa)
+            == min((x * MINHASH_PERMS[i][0] + MINHASH_PERMS[i][1]) % HP for x in sb)
+            for i in range(m)
+        )
+        assert r.bands_agree == agree
+        assert r.caught == (1 if agree >= 1 else 0)
+        pred = 1.0
+        q = 1.0 - jac
+        acc = q
+        for _ in range(m - 1):
+            acc = acc * q
+        pred = 1.0 - acc
+        assert r.predicted == pred
+
+
+def test_tokenizer_fertility_zero_token_group_yields_null(spark, tmp_path):
+    """A slice whose documents produce zero tokens must emit NULL rates,
+    not a div-by-zero artifact — pinned on both engines (the oracle uses
+    nullif; the plan uses a WHEN guard)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_simulation_spark.operators import text as T
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["   ", "hello world hello"]),
+            "lang": pa.array(["xx", "en"]),
+            "source": pa.array(["t", "t"]),
+            "n_chars": pa.array([3, 17], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {
+        r.lang: r
+        for r in T.tokenizer_fertility_stats(spark, str(tmp_path)).collect()
+    }
+    assert rows["xx"].total_ws_tokens == 0
+    assert rows["xx"].fertility is None
+    assert rows["xx"].chars_per_token is None
+    en = rows["en"]
+    assert en.total_ws_tokens == 3 and en.total_bpe_tokens == 3
+    assert en.fertility == 1.0
+    assert en.chars_per_token == 17 / 3
