@@ -148,6 +148,14 @@ CURATION_R14 = [
     "containment_dedup",
 ]
 
+# Round-15 additions, same own-group rule: the containment-recall audit
+# (pane-bounded QA pass over the staged shingle store) and the tokenizer
+# fertility aggregate (one codegen scan + group-cardinality exchange).
+QA_R15 = [
+    "containment_recall_audit",
+    "tokenizer_fertility_stats",
+]
+
 # Round-10 additions, same own-group rule: the gate→batch dedup pipeline
 # and the batch/streaming shard-export manifests.
 PIPELINE = [
@@ -531,6 +539,7 @@ def main() -> None:
     sketch_r12 = run(SKETCH_R12, repeats=3)
     sketch_r13 = run(SKETCH_R13, repeats=3)
     curation_r14 = run(CURATION_R14, repeats=3)
+    qa_r15 = run(QA_R15, repeats=3)
 
     def _norm_median(group: str) -> float | None:
         """Median over children of (child group total / child calib) —
@@ -598,6 +607,9 @@ def main() -> None:
         # separate group (r14+): shingle-store curation pair
         "curation_r14": curation_r14,
         "curation_r14_total": round(sum(curation_r14.values()), 3),
+        # separate group (r15+): recall-audit / tokenizer-QA pair
+        "qa_r15": qa_r15,
+        "qa_r15_total": round(sum(qa_r15.values()), 3),
         "cpu_calib_sec": cpu_calib,
         "spark_calib_sec": spark_calib,
         # PRIMARY cross-round comparison metric (see README "Benchmark"):

@@ -1618,16 +1618,26 @@ def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     m = CONTAIN_ANCHORS
     sh = staged_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Pane universe = the documents table's doc_id column (pruned scan):
+    # a top-k by the pane perm-hash is TakeOrdered (per-partition heads +
+    # driver merge — NO exchange), where ranking over sh's distinct
+    # doc_ids would cost a full doc_id exchange first. Shingle-less docs
+    # (<3 tokens) can land in the pane; they contribute no pairs.
     pane = (
-        sizes.select(
+        load_table(spark, sf_dir, "documents")
+        .select(
             "doc_id", H.perm_hash(F.col("doc_id"), AUDIT_PERM).alias("ph")
         )
         .orderBy("ph", "doc_id")
         .limit(AUDIT_PANE_CAP)
         .select("doc_id")
     )
-    psh = sh.join(pane, "doc_id")
+    # Broadcast the ≤CAP-row pane into the shingle scan: the full shingle
+    # store is filtered in place, never shuffled — the audit's measured
+    # shuffle is pane-sized (was 283k records / 2.8 MiB with a shuffled
+    # pane join + corpus-wide sizes agg; pane-local everything after).
+    psh = sh.join(F.broadcast(pane), "doc_id")
+    sizes = psh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     anchor = psh.groupBy("doc_id").agg(
         *[
             F.min(H.perm_hash(F.col("shingle"), i)).alias(f"a{i}")
@@ -1649,14 +1659,18 @@ def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     jp = (
         pairs.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+                )
             ),
             "doc_a",
         )
         .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+                )
             ),
             "doc_b",
         )
@@ -1670,16 +1684,20 @@ def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicted = F.lit(1.0) - _times(miss, m)
     return (
         jp.join(
-            anchor.select(
-                F.col("doc_id").alias("doc_a"),
-                *[F.col(f"a{i}").alias(f"x{i}") for i in range(m)],
+            F.broadcast(
+                anchor.select(
+                    F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"a{i}").alias(f"x{i}") for i in range(m)],
+                )
             ),
             "doc_a",
         )
         .join(
-            anchor.select(
-                F.col("doc_id").alias("doc_b"),
-                *[F.col(f"a{i}").alias(f"y{i}") for i in range(m)],
+            F.broadcast(
+                anchor.select(
+                    F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"a{i}").alias(f"y{i}") for i in range(m)],
+                )
             ),
             "doc_b",
         )
@@ -1718,13 +1736,13 @@ def _audit_sql() -> str:
     predicted = "1.0 - " + " * ".join([miss] * m)
     return f"""
 WITH {_SHINGLES_SQL},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pane AS (
-  SELECT doc_id FROM sizes
+  SELECT doc_id FROM documents
   ORDER BY {H.perm_hash_sql('doc_id', AUDIT_PERM)}, doc_id
   LIMIT {AUDIT_PANE_CAP}
 ),
 psh AS (SELECT sh.doc_id, shingle FROM sh JOIN pane USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS n FROM psh GROUP BY doc_id),
 anchor AS (SELECT doc_id, {mins} FROM psh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
