@@ -154,6 +154,7 @@ CURATION_R14 = [
 QA_R15 = [
     "containment_recall_audit",
     "tokenizer_fertility_stats",
+    "ann_recall_audit",
 ]
 
 # Round-10 additions, same own-group rule: the gate→batch dedup pipeline

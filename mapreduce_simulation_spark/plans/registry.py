@@ -1244,6 +1244,14 @@ register(
 # IVF is approximate vs brute force but its *procedure* is deterministic,
 # so the oracle replicates the full algorithm (assign → probe → re-score).
 register("similarity_ivf_topk", similarity.ivf_topk, similarity.IVF_TOPK_SQL)
+# Late-r15 addition — never driver-checked; leads the r16 window per the
+# rotation policy. Measured recall@k of the IVF path vs the exact top-k
+# on the query sample — the ANN QA twin of containment_recall_audit.
+register(
+    "ann_recall_audit",
+    similarity.ann_recall_audit,
+    similarity.ANN_RECALL_AUDIT_SQL,
+)
 # BLAS matmul only PRESELECTS (per-batch partial top-k); the surviving
 # pool is re-scored with the exact strict fold, so the result is
 # bit-identical to the brute-force oracle → exact driver hash.

@@ -634,3 +634,26 @@ def test_registry_tier_census():
     )
     assert no_oracle == tiered == set()
     assert len(_REGISTRY) >= 197
+
+
+def test_ann_recall_audit_semantics(spark, sf_dir):
+    """The audit table must be internally consistent (n_hits ≤ k, recall
+    the exact division, both variants × every query present) and must
+    show the trained codebook at-or-above the flat index on the fixture —
+    the measured fact the query exists to surface."""
+    from mapreduce_simulation_spark.operators import similarity as S
+
+    rows = S.ann_recall_audit(spark, sf_dir).collect()
+    variants = {"ivf_flat", "ivf_trained"}
+    assert {r.index_variant for r in rows} == variants
+    for v in variants:
+        assert sum(1 for r in rows if r.index_variant == v) == S.N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hits <= r.k == S.TOP_K
+        assert r.recall_at_k == r.n_hits / r.k
+    mean = {
+        v: sum(r.recall_at_k for r in rows if r.index_variant == v)
+        / S.N_QUERIES
+        for v in variants
+    }
+    assert mean["ivf_trained"] >= mean["ivf_flat"]
