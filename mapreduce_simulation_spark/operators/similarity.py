@@ -1039,8 +1039,9 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition of already-verified operators: exact = brute-force
     cosine top-k; approx = the FLAT IVF (arbitrary corpus vectors as
-    centroids, nprobe=N_PROBE) AND the TRAINED IVF (integer-exact Lloyd
-    codebook) — one row per (index_variant, query_id) with k, the
+    centroids, nprobe=N_PROBE), the TRAINED IVF (integer-exact Lloyd
+    codebook), the hyperplane LSH, and the PQ/ADC index — one row per
+    (index_variant, query_id) with k, the
     intersection size n_hits, and recall_at_k as one IEEE division of
     exact counts, so the table directly answers "what did training the
     codebook buy" (measured at sf0.1: flat 0.48 mean recall@5 — the
@@ -1078,41 +1079,22 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
 
-    flat = ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    trained = ivf_trained_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    return audit(flat, "ivf_flat").unionByName(
-        audit(trained, "ivf_trained")
-    )
+    out = None
+    for variant, fn in (
+        ("ivf_flat", ivf_topk),
+        ("ivf_trained", ivf_trained_topk),
+        ("lsh", lsh_topk),
+        ("pq", pq_topk),
+    ):
+        a = audit(
+            fn(spark, sf_dir).select("query_id", "neighbor_id"), variant
+        )
+        out = a if out is None else out.unionByName(a)
+    return out
 
 
-ANN_RECALL_AUDIT_SQL = f"""
-WITH exact AS ({BRUTE_FORCE_TOPK_SQL}),
-flat AS ({IVF_TOPK_SQL}),
-trained AS ({TRAINED_IVF_TOPK_SQL}),
-approx AS (
-  SELECT 'ivf_flat' AS index_variant, query_id, neighbor_id FROM flat
-  UNION ALL
-  SELECT 'ivf_trained', query_id, neighbor_id FROM trained
-),
-hits AS (
-  SELECT a.index_variant, x.query_id, count(*) AS n_hits
-  FROM exact x JOIN approx a
-    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
-  GROUP BY 1, 2
-),
-perq AS (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id),
-variants AS (SELECT 'ivf_flat' AS index_variant UNION ALL
-             SELECT 'ivf_trained')
-SELECT v.index_variant, p.query_id, CAST(p.k AS BIGINT) AS k,
-       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(p.k AS DOUBLE)
-         AS recall_at_k
-FROM perq p CROSS JOIN variants v
-LEFT JOIN hits h
-  ON h.query_id = p.query_id AND h.index_variant = v.index_variant
-"""
+# ANN_RECALL_AUDIT_SQL is defined at module end — it composes
+# PQ_TOPK_SQL/LSH_TOPK_SQL, which are built further down.
 
 
 # BLAS preselect pool per query: the final ranking re-scores candidates
@@ -2117,3 +2099,38 @@ ORDER BY rank
 
 
 MMR_RERANK_SQL = _mmr_sql()
+
+
+ANN_RECALL_AUDIT_SQL = f"""
+WITH exact AS ({BRUTE_FORCE_TOPK_SQL}),
+flat AS ({IVF_TOPK_SQL}),
+trained AS ({TRAINED_IVF_TOPK_SQL}),
+lshv AS ({LSH_TOPK_SQL}),
+pqv AS ({PQ_TOPK_SQL}),
+approx AS (
+  SELECT 'ivf_flat' AS index_variant, query_id, neighbor_id FROM flat
+  UNION ALL
+  SELECT 'ivf_trained', query_id, neighbor_id FROM trained
+  UNION ALL
+  SELECT 'lsh', query_id, neighbor_id FROM lshv
+  UNION ALL
+  SELECT 'pq', query_id, neighbor_id FROM pqv
+),
+hits AS (
+  SELECT a.index_variant, x.query_id, count(*) AS n_hits
+  FROM exact x JOIN approx a
+    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+  GROUP BY 1, 2
+),
+perq AS (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id),
+variants AS (SELECT 'ivf_flat' AS index_variant UNION ALL
+             SELECT 'ivf_trained' UNION ALL
+             SELECT 'lsh' UNION ALL SELECT 'pq')
+SELECT v.index_variant, p.query_id, CAST(p.k AS BIGINT) AS k,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(p.k AS DOUBLE)
+         AS recall_at_k
+FROM perq p CROSS JOIN variants v
+LEFT JOIN hits h
+  ON h.query_id = p.query_id AND h.index_variant = v.index_variant
+"""
