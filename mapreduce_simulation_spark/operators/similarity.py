@@ -411,14 +411,22 @@ ORDER BY vec_a, vec_b
 
 
 def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: random-hyperplane signature (8 sign bits) buckets
-    the corpus; queries probe only their own bucket, then re-score exactly.
+    """Approximate top-k: random-hyperplane signature (8 sign bits)
+    buckets the corpus; each query MULTI-PROBES its own bucket plus the
+    N_HYPERPLANES Hamming-1 neighbor buckets (one sign bit flipped), then
+    re-scores candidates exactly — the multi-probe LSH trick (Lv et al.,
+    VLDB'07): for a neighbor at angle θ, a single exact-bucket probe
+    succeeds with (1-θ/π)^8, which collapses fast (measured end-to-end
+    recall@5 was 0.04 at sf0.1 — surfaced by ann_recall_audit); allowing
+    one flipped bit adds the 8·(θ/π)(1-θ/π)^7 near-miss mass for 9×
+    probe buckets per query and no extra index state.
 
     Shuffle volume: |corpus| rows keyed by an 8-bit bucket — corpus×corpus
-    never materializes. "Approximate" describes recall vs brute force;
-    the PROCEDURE is fully deterministic (dyadic-rational planes, strict-
-    fold sign bits, exact candidate re-score), so LSH_TOPK_SQL reproduces
-    the output exactly and this query carries a full oracle.
+    never materializes; the probe side is 9 rows per query (broadcast).
+    "Approximate" describes recall vs brute force; the PROCEDURE is fully
+    deterministic (dyadic-rational planes, strict-fold sign bits, exact
+    candidate re-score), so LSH_TOPK_SQL reproduces the output exactly
+    and this query carries a full oracle.
     """
     corpus = _corpus_with_norm(spark, sf_dir)
     planes = _hyperplanes()
@@ -427,11 +435,32 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pl = F.array(*[F.lit(x) for x in plane])
         sig = sig + F.when(_dot(F.col("v"), pl) > 0, F.lit(1 << j)).otherwise(0)
     bucketed = corpus.withColumn("bucket", sig)
-    queries = bucketed.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        F.col("bucket").alias("qbucket"),
+    queries = (
+        bucketed.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("bucket").alias("qbucket"),
+        )
+        # multi-probe: the exact bucket (flip 0) + one probe per flipped
+        # sign bit; pbucket values are distinct per query, so no pair dups
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "qbucket",
+            F.explode(
+                F.array(
+                    F.lit(0).cast("long"),
+                    *[
+                        F.lit(1 << j).cast("long")
+                        for j in range(N_HYPERPLANES)
+                    ],
+                )
+            ).alias("flip"),
+        )
+        .withColumn("pbucket", F.col("qbucket").bitwiseXOR(F.col("flip")))
     )
     cos = F.round(
         _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
@@ -439,7 +468,7 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         bucketed.join(
             broadcast(queries),
-            (F.col("bucket") == F.col("qbucket"))
+            (F.col("bucket") == F.col("pbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
@@ -491,13 +520,18 @@ sig AS (
   GROUP BY n.vec_id
 ),
 b AS (SELECT n.vec_id, n.v, n.nrm, s.bucket FROM n JOIN sig s USING (vec_id)),
+probes AS (
+  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn,
+         xor(q.bucket, f.flip) AS pbucket
+  FROM b q CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f
+  WHERE q.vec_id < {N_QUERIES}
+),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round({_DOT_SQL_TMPL.format(a='q.v', b='c.v')}
-               / (q.nrm * c.nrm), 6) AS cosine
-  FROM b q JOIN b c
-    ON q.vec_id < {N_QUERIES} AND c.bucket = q.bucket
-   AND c.vec_id <> q.vec_id
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round({_DOT_SQL_TMPL.format(a='p.qv', b='c.v')}
+               / (p.qn * c.nrm), 6) AS cosine
+  FROM probes p JOIN b c
+    ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
 )
 SELECT query_id, neighbor_id, cosine, CAST(rk AS INTEGER) AS rk
 FROM (
