@@ -349,9 +349,12 @@ _SUMMARY_KEYS = (
     "sketch_r12_total",
     "sketch_r13_total",
     "curation_r14_total",
+    "qa_r15_total",
     "cpu_calib_sec",
     "spark_calib_sec",
     "calib_normalized_total",
+    "value_inproc",
+    "calib_normalized_total_inproc",
     "calib_normalized_extended",
     "calib_normalized_total_xproc",
     "calib_normalized_extended_xproc",
