@@ -223,3 +223,33 @@ def test_file_sig_detects_in_place_part_overwrite(tmp_path):
     os.utime(d, ns=(1_000, 1_000))
     sig2 = _file_sig(str(d))
     assert sig1 != sig2
+
+
+def test_read_staged_serves_cache_and_invalidates_on_rewrite(spark, tmp_path):
+    """staging.read_staged must serve the SAME DataFrame object for an
+    unchanged artifact (the plan-build floor it exists to remove) and a
+    fresh relation after the artifact is rewritten (scale probes and
+    staging rebuilds overwrite in place)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_simulation_spark.staging import read_staged
+
+    d = tmp_path / "art.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"x": pa.array([1, 2, 3], pa.int64())}),
+        str(d / "part-0.parquet"),
+    )
+    df1 = read_staged(spark, str(d))
+    df2 = read_staged(spark, str(d))
+    assert df1 is df2
+    assert df1.count() == 3
+    # in-place rewrite, same file name — per-entry signature must catch it
+    pq.write_table(
+        pa.table({"x": pa.array([1, 2, 3, 4], pa.int64())}),
+        str(d / "part-0.parquet"),
+    )
+    df3 = read_staged(spark, str(d))
+    assert df3 is not df1
+    assert df3.count() == 4
