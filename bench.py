@@ -148,13 +148,14 @@ CURATION_R14 = [
     "containment_dedup",
 ]
 
-# Round-15 additions, same own-group rule: the containment-recall audit
-# (pane-bounded QA pass over the staged shingle store) and the tokenizer
-# fertility aggregate (one codegen scan + group-cardinality exchange).
+# Round-15 additions, same own-group rule: the two recall-QA audits, the
+# tokenizer fertility aggregate, and the streaming containment gate (the
+# online twin of containment_dedup; its drain is the measured work).
 QA_R15 = [
     "containment_recall_audit",
     "tokenizer_fertility_stats",
     "ann_recall_audit",
+    "streaming_containment_dedup",
 ]
 
 # Round-10 additions, same own-group rule: the gate→batch dedup pipeline

@@ -43,6 +43,9 @@ from .caching import persist_tracked
 from .text import tokens
 
 JACCARD_THRESHOLD = 0.5
+CONTAIN_MIN = 0.8  # containment: emit pairs where either direction >= this
+CONTAIN_BUCKET_CAP = 64  # containment: skip anchor buckets larger than this
+CONTAIN_ANCHORS = 3  # containment bands m: candidate recall 1-(1-J)^m
 SIMHASH_BITS = 30
 SIMHASH_BAND_BITS = 8  # 4 bands: 8+8+8+6 bits
 HAMMING_MAX = 3
@@ -701,8 +704,18 @@ def narrow_minhash_bands(docs: DataFrame) -> DataFrame:
     )
 
 
-def narrow_minhash_bands_arrow(docs: DataFrame) -> DataFrame:
-    """Numerically identical twin of narrow_minhash_bands, computed by a
+def _arrow_signature_mapper(docs: DataFrame, perms, emit) -> DataFrame:
+    """Shared streaming-legal numpy pipeline behind the ingestion gates:
+    tokenize → char-fold → 3-gram shingle → per-doc min over each (a, b)
+    permutation in ``perms``; ``emit(ids, sig)`` turns the per-doc minima
+    matrix into (doc_id, band, key) rows (MinHash band pairs for the LSH
+    gate; single-anchor values for the containment gate). Factored out in
+    r15 so the containment gate reuses the measured-hot fold instead of
+    duplicating it. Numerics and boundary semantics below are unchanged
+    from the r13 original and remain pinned by the expression-twin
+    equality tests.
+
+    Numerically identical twin of narrow_minhash_bands, computed by a
     numpy-vectorized mapInPandas instead of Catalyst HOF expressions.
 
     Why it exists: higher-order-function lambdas never enter whole-stage
@@ -736,7 +749,7 @@ def narrow_minhash_bands_arrow(docs: DataFrame) -> DataFrame:
 
     import numpy as np
 
-    n_perms = len(H.MINHASH_PERMS)
+    n_perms = len(perms)
     P = H.P
     # Java \s = [ \t\n\x0b\f\r] — match the expression twin exactly
     ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
@@ -802,22 +815,59 @@ def narrow_minhash_bands_arrow(docs: DataFrame) -> DataFrame:
                 np.diff(u_doc, prepend=np.int64(-1))
             )  # first index of each doc's run (every kept doc has ≥1)
             sig = np.empty((len(ids), n_perms), dtype=np.int64)
-            for i, (a, b) in enumerate(H.MINHASH_PERMS):
+            for i, (a, b) in enumerate(perms):
                 sig[:, i] = np.minimum.reduceat((u_sh * a + b) % P, seg)
-            out_ids = np.repeat(ids, H.N_BANDS)
-            out_band = np.tile(
-                np.arange(H.N_BANDS, dtype=np.int32), len(ids)
-            )
-            keys = [
-                f"{sig[d, 2 * b]}:{sig[d, 2 * b + 1]}"
-                for d in range(len(ids))
-                for b in range(H.N_BANDS)
-            ]
-            yield pd.DataFrame(
-                {"doc_id": out_ids, "band": out_band, "key": keys}
-            )
+            yield emit(ids, sig)
 
     return docs.mapInPandas(batches, "doc_id long, band int, key string")
+
+
+def narrow_minhash_bands_arrow(docs: DataFrame) -> DataFrame:
+    """MinHash LSH banding for the streaming ingestion gate: 8 bands of
+    2 signature values each, key = "m_{2b}:m_{2b+1}" — see
+    _arrow_signature_mapper for the shared fold and its numeric contract
+    (equality with the expression twin is asserted over the full corpus
+    in tests, and transitively against the DuckDB oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    def emit(ids, sig):
+        out_ids = np.repeat(ids, H.N_BANDS)
+        out_band = np.tile(np.arange(H.N_BANDS, dtype=np.int32), len(ids))
+        keys = [
+            f"{sig[d, 2 * b]}:{sig[d, 2 * b + 1]}"
+            for d in range(len(ids))
+            for b in range(H.N_BANDS)
+        ]
+        return pd.DataFrame(
+            {"doc_id": out_ids, "band": out_band, "key": keys}
+        )
+
+    return _arrow_signature_mapper(docs, H.MINHASH_PERMS, emit)
+
+
+def narrow_containment_anchors_arrow(docs: DataFrame) -> DataFrame:
+    """Containment anchor banding for the streaming ingestion gate:
+    CONTAIN_ANCHORS bands of ONE signature value each (the same m
+    perm-hash minima containment_dedup buckets on in batch), key =
+    str(m_i) — band width 1 is what gives the gate the 1-(1-J)^m
+    candidate envelope instead of LSH's (J^r)-per-band one."""
+    import numpy as np
+    import pandas as pd
+
+    m = CONTAIN_ANCHORS
+
+    def emit(ids, sig):
+        out_ids = np.repeat(ids, m)
+        out_band = np.tile(np.arange(m, dtype=np.int32), len(ids))
+        keys = [
+            str(sig[d, i]) for d in range(len(ids)) for i in range(m)
+        ]
+        return pd.DataFrame(
+            {"doc_id": out_ids, "band": out_band, "key": keys}
+        )
+
+    return _arrow_signature_mapper(docs, H.MINHASH_PERMS[:m], emit)
 
 
 def _staged_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1311,6 +1361,51 @@ ORDER BY doc_id
 STREAMING_MINHASH_GATE_SQL = _minhash_gate_oracle_sql()
 
 
+def _containment_gate_oracle_sql() -> str:
+    """Oracle for the streaming CONTAINMENT ingestion gate: a doc hits an
+    anchor band iff a LOWER-id doc claimed that (band, key) — same
+    lower-id-occupancy contract as the MinHash gate oracle, with the
+    CONTAIN_ANCHORS single-value anchor keys (str(m_i)) in place of the
+    two-value LSH band keys."""
+    m = CONTAIN_ANCHORS
+    min_exprs = ",\n    ".join(
+        f"min({H.perm_hash_sql('h', i)}) AS m{i}" for i in range(m)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, CAST(m{i} AS VARCHAR) AS key FROM sig"
+        for i in range(m)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+hashed AS (SELECT doc_id, shingle AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {min_exprs}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+  {band_selects}
+),
+verdict AS (
+  SELECT a.doc_id, a.band,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM banded b
+           WHERE b.band = a.band AND b.key = a.key AND b.doc_id < a.doc_id
+         ) THEN 1 ELSE 0 END AS dup
+  FROM banded a
+)
+SELECT doc_id,
+       CAST(sum(dup) AS BIGINT) AS hit_anchors,
+       CAST(max(dup) AS INTEGER) AS is_candidate_contain
+FROM verdict
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+STREAMING_CONTAINMENT_GATE_SQL = _containment_gate_oracle_sql()
+
+
 def _gated_pipeline_oracle_sql() -> str:
     """Oracle for streaming.stateful.gated_dedup_pipeline: the gate verdict
     CTEs (signature-value band keys, lower-id occupancy) compute the
@@ -1401,9 +1496,8 @@ GATED_PIPELINE_SQL = _gated_pipeline_oracle_sql()
 # Containment dedup (asymmetric near-dup: quote/subset detection)
 # ---------------------------------------------------------------------------
 
-CONTAIN_MIN = 0.8  # emit pairs where either direction's containment >= this
-CONTAIN_BUCKET_CAP = 64  # skip anchor buckets larger than this
-CONTAIN_ANCHORS = 3  # bottom-anchor bands m: candidate recall 1-(1-J)^m
+# (containment constants live in the top constants block since r15 —
+# the streaming gate oracle, defined earlier in the file, needs them)
 
 
 def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1364,6 +1364,23 @@ from ..operators.dedup import (  # noqa: E402
 register("streaming_minhash_dedup", _minhash_gate, _minhash_gate_sql)
 
 from ..streaming.stateful import (  # noqa: E402
+    streaming_containment_dedup as _contain_gate,
+)
+from ..operators.dedup import (  # noqa: E402
+    STREAMING_CONTAINMENT_GATE_SQL as _contain_gate_sql,
+)
+
+# Late-r15 addition — never driver-checked; queues for the r16/r17
+# window per the rotation policy. Streaming CONTAINMENT ingestion gate:
+# the online twin of containment_dedup (width-1 min-hash anchor bands →
+# the 1-(1-J)^m envelope that catches asymmetric pairs), sharing the
+# band-scheme-agnostic index/verdict/compaction machinery with the
+# MinHash gate. Exact oracle (anchor keys are signature-value strings).
+register(
+    "streaming_containment_dedup", _contain_gate, _contain_gate_sql
+)
+
+from ..streaming.stateful import (  # noqa: E402
     gated_dedup_pipeline as _gated_pipeline,
 )
 from ..operators.dedup import (  # noqa: E402

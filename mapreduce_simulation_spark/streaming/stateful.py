@@ -336,7 +336,11 @@ def minhash_dedup_gate(doc_stream: DataFrame) -> DataFrame:
     """
     from ..operators.dedup import narrow_minhash_bands_arrow
 
-    banded = narrow_minhash_bands_arrow(doc_stream)
+    # banding: (streaming DataFrame) -> (doc_id, band, key) rows. Default
+    # = MinHash LSH bands; the containment gate passes its anchor bander
+    # (r15). The index/verdict machinery below is band-scheme-agnostic —
+    # state is keyed on (band, key) whatever produced them.
+    banded = (banding or narrow_minhash_bands_arrow)(doc_stream)
     return banded.groupBy("band", "key").applyInPandasWithState(
         _gate_fn,
         GATE_OUTPUT_SCHEMA,
@@ -524,7 +528,7 @@ def compact_band_index(
 
 
 def band_index_gate_drain(
-    doc_stream: DataFrame, out_root: str
+    doc_stream: DataFrame, out_root: str, banding=None
 ) -> str:
     """Drain a streaming documents frame through the band-index ingestion
     gate: stateless narrow banding (mapInPandas — streaming-legal) feeding
@@ -553,7 +557,11 @@ def band_index_gate_drain(
 
     from ..operators.dedup import narrow_minhash_bands_arrow
 
-    banded = narrow_minhash_bands_arrow(doc_stream)
+    # banding: (streaming DataFrame) -> (doc_id, band, key) rows. Default
+    # = MinHash LSH bands; the containment gate passes its anchor bander
+    # (r15). The index/verdict machinery below is band-scheme-agnostic —
+    # state is keyed on (band, key) whatever produced them.
+    banded = (banding or narrow_minhash_bands_arrow)(doc_stream)
     q = (
         banded.writeStream.foreachBatch(
             lambda df, bid: _band_index_gate_batch(
@@ -615,6 +623,64 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("dup").cast("bigint").alias("dup_bands"),
             F.max("dup").cast("int").alias("is_candidate_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def streaming_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CONTAINMENT ingestion gate — the online twin of
+    containment_dedup, exactly as streaming_minhash_dedup is the online
+    twin of dedup_minhash_lsh: documents arrive as a micro-batch stream,
+    each doc's CONTAIN_ANCHORS min-hash anchors (band width 1 — the
+    1-(1-J)^m candidate envelope, which is what catches the asymmetric
+    doc-contains-doc pairs LSH bands structurally miss) probe a persisted
+    (band, key) anchor index, and the gate emits per-doc verdicts:
+    (doc_id, hit_anchors, is_candidate_contain) where a doc is a
+    candidate iff ≥1 of its anchors is already claimed by a LOWER-id
+    document. Shares band_index_gate_drain with the MinHash gate — the
+    index/verdict/compaction machinery is band-scheme-agnostic; only the
+    banding function differs. Candidate generation only: the exact
+    containment verify (and the CONTAIN_BUCKET_CAP discipline) stays in
+    the batch path, exactly as the MinHash gate leaves jaccard
+    verification to the batch LSH query.
+
+    Single-batch staging makes the claimed-anchor set deterministic
+    (bucket minimum = batch-global min), so the oracle is plain SQL over
+    the same anchor arithmetic — exact (anchor keys are signature-value
+    strings, not lossy hashes). Scale: per-batch cost is one shuffle join
+    of the batch's m·|batch| anchor rows against the index — identical
+    shape to the MinHash gate, whose ×100 drain probe (r14: 5.8× wall,
+    per-doc 1.11 → 0.06 ms) bounds this gate too (it moves m=3 rows/doc
+    vs LSH's 8).
+
+    Reference parity: no streaming surface in the reference engine
+    (HaolingPu/MapReduce-Simulation) — LLM-pipeline extension tier.
+    """
+    from ..operators.dedup import narrow_containment_anchors_arrow
+    from ..staging import keyed_staging_dir, staging_dir
+    from ..tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage, already_staged = keyed_staging_dir(
+        "docs_contain_gate_", f"sf={sf_dir}"
+    )
+    if not already_staged:
+        docs.repartition(1).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    verdict_root = band_index_gate_drain(
+        stream,
+        staging_dir("contain_gate_"),
+        banding=narrow_containment_anchors_arrow,
+    )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(verdict_root)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dup").cast("bigint").alias("hit_anchors"),
+            F.max("dup").cast("int").alias("is_candidate_contain"),
         )
         .orderBy("doc_id")
     )

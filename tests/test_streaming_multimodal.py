@@ -1648,3 +1648,60 @@ def test_tws_liststate_delta_log_parity(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_containment_gate_carries_state_across_batches(spark, tmp_path):
+    """The containment gate's cross-batch contract, mirrored from the
+    MinHash gate test: a batch-2 document whose text CONTAINS a batch-1
+    document whole must be flagged from the persisted anchor state — the
+    asymmetric case the width-1 anchors exist for (for full containment
+    A ⊆ B with A arriving first, every anchor of B that lands in the
+    shared region equals A's anchor, so on this constructed pair all m
+    anchors hit). A distinct doc must pass clean; the batch-1 docs are
+    bucket minima and never flag."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_simulation_spark.operators.dedup import (
+        CONTAIN_ANCHORS,
+        narrow_containment_anchors_arrow,
+    )
+    from mapreduce_simulation_spark.streaming.stateful import (
+        band_index_gate_drain,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog again and again"
+    containing = short  # identical set ⊇ short — all anchors shared
+    uniq = "completely different words appear in this other document body"
+    batch1 = spark.createDataFrame(
+        [(10, short), (20, "some middling unrelated text goes right here")],
+        "doc_id bigint, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(30, containing), (40, uniq)], "doc_id bigint, text string"
+    )
+    src = str(tmp_path / "cgate_src")
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+    first = _data_files(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    _force_mtime_after(src, first)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    verdict_root = band_index_gate_drain(
+        stream,
+        str(tmp_path / "cgate_out"),
+        banding=narrow_containment_anchors_arrow,
+    )
+    out = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(verdict_root)
+        .groupBy("doc_id")
+        .agg(F.sum("dup").alias("hit_anchors"))
+        .collect()
+    )
+    got = {r.doc_id: r.hit_anchors for r in out}
+    assert got[10] == 0 and got[20] == 0 and got[40] == 0
+    assert got[30] == CONTAIN_ANCHORS  # identical shingle set → all anchors
