@@ -336,11 +336,7 @@ def minhash_dedup_gate(doc_stream: DataFrame) -> DataFrame:
     """
     from ..operators.dedup import narrow_minhash_bands_arrow
 
-    # banding: (streaming DataFrame) -> (doc_id, band, key) rows. Default
-    # = MinHash LSH bands; the containment gate passes its anchor bander
-    # (r15). The index/verdict machinery below is band-scheme-agnostic —
-    # state is keyed on (band, key) whatever produced them.
-    banded = (banding or narrow_minhash_bands_arrow)(doc_stream)
+    banded = narrow_minhash_bands_arrow(doc_stream)
     return banded.groupBy("band", "key").applyInPandasWithState(
         _gate_fn,
         GATE_OUTPUT_SCHEMA,
