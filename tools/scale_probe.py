@@ -128,6 +128,7 @@ def main() -> None:
     elif pipeline_mode:
         probes = [
             "streaming_minhash_dedup",
+            "streaming_containment_dedup",  # r15: anchor-gate drain law
             "gated_dedup_pipeline",
             "streaming_shard_ingest",
             "shard_export_manifest",
@@ -467,7 +468,9 @@ def main() -> None:
             row["warm_ratio"] = round(
                 row["big_warm"] / row["base_warm"], 1
             )
-        if pipeline_mode and name == "streaming_minhash_dedup":
+        if pipeline_mode and name in (
+            "streaming_minhash_dedup", "streaming_containment_dedup"
+        ):
             # the gate's scale law: per-batch band joins against the
             # persisted index — report drain milliseconds per document
             n_base = 5000  # sf0.1 documents
