@@ -50,6 +50,7 @@ N_QUERIES = 10  # query set = vec_id < 10
 TOP_K = 5
 COSINE_THRESHOLD = 0.4
 N_HYPERPLANES = 8
+N_LSH_TABLES = 4  # OR-amplified LSH: 4 independent 8-plane tables (r15)
 EMBED_DIM = 64
 # IVF: codebook = the 16 vectors right after the query range (deterministic,
 # oracle-reproducible stand-in for a k-means fit); each query probes its 4
@@ -411,44 +412,71 @@ ORDER BY vec_a, vec_b
 
 
 def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: random-hyperplane signature (8 sign bits)
-    buckets the corpus; each query MULTI-PROBES its own bucket plus the
-    N_HYPERPLANES Hamming-1 neighbor buckets (one sign bit flipped), then
-    re-scores candidates exactly — the multi-probe LSH trick (Lv et al.,
-    VLDB'07): for a neighbor at angle θ, a single exact-bucket probe
-    succeeds with (1-θ/π)^8, which collapses fast (measured end-to-end
-    recall@5 was 0.04 at sf0.1 — surfaced by ann_recall_audit); allowing
-    one flipped bit adds the 8·(θ/π)(1-θ/π)^7 near-miss mass for 9×
-    probe buckets per query and no extra index state.
+    """Approximate top-k: OR-amplified multi-table hyperplane LSH with
+    multi-probe. N_LSH_TABLES independent 8-plane sign signatures bucket
+    the corpus (one LCG plane chain, split per table); each query probes,
+    IN EVERY TABLE, its own bucket plus the 8 Hamming-1 neighbors (one
+    sign bit flipped), and candidates from all tables are deduped before
+    the exact re-score. Both amplifications are the standard public
+    recipe (OR over tables, Lv et al.'s multi-probe within a table): for
+    a neighbor at angle θ with per-plane agreement p = 1-θ/π, one exact
+    bucket succeeds with p^8 (measured end-to-end recall@5 at sf0.1 was
+    0.04 — surfaced by ann_recall_audit), Hamming-1 probing lifts a
+    table to P1 = p^8 + 8(1-p)p^7 (measured 0.18), and 4 OR'd tables
+    reach 1-(1-P1)^4 — measured by the audit after this change.
 
-    Shuffle volume: |corpus| rows keyed by an 8-bit bucket — corpus×corpus
-    never materializes; the probe side is 9 rows per query (broadcast).
-    "Approximate" describes recall vs brute force; the PROCEDURE is fully
-    deterministic (dyadic-rational planes, strict-fold sign bits, exact
-    candidate re-score), so LSH_TOPK_SQL reproduces the output exactly
-    and this query carries a full oracle.
+    Shuffle volume: |corpus|·N_LSH_TABLES rows keyed by (table, 8-bit
+    bucket) — corpus×corpus never materializes; the probe side is
+    9·N_LSH_TABLES rows per query (broadcast). "Approximate" describes
+    recall vs brute force; the PROCEDURE is fully deterministic
+    (dyadic-rational planes, strict-fold sign bits, exact candidate
+    re-score, pair-level dedup before ranking), so LSH_TOPK_SQL
+    reproduces the output exactly and this query carries a full oracle.
     """
     corpus = _corpus_with_norm(spark, sf_dir)
-    planes = _hyperplanes()
-    sig = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        pl = F.array(*[F.lit(x) for x in plane])
-        sig = sig + F.when(_dot(F.col("v"), pl) > 0, F.lit(1 << j)).otherwise(0)
-    bucketed = corpus.withColumn("bucket", sig)
+    planes = _hyperplanes(N_HYPERPLANES * N_LSH_TABLES)
+    sigs = []
+    for t in range(N_LSH_TABLES):
+        sig = F.lit(0).cast("long")
+        for j in range(N_HYPERPLANES):
+            pl = F.array(
+                *[F.lit(x) for x in planes[t * N_HYPERPLANES + j]]
+            )
+            sig = sig + F.when(
+                _dot(F.col("v"), pl) > 0, F.lit(1 << j)
+            ).otherwise(0)
+        sigs.append(sig)
+    bucketed = corpus.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), sigs[t].alias("bucket")
+                    )
+                    for t in range(N_LSH_TABLES)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "v", "nrm", "x.tbl", "x.bucket")
     queries = (
         bucketed.where(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
+            F.col("tbl").alias("qtbl"),
             F.col("bucket").alias("qbucket"),
         )
-        # multi-probe: the exact bucket (flip 0) + one probe per flipped
-        # sign bit; pbucket values are distinct per query, so no pair dups
+        # multi-probe per table: the exact bucket (flip 0) + one probe
+        # per flipped sign bit
         .select(
             "query_id",
             "qv",
             "qn",
+            "qtbl",
             "qbucket",
             F.explode(
                 F.array(
@@ -468,10 +496,18 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         bucketed.join(
             broadcast(queries),
-            (F.col("bucket") == F.col("pbucket"))
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("pbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        # a pair can collide in several tables/probes; cosine is a pure
+        # function of the pair, so pair-level dedup is value-deterministic
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -494,7 +530,7 @@ WITH RECURSIVE lcg(i, state) AS (
   SELECT 1, (CAST(1234567 AS BIGINT) * 1103515245 + 12345) % 2147483648
   UNION ALL
   SELECT i + 1, (state * 1103515245 + 12345) % 2147483648
-  FROM lcg WHERE i < {N_HYPERPLANES * EMBED_DIM}
+  FROM lcg WHERE i < {N_HYPERPLANES * N_LSH_TABLES * EMBED_DIM}
 ),
 planes AS (
   SELECT (i - 1) // {EMBED_DIM} AS p,
@@ -513,25 +549,29 @@ n AS (
   FROM e
 ),
 sig AS (
-  SELECT n.vec_id,
+  SELECT n.vec_id, pl.p // {N_HYPERPLANES} AS tbl,
          CAST(sum(CASE WHEN {_DOT_SQL_TMPL.format(a='n.v', b='pl.plane')} > 0
-                       THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+                       THEN 1 << (pl.p % {N_HYPERPLANES}) ELSE 0 END)
+              AS BIGINT) AS bucket
   FROM n CROSS JOIN planes pl
-  GROUP BY n.vec_id
+  GROUP BY n.vec_id, pl.p // {N_HYPERPLANES}
 ),
-b AS (SELECT n.vec_id, n.v, n.nrm, s.bucket FROM n JOIN sig s USING (vec_id)),
+b AS (
+  SELECT n.vec_id, n.v, n.nrm, s.tbl, s.bucket
+  FROM n JOIN sig s USING (vec_id)
+),
 probes AS (
-  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn,
+  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, q.tbl,
          xor(q.bucket, f.flip) AS pbucket
   FROM b q CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f
   WHERE q.vec_id < {N_QUERIES}
 ),
 scored AS (
-  SELECT p.query_id, c.vec_id AS neighbor_id,
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
          round({_DOT_SQL_TMPL.format(a='p.qv', b='c.v')}
                / (p.qn * c.nrm), 6) AS cosine
   FROM probes p JOIN b c
-    ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
+    ON c.tbl = p.tbl AND c.bucket = p.pbucket AND c.vec_id <> p.query_id
 )
 SELECT query_id, neighbor_id, cosine, CAST(rk AS INTEGER) AS rk
 FROM (
@@ -540,7 +580,6 @@ FROM (
   FROM scored)
 WHERE rk <= {TOP_K}
 """
-
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: assign every corpus vector to its nearest
