@@ -1675,6 +1675,17 @@ AUDIT_PERM = 7  # MINHASH_PERMS index for pane selection (disjoint from
 #                 the CONTAIN_ANCHORS bands 0..2, so the pane draw can't
 #                 correlate with the anchor collisions it audits)
 AUDIT_J_FLOOR = 0.05  # pairs below this jaccard aren't audit-relevant
+# Pair-seeded pane tier (r16): the uniform pane's qualifying-pair count
+# falls as (pane/corpus)² — at sf0.1 it audited ONE pair, i.e. the
+# measured recall came from an empty sample exactly where drift matters.
+# Seeding additional pane members from m7-minhash buckets with ≥2 docs
+# guarantees ≥1 shingle-sharing pair per chosen bucket (both docs contain
+# the bucket's minimum shingle), keeping the audited-pair count roughly
+# constant as the corpus grows. Selection uses perm 7 / reorder perm 11,
+# both disjoint from the CONTAIN_ANCHORS perms 0..2 the audit verdicts.
+AUDIT_PANE_BUCKETS = 192  # pair-seeded tier: m7 buckets with ≥2 docs
+AUDIT_BUCKET_DOCS = 4  # docs kept per chosen bucket (smallest doc_ids)
+AUDIT_ORDER_PERM = 11  # rehash for deterministic bucket choice
 
 
 def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1684,12 +1695,25 @@ def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, the way real pipelines periodically audit their LSH recall on
     a sample instead of trusting the formula across corpus drift.
 
-    Pane: the AUDIT_PANE_CAP documents with the smallest
-    ``perm_hash(doc_id, AUDIT_PERM)`` (tie-broken on doc_id) — a
-    deterministic uniform draw whose size is FIXED, so the audit's
-    all-pairs term is pane²-bounded and independent of corpus size (a
-    fixed FRACTION would re-grow quadratically with the corpus). Within
-    the pane: exact ground truth from the staged shingle store (every
+    Pane: the union of two deterministic, fixed-size tiers — (1) the
+    AUDIT_PANE_CAP documents with the smallest
+    ``perm_hash(doc_id, AUDIT_PERM)`` (tie-broken on doc_id), a uniform
+    draw whose J-distribution is unbiased; (2) a PAIR-SEEDED tier (r16):
+    all docs (≤ AUDIT_BUCKET_DOCS each, smallest doc_ids) from the first
+    AUDIT_PANE_BUCKETS m7-signature buckets holding ≥2 docs, ordered by
+    ``perm_hash(m7, AUDIT_ORDER_PERM)``. Tier 2 exists because the
+    uniform tier's qualifying-pair count collapses as (pane/corpus)² —
+    at sf0.1 it yielded ONE audited pair; two docs sharing their m7
+    minimum share ≥1 shingle by construction, so tier 2 guarantees ≥1
+    ground-truth pair per chosen bucket at any corpus size. Selection
+    uses perms 7/11 only, disjoint from the CONTAIN_ANCHORS perms 0..2
+    being audited, and each output row carries its own ``jaccard``, so
+    the per-pair caught-vs-predicted comparison stays valid under the
+    J-shifted sample (the audit row count IS the audited-pair count —
+    a near-empty audit is directly visible). Both tiers are FIXED size,
+    so the audit's all-pairs term is pane²-bounded and independent of
+    corpus size (a fixed FRACTION would re-grow quadratically with the
+    corpus). Within the pane: exact ground truth from the staged shingle store (every
     pair sharing ≥1 shingle, true jaccard from full shingle sets), the
     anchor verdict from the SAME perm-hash minima containment_dedup
     buckets on, and the analytic prediction — per pair:
@@ -1717,7 +1741,7 @@ def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver merge — NO exchange), where ranking over sh's distinct
     # doc_ids would cost a full doc_id exchange first. Shingle-less docs
     # (<3 tokens) can land in the pane; they contribute no pairs.
-    pane = (
+    uniform_pane = (
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id", H.perm_hash(F.col("doc_id"), AUDIT_PERM).alias("ph")
@@ -1726,6 +1750,31 @@ def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(AUDIT_PANE_CAP)
         .select("doc_id")
     )
+    # Pair-seeded tier: m7 comes from the staged signature table (an
+    # offline artifact — no shingle re-aggregation); the bucket census is
+    # one id-sized exchange keyed on m7, the bucket choice a TakeOrdered.
+    sig7 = _staged_minhash_sig(spark, sf_dir).select("doc_id", "m7")
+    chosen = (
+        sig7.groupBy("m7")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("m7", H.perm_hash(F.col("m7"), AUDIT_ORDER_PERM).alias("ord"))
+        .orderBy("ord", "m7")
+        .limit(AUDIT_PANE_BUCKETS)
+        .select("m7")
+    )
+    seeded_pane = (
+        sig7.join(F.broadcast(chosen), "m7")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("m7").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") <= AUDIT_BUCKET_DOCS)
+        .select("doc_id")
+    )
+    pane = uniform_pane.union(seeded_pane).distinct()
     # Broadcast the ≤CAP-row pane into the shingle scan: the full shingle
     # store is filtered in place, never shuffled — the audit's measured
     # shuffle is pane-sized (was 283k records / 2.8 MiB with a shuffled
@@ -1830,10 +1879,31 @@ def _audit_sql() -> str:
     predicted = "1.0 - " + " * ".join([miss] * m)
     return f"""
 WITH {_SHINGLES_SQL},
-pane AS (
+uniform_pane AS (
   SELECT doc_id FROM documents
   ORDER BY {H.perm_hash_sql('doc_id', AUDIT_PERM)}, doc_id
   LIMIT {AUDIT_PANE_CAP}
+),
+sig7 AS (
+  SELECT doc_id, min({H.perm_hash_sql('shingle', AUDIT_PERM)}) AS m7
+  FROM sh GROUP BY doc_id
+),
+chosen AS (
+  SELECT m7 FROM sig7 GROUP BY m7 HAVING count(*) >= 2
+  ORDER BY {H.perm_hash_sql('m7', AUDIT_ORDER_PERM)}, m7
+  LIMIT {AUDIT_PANE_BUCKETS}
+),
+seeded_pane AS (
+  SELECT doc_id FROM (
+    SELECT s.doc_id,
+           row_number() OVER (PARTITION BY s.m7 ORDER BY s.doc_id) AS rn
+    FROM sig7 s JOIN chosen USING (m7)
+  ) WHERE rn <= {AUDIT_BUCKET_DOCS}
+),
+pane AS (
+  SELECT doc_id FROM uniform_pane
+  UNION
+  SELECT doc_id FROM seeded_pane
 ),
 psh AS (SELECT sh.doc_id, shingle FROM sh JOIN pane USING (doc_id)),
 sizes AS (SELECT doc_id, count(*) AS n FROM psh GROUP BY doc_id),

@@ -52,6 +52,71 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # entries would downgrade their slot to the driver's weaker rows-only
 # check and get their stronger checks locally anyway.
 _PROMOTE = (
+    # ---- round-16 window: pure staleness rotation (the r15 window came
+    # back 50/50 driver-green, zero err — CORRECTNESS_r15.json), applied
+    # verbatim from the PLANS.md draft committed in r15. FIRST the FOUR
+    # late-r15 registrations that have never had a driver row (registry
+    # 226 → 230: the measured-recall QA tier + the streaming containment
+    # gate — a green first-4 restores cumulative coverage to 230/230,
+    # every registry name driver-proven at least once). THEN all 26
+    # r11-stale greens (the 24 r11 leftovers plus monthly_revenue and
+    # nation_top_customer_lists, displaced from the r15 draft by its two
+    # amendments), THEN the first 20 r12-stale greens (alphabetical
+    # within a round; kvtext_source_stats queues for r17). ----
+    # never driver-checked (late-r15 additions)
+    "ann_recall_audit",              # measured recall@5 of all 4 ANN paths
+    "containment_recall_audit",      # pane-bounded containment recall
+    "streaming_containment_dedup",   # band-gate streaming containment
+    "tokenizer_fertility_stats",     # BPE fertility / compression stats
+    # r11-stale greens (remaining 26, alphabetical back-fill)
+    "monthly_revenue",
+    "nation_top_customer_lists",
+    "ols_residuals_corpus",
+    "quality_score",
+    "quantiles_summary",
+    "repetition_stats",
+    "returned_item_revenue",
+    "rollup_revenue",
+    "running_order_totals",
+    "semi_join_customers",
+    "set_ops_segments",
+    "shard_export_manifest",
+    "shipping_priority",
+    "similarity_ivf_trained_topk",
+    "similarity_pq_topk",
+    "similarity_topk_pandas",
+    "small_quantity_revenue",
+    "streaming_dedup_keys",
+    "streaming_logreg_score",
+    "streaming_shard_ingest",
+    "stump_classify_corpus",
+    "text_dir_word_count",
+    "text_normalize",
+    "top_orders",
+    "udtf_word_count",
+    "union_sources",
+    # r12-stale greens (alphabetical back-fill, first 20)
+    "asof_join_purchases",
+    "banding_threshold_curve",
+    "bm25_topk",
+    "bpe_apply_merges",
+    "bpe_learn_merges",
+    "bucketed_join_revenue",
+    "ccnet_perplexity_buckets",
+    "cdc_chunking",
+    "centroid_classify",
+    "corpus_mix",
+    "curation_pipeline_v2",
+    "decontaminate",
+    "dedup_connected_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dsir_importance",
+    "embedding_near_dup_bucketed",
+    "gopher_quality_rules",
+    # ---- history: round-15 window, 50/50 driver-green in r15 ----
     # ---- round-15 window: pure staleness rotation (the r14 window came
     # back 50/50 driver-green, zero err — CORRECTNESS_r14.json), applied
     # verbatim from the PLANS.md draft committed in r14, including its two

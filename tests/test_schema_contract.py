@@ -113,57 +113,57 @@ def test_loaded_schema_matches_contract(spark, sf_dir, table):
 # registry._PROMOTE/_DEMOTE) must update this list deliberately.
 # ---------------------------------------------------------------------------
 
-DRIVER_WINDOW_R15 = [
-    "containment_dedup",
-    "ngram_novelty_score",
-    "media_resize",
-    "min_cost_supplier",
-    "moving_avg_orders",
-    "observed_quality_gate",
-    "order_gap_days",
-    "price_histogram",
-    "price_trend_by_nation",
-    "priority_conditional_agg",
-    "priority_transition_matrix",
-    "profit_by_nation_year",
-    "promo_revenue_ratio",
-    "props_map_explode",
-    "referential_audit",
-    "salted_supplier_revenue",
-    "skewed_distinct_users",
-    "stateful_user_rollup",
-    "stats_correlation",
-    "streaming_click_attribution",
-    "streaming_minhash_dedup",
-    "table_checksum",
-    "table_profile_orders",
-    "trailing_window_revenue",
-    "volume_shipping",
-    "zorder_layout",
-    "anti_join_customers",
-    "bracket_discount_revenue",
-    "broadcast_dim_join",
-    "constant_key_collapse",
-    "customer_order_distribution",
-    "decision_stump_split",
-    "dedup_connected_components_stars",
-    "distinct_words",
-    "doc_fingerprint",
-    "embedding_near_dup",
-    "entity_resolution_pipeline",
-    "events_daily",
-    "events_daily_approx",
-    "gated_dedup_pipeline",
-    "global_sort",
-    "grep",
-    "grouping_sets_revenue",
-    "heavy_hitters_sketch",
-    "hll_monthly_users",
-    "identity_projection",
-    "kmeans_assign_corpus",
-    "left_outer_order_counts",
-    "linestatus_priority_counts",
-    "logreg_score_corpus",
+DRIVER_WINDOW_R16 = [
+    "ann_recall_audit",
+    "containment_recall_audit",
+    "streaming_containment_dedup",
+    "tokenizer_fertility_stats",
+    "monthly_revenue",
+    "nation_top_customer_lists",
+    "ols_residuals_corpus",
+    "quality_score",
+    "quantiles_summary",
+    "repetition_stats",
+    "returned_item_revenue",
+    "rollup_revenue",
+    "running_order_totals",
+    "semi_join_customers",
+    "set_ops_segments",
+    "shard_export_manifest",
+    "shipping_priority",
+    "similarity_ivf_trained_topk",
+    "similarity_pq_topk",
+    "similarity_topk_pandas",
+    "small_quantity_revenue",
+    "streaming_dedup_keys",
+    "streaming_logreg_score",
+    "streaming_shard_ingest",
+    "stump_classify_corpus",
+    "text_dir_word_count",
+    "text_normalize",
+    "top_orders",
+    "udtf_word_count",
+    "union_sources",
+    "asof_join_purchases",
+    "banding_threshold_curve",
+    "bm25_topk",
+    "bpe_apply_merges",
+    "bpe_learn_merges",
+    "bucketed_join_revenue",
+    "ccnet_perplexity_buckets",
+    "cdc_chunking",
+    "centroid_classify",
+    "corpus_mix",
+    "curation_pipeline_v2",
+    "decontaminate",
+    "dedup_connected_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dsir_importance",
+    "embedding_near_dup_bucketed",
+    "gopher_quality_rules",
 ]
 
 
@@ -171,11 +171,11 @@ def test_driver_hash_window_is_frozen():
     from mapreduce_simulation_spark.plans import registry
 
     got = list(registry.queries())[:50]
-    assert got == DRIVER_WINDOW_R15, (
+    assert got == DRIVER_WINDOW_R16, (
         "the driver's first-50 hash window shifted — if this is an intended "
-        "promotion/demotion, update DRIVER_WINDOW_R15; otherwise find the "
+        "promotion/demotion, update DRIVER_WINDOW_R16; otherwise find the "
         "import/registration reorder that moved it.\n"
-        f"got:  {got}\nwant: {DRIVER_WINDOW_R15}"
+        f"got:  {got}\nwant: {DRIVER_WINDOW_R16}"
     )
 
 
@@ -183,7 +183,7 @@ def test_driver_window_queries_all_have_oracles():
     from mapreduce_simulation_spark.plans import registry
 
     oracles = registry.oracle_sql()
-    missing = [n for n in DRIVER_WINDOW_R15 if n not in oracles]
+    missing = [n for n in DRIVER_WINDOW_R16 if n not in oracles]
     assert missing == [], (
         f"driver-window queries without an exact oracle: {missing} — the "
         "gate would fall back to the weaker rows-only check"
