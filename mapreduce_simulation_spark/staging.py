@@ -87,8 +87,9 @@ def read_staged(spark, path: str):
         import weakref
 
         _READ_CACHE = weakref.WeakKeyDictionary()
-    from .tables import _file_sig
+    from .tables import _evict_stopped_sessions, _file_sig
 
+    _evict_stopped_sessions(_READ_CACHE)
     sig = _file_sig(path)
     v1list = spark.conf.get("spark.sql.sources.useV1SourceList", "")
     per_session = _READ_CACHE.setdefault(spark, {})

@@ -43,6 +43,32 @@ _DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def _dir_entries(path: str, depth: int) -> tuple:
+    """(name, mtime_ns, size[, child entries]) per directory entry, sorted.
+    ``depth`` levels of subdirectories are expanded so a partitioned
+    dataset (partition dir → part files) is covered: an in-place
+    same-name part rewrite nested under a partition dir moves neither the
+    top-level dir mtime nor the partition dir's (mtime, size), so a
+    depth-1 signature would serve a stale FileIndex for it (the depth-2
+    twin of the flat-dataset gotcha below)."""
+    try:
+        entries = []
+        for e in sorted(os.listdir(path)):
+            child = os.path.join(path, e)
+            try:
+                est = os.stat(child)
+            except OSError:
+                entries.append((e, -1, -1))
+                continue
+            row = (e, est.st_mtime_ns, est.st_size)
+            if depth > 1 and os.path.isdir(child):
+                row = row + (_dir_entries(child, depth - 1),)
+            entries.append(row)
+        return tuple(entries)
+    except OSError:
+        return ()
+
+
 def _file_sig(path: str) -> tuple | None:
     try:
         st = os.stat(path)
@@ -52,20 +78,31 @@ def _file_sig(path: str) -> tuple | None:
         # dataset dir: directory mtime only moves on create/delete/rename,
         # so an in-place rewrite of a part file that keeps its name would
         # slip past a names-only entry list — stat each entry and fold its
-        # (mtime_ns, size) into the signature too.
-        try:
-            entries = []
-            for e in sorted(os.listdir(path)):
-                try:
-                    est = os.stat(os.path.join(path, e))
-                    entries.append((e, est.st_mtime_ns, est.st_size))
-                except OSError:
-                    entries.append((e, -1, -1))
-            entries = tuple(entries)
-        except OSError:
-            entries = ()
-        return (st.st_mtime_ns, st.st_size, entries)
+        # (mtime_ns, size) into the signature too, expanding two levels of
+        # subdirectories (partition dir → part files) for partitioned
+        # datasets served through this cache.
+        return (st.st_mtime_ns, st.st_size, _dir_entries(path, depth=2))
     return (st.st_mtime_ns, st.st_size)
+
+
+def _evict_stopped_sessions(cache) -> None:
+    """Drop cache entries whose SparkSession has been stopped.
+
+    The cached DataFrame values strongly reference their session, so a
+    weak-keyed entry alone can never be collected (the value keeps the
+    key alive — the r15 ADVICE leak). Sessions are few, so a sweep per
+    lookup is O(1) in practice; a stopped session's plans are unusable
+    anyway, so dropping the whole per-session dict is always safe."""
+    for s in list(cache.keys()):
+        try:
+            stopped = s.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            try:
+                del cache[s]
+            except KeyError:
+                pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -88,6 +125,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # aggregation — caught by test_plan_shapes when the cache first
     # landed); key on the conf so conf-guarded queries get their own entry.
     v1list = spark.conf.get("spark.sql.sources.useV1SourceList", "")
+    _evict_stopped_sessions(_DF_CACHE)
     per_session = _DF_CACHE.setdefault(spark, {})
     cached = per_session.get((path, v1list))
     if cached is not None and cached[0] == sig and sig is not None:

@@ -458,8 +458,15 @@ def main() -> None:
                         time.perf_counter() - t0, 2
                     )
             except Exception as ex:  # noqa: BLE001
-                row.setdefault(label, None)
-                row["error"] = str(ex)[:120]
+                if label in row:
+                    # cold timing already recorded → the WARM run failed;
+                    # mark that distinctly instead of presenting the cold
+                    # base/big/ratio numbers as a clean probe (r15 ADVICE)
+                    row[f"{label}_warm"] = None
+                    row[f"{label}_warm_error"] = str(ex)[:120]
+                else:
+                    row[label] = None
+                    row["error"] = str(ex)[:120]
             finally:
                 release_tracked()
         if row.get("base") and row.get("big"):
