@@ -50,21 +50,36 @@ N_QUERIES = 10  # query set = vec_id < 10
 TOP_K = 5
 COSINE_THRESHOLD = 0.4
 N_HYPERPLANES = 8
-N_LSH_TABLES = 4  # OR-amplified LSH: 4 independent 8-plane tables (r15)
+N_LSH_TABLES = 8  # OR-amplified LSH: 8 independent 8-plane tables
+#                   (r15: 4 → recall@5 0.48; r16: 8 → measured 0.76 at
+#                   the same ~0.9 s warm serve — see the frontier table
+#                   below N_CENTROIDS)
 EMBED_DIM = 64
 # IVF: codebook = the 16 vectors right after the query range (deterministic,
 # oracle-reproducible stand-in for a k-means fit); each query probes its 4
 # nearest cells.
 N_CENTROIDS = 16
-N_PROBE = 4
+# Measured recall-vs-cost frontier at sf0.1 (ann_recall_audit protocol,
+# recall@5 vs brute force; warm serve wall was FLAT ~0.6-1.5 s across
+# every setting below — at this corpus the serve cost is stage-floor
+# bound, so recall is nearly free and the knob choice is about the
+# PROBED FRACTION, which is what scales):
+#   flat nprobe    4→0.48   6→0.66   8→0.80   10→0.88
+#   trained nprobe 8→0.82   10→0.96
+#   lsh tables     4→0.48   6→0.64   8→0.76
+#   pq refine      16→0.48  32→0.68  64→0.84
+# Operating points (r16): flat 6/16 (recall 0.66 at a 3/8 probe
+# fraction), trained 10/16 (0.96 — the trained codebook's unequal-mass
+# cells reward extra probes most), documented below per variant.
+N_PROBE = 6
 # The TRAINED codebook probes more cells: k-means cells are unequal-mass
 # (unlike the fixed corpus-subset codebook), so a query's true neighbors
 # spread across more cells at this k. Measured per-query floor at nprobe
 # 4/16: two sf0.01 queries had ZERO true hits (caught by the per-group
-# recall gate); nprobe 8/16 gives ≥2 true hits per query at every SF
-# (pooled 0.80-0.92). At production scale k ≫ 16 and the probed fraction
-# shrinks with it; the ratio here is an artifact of the tiny codebook.
-N_PROBE_TRAINED = 8
+# recall gate); nprobe 10/16 gives measured 0.96 pooled recall@5 at
+# sf0.1. At production scale k ≫ 16 and the probed fraction shrinks with
+# it; the ratio here is an artifact of the tiny codebook.
+N_PROBE_TRAINED = 10
 
 
 # DuckDB-side strict left-fold dot product (bit-identical to `_dot` below);
@@ -448,7 +463,10 @@ def _staged_multitable_signatures(
 
     from ..staging import keyed_staging_dir
 
-    root, _ = keyed_staging_dir("lsh_mt_sigs_", f"{sf_dir}|mt_planes_v1")
+    root, _ = keyed_staging_dir(
+        "lsh_mt_sigs_",
+        f"{sf_dir}|mt{N_LSH_TABLES}x{N_HYPERPLANES}_v1",
+    )
     final = os.path.join(root, "sigs")
     if not os.path.isdir(final):
         tmp = os.path.join(root, "_tmp_sigs")
@@ -470,8 +488,9 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a neighbor at angle θ with per-plane agreement p = 1-θ/π, one exact
     bucket succeeds with p^8 (measured end-to-end recall@5 at sf0.1 was
     0.04 — surfaced by ann_recall_audit), Hamming-1 probing lifts a
-    table to P1 = p^8 + 8(1-p)p^7 (measured 0.18), and 4 OR'd tables
-    reach 1-(1-P1)^4 — measured by the audit after this change.
+    table to P1 = p^8 + 8(1-p)p^7 (measured 0.18), and N_LSH_TABLES
+    OR'd tables reach 1-(1-P1)^T (measured by the audit: 4 tables
+    0.48, 8 tables 0.76 at the same warm serve cost).
 
     Serve path (r16): the index — (vec_id, tbl, bucket), ids/longs only —
     is STAGED once per (corpus, plane set) via
@@ -1147,9 +1166,11 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (index_variant, query_id) with k, the
     intersection size n_hits, and recall_at_k as one IEEE division of
     exact counts, so the table directly answers "what did training the
-    codebook buy" (measured at sf0.1: flat 0.48 mean recall@5 — the
-    audit exists precisely because that number is NOT in the envelope
-    comments). All inputs are k·N_QUERIES-row tables, so the audit
+    codebook buy" (measured at sf0.1 after the r16 re-tune: flat 0.66 /
+    trained 0.96 / lsh 0.76 / pq 0.84 mean recall@5 — the audit exists
+    precisely because those numbers are NOT in the envelope comments,
+    and it is the measuring stick the r16 operating points were chosen
+    against). All inputs are k·N_QUERIES-row tables, so the audit
     join/agg is bounded by the query sample at any corpus size; the
     expensive parts are the searches themselves, whose scale shapes
     (broadcast nested-loop; cell-pruned probe joins) are documented and
@@ -1423,11 +1444,13 @@ PQ_CODEBOOK = 16
 # Re-rank the top K×PQ_REFINE approx candidates exactly. 16 (r9, was 8):
 # the sf0.001 per-group sweep caught one query point with ZERO true hits
 # at 8× — ADC ordering at a degenerate corpus size can push a true
-# neighbor past rank 40. 16× gives ≥2 true hits per query at every SF
-# (pooled 0.62/0.84/0.86 at sf0.1/0.01/0.001) and the refine step stays a
-# K×16-candidate semi-join — still touching 80 full vectors per query, a
-# rounding error beside the encoded scan it filters.
-PQ_REFINE = 16
+# neighbor past rank 40. 64 (r16, was 16): the measured frontier at sf0.1
+# (ann_recall_audit protocol) priced refine 16→0.48, 32→0.68, 64→0.84
+# recall@5 at an UNCHANGED ~1.1 s warm serve — the refine step is a
+# K×64-candidate semi-join touching 320 full vectors per query, still a
+# rounding error beside the encoded scan it filters, and still
+# corpus-independent at 100 TB.
+PQ_REFINE = 64
 
 
 def _staged_pq_index(

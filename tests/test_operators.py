@@ -233,8 +233,8 @@ def test_bucketed_near_dup_precision_exact_recall_bounded(spark, sf_dir):
 def test_ivf_trained_recall_floor(spark, sf_dir):
     """The k-means-trained IVF must return full top-k shape per query with
     exactly re-scored cosines (any hit agrees with brute force to the bit)
-    and clear a recall floor vs brute force — measured 0.92/0.80/0.88 at
-    sf0.001/0.01/0.1 with nprobe 8/16 (N_PROBE_TRAINED) and the staged
+    and clear a recall floor vs brute force — measured 0.84 (sf0.01) /
+    0.96 (sf0.1) with nprobe 10/16 (N_PROBE_TRAINED, r16) and the staged
     driver-side-trained codebook (r9), floor set at 0.6; the sweep
     additionally gates per-query recall (min_group_recall 0.2, no
     zero-hit queries). tools/verify_local.py checks the same contract
@@ -663,7 +663,8 @@ def test_pq_topk_recall_floor(spark, sf_dir):
     """Product-quantization ANN: full top-k shape per query, every
     returned cosine is the EXACT score (refinement re-ranks with the true
     fold, so overlapping hits agree with brute force to the bit), and the
-    recall floor holds — measured 0.86/0.84/0.62 at sf0.001/0.01/0.1 with
+    recall floor holds — measured 0.98 (sf0.01) / 0.84 (sf0.1) at
+    PQ_REFINE=64 (r16) with
     8×16 staged codebooks (driver-side seeded k-means over a capped
     sample, r9) and 16× refinement (raised from 8× after the sf0.001
     per-group sweep caught a zero-hit query); deterministic per corpus.

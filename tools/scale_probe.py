@@ -39,6 +39,13 @@ agg output should NOT grow N× past saturation), the online HLL ingest,
 and the MinHash calibration pair (candidate pairs scale exactly N×
 under the clique-free rewrite).
 
+--ann replicates the EMBEDDINGS table (vec_ids shifted for copies k≥1;
+copy 0 keeps the original ids, so the vec_id<10 query block — and with
+it the operators' semantics — is unchanged while the CORPUS grows N×)
+and probes the ANN serve family: the staged-index LSH serve law
+(build is corpus-linear; warm serve should scale with bucket occupancy)
+against the brute-force scan-linear contrast.
+
 --pipeline replicates documents (marker-copy variant) AND part (names
 prefixed with a per-copy 3-char marker, pairwise levenshtein 3 > the
 FUZZY_MAX_DIST=2 verify threshold, so each copy's internal match graph
@@ -99,12 +106,15 @@ def main() -> None:
             # target just the two banded paths without paying for the
             # whole family at two decades up
             only = a.split("=", 1)[1].split(",")
-        elif a not in ("--unique", "--events", "--pipeline", "--sketch"):
+        elif a not in (
+            "--unique", "--events", "--pipeline", "--sketch", "--ann"
+        ):
             args.append(a)
     unique = "--unique" in sys.argv[1:]
     events_mode = "--events" in sys.argv[1:]
     pipeline_mode = "--pipeline" in sys.argv[1:]
     sketch_mode = "--sketch" in sys.argv[1:]
+    ann_mode = "--ann" in sys.argv[1:]
     n_copies = int(args[0]) if args else 10
     spark = build_session("scale-probe")
     qs = e.queries()
@@ -134,6 +144,15 @@ def main() -> None:
             "shard_export_manifest",
             "entity_resolution_pipeline",
         ]
+    elif ann_mode:
+        # the ANN serve law (r16): corpus replicated with SHIFTED vec_ids
+        # for copies k>=1 — copy 0 keeps the original ids, so the query
+        # block (vec_id < N_QUERIES) is unchanged and only the CORPUS
+        # grows. similarity_lsh_topk's staged index build is
+        # corpus-linear by design; its warm serve should scale with the
+        # candidate count (bucket occupancy ∝ corpus at fixed bucket
+        # bits). similarity_topk is the brute-force contrast (scan-linear).
+        probes = ["similarity_topk", "similarity_lsh_topk"]
     elif unique:
         # containment_dedup added r15: its anchor/cap/verify path is the
         # newest banded discipline — the clique-free rewrite preserves
@@ -325,6 +344,79 @@ def main() -> None:
         print(
             json.dumps(
                 {"n_copies": n_copies, "events": True, "probes": results}
+            )
+        )
+        spark.stop()
+        return
+
+    if ann_mode:
+        emb = load_table(spark, BASE, "embeddings")
+        vmax = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+        others = [c for c in emb.columns if c != "vec_id"]
+        eparts = [
+            emb.select(
+                (F.col("vec_id") + F.lit(k * vmax)).alias("vec_id"),
+                *others,
+            )
+            for k in range(n_copies)
+        ]
+        bige = eparts[0]
+        for p in eparts[1:]:
+            bige = bige.unionByName(p)
+        os.makedirs(f"{big_dir}/d", exist_ok=True)
+        bige.repartition(32).write.mode("overwrite").parquet(
+            f"{big_dir}/d/embeddings.parquet"
+        )
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents".split()
+        ):
+            os.symlink(f"{BASE}/{t}.parquet", f"{big_dir}/d/{t}.parquet")
+        big_sf = f"{big_dir}/d"
+
+        def force(df) -> None:
+            df.write.format("noop").mode("overwrite").save()
+
+        force(qs["similarity_topk"](spark, BASE))  # warm
+        results = []
+        for name in probes:
+            row = {"query": name}
+            for label, sf in (("base", BASE), ("big", big_sf)):
+                try:
+                    t0 = time.perf_counter()
+                    force(qs[name](spark, sf))
+                    row[label] = round(time.perf_counter() - t0, 2)
+                    release_tracked()
+                    t0 = time.perf_counter()
+                    force(qs[name](spark, sf))
+                    row[f"{label}_warm"] = round(
+                        time.perf_counter() - t0, 2
+                    )
+                except Exception as ex:  # noqa: BLE001
+                    if label in row:
+                        row[f"{label}_warm"] = None
+                        row[f"{label}_warm_error"] = str(ex)[:120]
+                    else:
+                        row[label] = None
+                        row["error"] = str(ex)[:120]
+                finally:
+                    release_tracked()
+            if row.get("base") and row.get("big"):
+                row["ratio"] = round(row["big"] / row["base"], 1)
+            if row.get("base_warm") and row.get("big_warm"):
+                row["warm_ratio"] = round(
+                    row["big_warm"] / row["base_warm"], 1
+                )
+            results.append(row)
+            print(
+                f"{name:28s} base {row.get('base')}s  "
+                f"x{n_copies} {row.get('big')}s  ratio {row.get('ratio')}"
+                f"  warm {row.get('base_warm')}s/{row.get('big_warm')}s"
+                f" = {row.get('warm_ratio')}"
+            )
+        print(
+            json.dumps(
+                {"n_copies": n_copies, "ann": True, "probes": results}
             )
         )
         spark.stop()
