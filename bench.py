@@ -158,6 +158,13 @@ QA_R15 = [
     "streaming_containment_dedup",
 ]
 
+# Round-16 addition, same own-group rule: the LSH index skew audit (its
+# cold number absorbs the staged multi-table signature build; warm is the
+# (tbl, bucket) occupancy census the ops tier would run on a schedule).
+QA_R16 = [
+    "lsh_index_stats",
+]
+
 # Round-10 additions, same own-group rule: the gate→batch dedup pipeline
 # and the batch/streaming shard-export manifests.
 PIPELINE = [
@@ -351,6 +358,7 @@ _SUMMARY_KEYS = (
     "sketch_r13_total",
     "curation_r14_total",
     "qa_r15_total",
+    "qa_r16_total",
     "cpu_calib_sec",
     "spark_calib_sec",
     "calib_normalized_total",
@@ -545,6 +553,7 @@ def main() -> None:
     sketch_r13 = run(SKETCH_R13, repeats=3)
     curation_r14 = run(CURATION_R14, repeats=3)
     qa_r15 = run(QA_R15, repeats=3)
+    qa_r16 = run(QA_R16, repeats=3)
 
     def _norm_median(group: str) -> float | None:
         """Median over children of (child group total / child calib) —
@@ -615,6 +624,9 @@ def main() -> None:
         # separate group (r15+): recall-audit / tokenizer-QA pair
         "qa_r15": qa_r15,
         "qa_r15_total": round(sum(qa_r15.values()), 3),
+        # separate group (r16+): the staged-LSH-index ops audit
+        "qa_r16": qa_r16,
+        "qa_r16_total": round(sum(qa_r16.values()), 3),
         "cpu_calib_sec": cpu_calib,
         "spark_calib_sec": spark_calib,
         # PRIMARY cross-round comparison metric (see README "Benchmark"):

@@ -630,6 +630,94 @@ FROM (
 WHERE rk <= {TOP_K}
 """
 
+def lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational skew audit of the staged multi-table LSH index — per
+    table: vector count, distinct-bucket count, the largest bucket, the
+    COLLISION MASS (sum of squared bucket occupancies), and the expected
+    candidate count for a uniformly-drawn probe (collision_mass /
+    n_vectors — the mean occupancy of the bucket a random VECTOR sits
+    in, i.e. the size-biased expectation).
+
+    This is the statistic that prices the serve join at scale: a probe
+    into bucket b scans its occupancy c_b, and a query distributed like
+    the corpus lands in b with probability c_b/N — so the expected scan
+    is Σc²/N per (table, probe). At a fixed 8-bit bucket space the mass
+    grows quadratically in N (occupancies grow linearly), which is
+    exactly why the serve law is occupancy-bound, not corpus-bound —
+    production deployments watch this number and re-plane (more bits /
+    more tables) when it drifts, the same way the recall audits watch
+    recall. One id-sized exchange keyed on (tbl, bucket) over the staged
+    index scan; output is N_LSH_TABLES rows.
+
+    Reference parity: no vector surface in the reference engine
+    (HaolingPu/MapReduce-Simulation) — LLM-pipeline extension tier, ops
+    sibling of similarity_lsh_topk. Integer-exact aggregation + one IEEE
+    division per row → exact value-hash oracle.
+    """
+    corpus = _corpus_with_norm(spark, sf_dir)
+    sigs = _staged_multitable_signatures(spark, sf_dir, corpus)
+    occ = sigs.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        occ.groupBy("tbl")
+        .agg(
+            F.sum("c").cast("long").alias("n_vectors"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("c").cast("long").alias("max_bucket"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias(
+                "collision_mass"
+            ),
+        )
+        .withColumn(
+            "expected_probe_candidates",
+            F.col("collision_mass").cast("double")
+            / F.col("n_vectors").cast("double"),
+        )
+        .orderBy("tbl")
+    )
+
+
+# Exact oracle: regenerates the planes and bucket assignment with the
+# same recursive CTE as LSH_TOPK_SQL, then replays the two integer
+# aggregations and the single IEEE division.
+LSH_INDEX_STATS_SQL = f"""
+WITH RECURSIVE lcg(i, state) AS (
+  SELECT 1, (CAST(1234567 AS BIGINT) * 1103515245 + 12345) % 2147483648
+  UNION ALL
+  SELECT i + 1, (state * 1103515245 + 12345) % 2147483648
+  FROM lcg WHERE i < {N_HYPERPLANES * N_LSH_TABLES * EMBED_DIM}
+),
+planes AS (
+  SELECT (i - 1) // {EMBED_DIM} AS p,
+         list(state / 2147483648.0 - 0.5 ORDER BY i) AS plane
+  FROM lcg GROUP BY 1
+),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sig AS (
+  SELECT e.vec_id, pl.p // {N_HYPERPLANES} AS tbl,
+         CAST(sum(CASE WHEN {_DOT_SQL_TMPL.format(a='e.v', b='pl.plane')} > 0
+                       THEN 1 << (pl.p % {N_HYPERPLANES}) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.p // {N_HYPERPLANES}
+),
+occ AS (
+  SELECT tbl, bucket, count(*) AS c FROM sig GROUP BY tbl, bucket
+)
+SELECT CAST(tbl AS INTEGER) AS tbl,
+       CAST(sum(c) AS BIGINT) AS n_vectors,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(c) AS BIGINT) AS max_bucket,
+       CAST(sum(c * c) AS BIGINT) AS collision_mass,
+       CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+         AS expected_probe_candidates
+FROM occ GROUP BY tbl ORDER BY tbl
+"""
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: assign every corpus vector to its nearest
     codebook centroid (its *cell*), probe each query's N_PROBE nearest

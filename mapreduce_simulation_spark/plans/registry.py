@@ -1306,6 +1306,16 @@ register(
 register(
     "similarity_lsh_topk", similarity.lsh_topk, similarity.LSH_TOPK_SQL
 )
+# Late-r16 addition — never driver-checked; leads the r17 window per the
+# rotation policy. Bucket-occupancy skew audit of the staged multi-table
+# LSH index: collision mass Σc² per table prices the serve join (the ops
+# twin of ann_recall_audit's recall watch). Integer-exact + one IEEE
+# division → exact value-hash oracle.
+register(
+    "lsh_index_stats",
+    similarity.lsh_index_stats,
+    similarity.LSH_INDEX_STATS_SQL,
+)
 # IVF is approximate vs brute force but its *procedure* is deterministic,
 # so the oracle replicates the full algorithm (assign → probe → re-score).
 register("similarity_ivf_topk", similarity.ivf_topk, similarity.IVF_TOPK_SQL)

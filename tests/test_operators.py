@@ -684,6 +684,27 @@ def test_pq_topk_recall_floor(spark, sf_dir):
     assert recall >= 0.5, f"PQ recall {recall:.2f} below floor"
 
 
+def test_lsh_index_stats_accounts_for_every_vector(spark, sf_dir):
+    """The LSH index skew audit must be a complete census: one row per
+    table, per-table occupancies summing to the corpus size, bucket
+    count bounded by the 8-bit bucket space, collision mass between its
+    two analytic bounds (Σc² ≥ N with equality iff all singletons;
+    Σc² ≤ N·max_bucket), and the expected-probe column equal to the
+    single IEEE division it documents."""
+    from mapreduce_simulation_spark.tables import load_table
+
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    rows = similarity.lsh_index_stats(spark, sf_dir).collect()
+    assert [r.tbl for r in rows] == list(range(similarity.N_LSH_TABLES))
+    for r in rows:
+        assert r.n_vectors == n_corpus
+        assert 1 <= r.n_buckets <= 2**similarity.N_HYPERPLANES
+        assert r.n_vectors <= r.collision_mass <= r.n_vectors * r.max_bucket
+        assert (
+            r.expected_probe_candidates == r.collision_mass / r.n_vectors
+        )
+
+
 def test_hll_monthly_users_error_bound(spark, sf_dir):
     """Daily HLL sketches union-merged to months must estimate monthly
     distinct users within HLL's expected error (lgConfigK=12 → ~1.6% rel
