@@ -158,11 +158,14 @@ QA_R15 = [
     "streaming_containment_dedup",
 ]
 
-# Round-16 addition, same own-group rule: the LSH index skew audit (its
+# Round-16 additions, same own-group rule: the LSH index skew audit (its
 # cold number absorbs the staged multi-table signature build; warm is the
-# (tbl, bucket) occupancy census the ops tier would run on a schedule).
+# (tbl, bucket) occupancy census the ops tier would run on a schedule)
+# and the online ANN serve twin (drain of the query stream against the
+# staged index — the micro-batch floor plus 5 candidate-bounded serves).
 QA_R16 = [
     "lsh_index_stats",
+    "streaming_lsh_serve",
 ]
 
 # Round-10 additions, same own-group rule: the gate→batch dedup pipeline

@@ -505,10 +505,27 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup before ranking), so LSH_TOPK_SQL reproduces the output exactly
     and this query carries a full oracle.
     """
+    return _lsh_serve(spark, sf_dir)
+
+
+def _lsh_serve(
+    spark: SparkSession, sf_dir: str, query_ids: list[int] | None = None
+) -> DataFrame:
+    """The staged-index LSH probe plan, parameterized on the query set:
+    ``query_ids=None`` serves the full vec_id < N_QUERIES block (batch
+    lsh_topk); a list serves exactly those ids (the per-micro-batch body
+    of streaming_lsh_serve — per-query top-k is independent across
+    queries, so a union over any partition of the ids equals the batch
+    result bit-for-bit)."""
+    is_query = (
+        F.col("vec_id") < N_QUERIES
+        if query_ids is None
+        else F.col("vec_id").isin([int(i) for i in query_ids])
+    )
     corpus = _corpus_with_norm(spark, sf_dir)
     sigs = _staged_multitable_signatures(spark, sf_dir, corpus)
     probes = (
-        sigs.where(F.col("vec_id") < N_QUERIES)
+        sigs.where(is_query)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("tbl").alias("qtbl"),
@@ -544,7 +561,7 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # BEFORE fetching vectors so the verify join is candidate-sized
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qvecs = corpus.where(F.col("vec_id") < N_QUERIES).select(
+    qvecs = corpus.where(is_query).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -629,6 +646,73 @@ FROM (
   FROM scored)
 WHERE rk <= {TOP_K}
 """
+
+def streaming_lsh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ANN serving: query vectors ARRIVE AS A STREAM and every
+    micro-batch is answered from the STAGED multi-table LSH index — the
+    production serving shape the staged tier exists for (index built
+    offline and corpus-resident; queries online). The query block is
+    staged as a 5-file parquet stream (maxFilesPerTrigger=1 → 5
+    micro-batches of ~2 queries); each batch runs the same probe →
+    pair-dedup → exact re-score → top-k plan as batch lsh_topk
+    (_lsh_serve parameterized on the batch's ids) and appends its
+    verdicts to a parquet sink, foreachBatch like the ingestion dedup
+    gates. Per-query top-k is independent across queries, so the drained
+    union over batches equals batch lsh_topk BIT-FOR-BIT → shares
+    LSH_TOPK_SQL as an exact value-hash oracle.
+
+    Scale: per batch, the stream side contributes only the arriving
+    query ids (collected — bounded by the micro-batch, ≤ N_QUERIES
+    here); the index and corpus are static staged artifacts read at
+    cluster parallelism, and the per-batch work is the same
+    candidate-bounded serve join the ×100 probe priced (PLANS.md r16:
+    warm serve 2.3× wall at 100× corpus).
+
+    Reference parity: no vector or streaming surface in the reference
+    engine (HaolingPu/MapReduce-Simulation) — LLM-pipeline extension
+    tier, the online twin of similarity_lsh_topk.
+    """
+    import os
+
+    from ..staging import keyed_staging_dir, staging_dir
+
+    corpus = _corpus_with_norm(spark, sf_dir)
+    # build (or reuse) the staged index BEFORE the drain so per-batch
+    # cost is the serve join, not a racing first-touch index build
+    _staged_multitable_signatures(spark, sf_dir, corpus)
+    queries = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < N_QUERIES
+    )
+    stage, already = keyed_staging_dir("lsh_query_stream_", f"sf={sf_dir}")
+    if not already:
+        queries.repartitionByRange(5, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(stage)
+    out_root = staging_dir("lsh_serve_")
+
+    def _serve_batch(batch: DataFrame, batch_id: int) -> None:
+        ids = [r.vec_id for r in batch.select("vec_id").collect()]
+        if not ids:
+            return
+        _lsh_serve(batch.sparkSession, sf_dir, query_ids=ids).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_root, f"b{batch_id}"))
+
+    q = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(_serve_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_root)
+        .orderBy("query_id", "rk")
+    )
+
 
 def lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operational skew audit of the staged multi-table LSH index — per

@@ -1316,6 +1316,15 @@ register(
     similarity.lsh_index_stats,
     similarity.LSH_INDEX_STATS_SQL,
 )
+# Late-r16 addition — never driver-checked; leads the r17 window per the
+# rotation policy. Online ANN serving: streamed query vectors answered
+# from the staged LSH index per micro-batch; the drained union equals
+# batch lsh_topk bit-for-bit, so it SHARES the exact LSH oracle.
+register(
+    "streaming_lsh_serve",
+    similarity.streaming_lsh_serve,
+    similarity.LSH_TOPK_SQL,
+)
 # IVF is approximate vs brute force but its *procedure* is deterministic,
 # so the oracle replicates the full algorithm (assign → probe → re-score).
 register("similarity_ivf_topk", similarity.ivf_topk, similarity.IVF_TOPK_SQL)

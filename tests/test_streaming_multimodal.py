@@ -1075,6 +1075,31 @@ def test_streaming_scorer_equals_batch_scorer(spark, sf_dir):
     assert stream == batch and len(batch) > 0
 
 
+def test_streaming_lsh_serve_equals_batch_topk(spark, sf_dir):
+    """Online ANN serving ≡ batch ANN: draining the streamed query block
+    against the staged multi-table LSH index must produce the batch
+    lsh_topk result bit-for-bit (same staged index, same probe →
+    pair-dedup → exact re-score → rank plan per micro-batch; per-query
+    top-k is independent across queries, so the union over micro-batches
+    is the batch answer). The query stream is range-split into 5 files
+    with maxFilesPerTrigger=1, so the drain genuinely crosses
+    micro-batch boundaries."""
+    from mapreduce_simulation_spark.operators.similarity import (
+        lsh_topk,
+        streaming_lsh_serve,
+    )
+
+    batch = {
+        (r.query_id, r.rk): (r.neighbor_id, r.cosine)
+        for r in lsh_topk(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.query_id, r.rk): (r.neighbor_id, r.cosine)
+        for r in streaming_lsh_serve(spark, sf_dir).collect()
+    }
+    assert stream == batch and len(batch) > 0
+
+
 def test_shard_ingest_replayed_batch_is_exactly_once(spark, sf_dir, tmp_path):
     """Crash-replay the shard export: drain with an explicit checkpoint,
     delete the last engine commit (sink committed, commit lost — the
