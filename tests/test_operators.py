@@ -1607,6 +1607,89 @@ def test_containment_recall_audit_replays_the_envelope(spark, tmp_path):
         assert r.predicted == pred
 
 
+def test_containment_audit_seeded_tier_survives_pane_overflow(
+    spark, tmp_path
+):
+    """The r16 pair-seeded pane tier must keep the audit powered when
+    the corpus outgrows the uniform pane: plant near-dup pairs in a
+    corpus LARGER than AUDIT_PANE_CAP, so the uniform draw provably
+    excludes some planted docs, and assert every planted pair whose
+    members share their m7 minimum (the seeded tier's guarantee) is
+    still audited — the (pane/corpus)² collapse the r15 ADVICE flagged
+    cannot silently empty the sample."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_simulation_spark.functions.hashing import (
+        MINHASH_PERMS,
+        P as HP,
+    )
+    from mapreduce_simulation_spark.operators import dedup
+
+    n_pairs = 30
+    n_filler = 300  # + 60 planted docs = 360 > AUDIT_PANE_CAP (200)
+    texts = []
+    for p in range(n_pairs):
+        a_toks = [f"q{p}w{i}" for i in range(50)]
+        b_toks = a_toks[:43] + [f"q{p}t{i}" for i in range(20)]
+        texts += [" ".join(a_toks), " ".join(b_toks)]
+    for f in range(n_filler):
+        texts.append(" ".join(f"f{f}x{i}" for i in range(30)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    def tok_hash(w: str) -> int:
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % HP
+        return h
+
+    def shingle_set(text: str) -> set[int]:
+        hs = [tok_hash(w) for w in text.lower().split()]
+        return {
+            ((hs[i] * 131 + hs[i + 1]) % HP * 131 + hs[i + 2]) % HP
+            for i in range(len(hs) - 2)
+        }
+
+    a7, b7 = MINHASH_PERMS[dedup.AUDIT_PERM]
+    uniform = sorted(
+        range(len(texts)),
+        key=lambda d: ((d * a7 + b7) % HP, d),
+    )[: dedup.AUDIT_PANE_CAP]
+    outside = set(range(2 * n_pairs)) - set(uniform)
+    # the corpus must actually overflow the uniform pane for the test to
+    # bite: some planted docs fall outside the uniform draw
+    assert outside, "fixture regression: uniform pane covered all pairs"
+    audited = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.containment_recall_audit(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for p in range(n_pairs):
+        da, db = 2 * p, 2 * p + 1
+        if not ({da, db} & outside):
+            continue  # both uniform-covered; the seeded claim is moot
+        sa, sb = shingle_set(texts[da]), shingle_set(texts[db])
+        m7 = {
+            doc: min((x * a7 + b7) % HP for x in s)
+            for doc, s in ((da, sa), (db, sb))
+        }
+        if m7[da] == m7[db]:
+            # seeded-tier guarantee: the pair's m7 bucket holds ≥2 docs,
+            # and with far fewer than AUDIT_PANE_BUCKETS eligible
+            # buckets in this corpus every such bucket is chosen
+            assert (da, db) in audited, (da, db)
+
+
 def test_tokenizer_fertility_zero_token_group_yields_null(spark, tmp_path):
     """A slice whose documents produce zero tokens must emit NULL rates,
     not a div-by-zero artifact — pinned on both engines (the oracle uses
