@@ -123,6 +123,10 @@ def main() -> None:
         ("lsh_band_signatures", "lsh_sigs_",
          lambda s, d: similarity._staged_band_signatures(
              s, d, similarity._corpus_with_norm(s, d)).count()),
+        # r16: the multi-table serve index (8 tables × 8 planes)
+        ("lsh_multitable_signatures", "lsh_mt_sigs_",
+         lambda s, d: similarity._staged_multitable_signatures(
+             s, d, similarity._corpus_with_norm(s, d)).count()),
         ("ivf_fixed_assign", "ivf_idx_", ivf_fixed),
         ("ivf_trained_codebook+assign", "ivf_cb_", ivf_trained),
         ("pq_codebooks+codes", "pq_idx_",
