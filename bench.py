@@ -166,6 +166,7 @@ QA_R15 = [
 QA_R16 = [
     "lsh_index_stats",
     "streaming_lsh_serve",
+    "lsh_index_upsert_stats",
 ]
 
 # Round-10 additions, same own-group rule: the gate→batch dedup pipeline

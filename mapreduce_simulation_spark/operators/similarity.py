@@ -449,7 +449,10 @@ def _multitable_signatures(corpus: DataFrame) -> DataFrame:
 
 
 def _staged_multitable_signatures(
-    spark: SparkSession, sf_dir: str, corpus: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: DataFrame,
+    part: str = "full",
 ) -> DataFrame:
     """The multi-table LSH index (vec_id, tbl, bucket), COMPUTED ONCE per
     (corpus, plane set) and served from parquet — the
@@ -465,7 +468,7 @@ def _staged_multitable_signatures(
 
     root, _ = keyed_staging_dir(
         "lsh_mt_sigs_",
-        f"{sf_dir}|mt{N_LSH_TABLES}x{N_HYPERPLANES}_v1",
+        f"{sf_dir}|mt{N_LSH_TABLES}x{N_HYPERPLANES}_{part}_v1",
     )
     final = os.path.join(root, "sigs")
     if not os.path.isdir(final):
@@ -740,6 +743,12 @@ def lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _corpus_with_norm(spark, sf_dir)
     sigs = _staged_multitable_signatures(spark, sf_dir, corpus)
+    return _index_census(sigs)
+
+
+def _index_census(sigs: DataFrame) -> DataFrame:
+    """The per-table occupancy census over a (vec_id, tbl, bucket) index:
+    two partial-agg exchanges, both bounded by the 8-bit bucket space."""
     occ = sigs.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("c"))
     return (
         occ.groupBy("tbl")
@@ -757,6 +766,41 @@ def lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_vectors").cast("double"),
         )
         .orderBy("tbl")
+    )
+
+
+def lsh_index_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE without rebuild: every row of the staged LSH
+    index is a pure function of its OWN vector (sign bits of fixed
+    planes), so a corpus delta is ingested by APPENDING its signature
+    rows — the existing index is never touched, re-read, or re-shuffled.
+    This query proves the claim end-to-end: it stages the index for the
+    BASE corpus only (vec_id % 5 != 4 — a deterministic 80/20 split),
+    computes signatures for the DELTA (vec_id % 5 == 4) in one narrow
+    pass, unions the two, and emits the same census as lsh_index_stats.
+    The result must equal the FULL-index census bit-for-bit, so it
+    hash-checks against LSH_INDEX_STATS_SQL VERBATIM — the oracle is the
+    full rebuild; the query is the delta ingest.
+
+    At 100 TB this is the difference between a daily delta job (scan the
+    delta, append id-sized rows) and a periodic full-index rebuild —
+    the same append-only argument that makes `incremental_dedup`'s
+    staged band store maintainable. The delta side shuffles nothing
+    (signature computation is row-local; the union is a narrow plan);
+    only the census's bucket-space-bounded aggregations exchange.
+
+    Reference parity: no vector surface in the reference engine
+    (HaolingPu/MapReduce-Simulation) — LLM-pipeline extension tier,
+    maintenance sibling of lsh_index_stats.
+    """
+    corpus = _corpus_with_norm(spark, sf_dir)
+    base = corpus.where(F.col("vec_id") % 5 != 4)
+    delta = corpus.where(F.col("vec_id") % 5 == 4)
+    base_sigs = _staged_multitable_signatures(
+        spark, sf_dir, base, part="base45"
+    )
+    return _index_census(
+        base_sigs.unionByName(_multitable_signatures(delta))
     )
 
 

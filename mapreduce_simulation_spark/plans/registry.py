@@ -1325,6 +1325,16 @@ register(
     similarity.streaming_lsh_serve,
     similarity.LSH_TOPK_SQL,
 )
+# Late-r16 addition — never driver-checked; leads the r17 window per the
+# rotation policy. Append-only index maintenance: delta signatures
+# unioned onto the staged base index must reproduce the full-rebuild
+# census bit-for-bit, so the oracle is LSH_INDEX_STATS_SQL verbatim —
+# the oracle is the rebuild, the query is the delta ingest.
+register(
+    "lsh_index_upsert_stats",
+    similarity.lsh_index_upsert_stats,
+    similarity.LSH_INDEX_STATS_SQL,
+)
 # IVF is approximate vs brute force but its *procedure* is deterministic,
 # so the oracle replicates the full algorithm (assign → probe → re-score).
 register("similarity_ivf_topk", similarity.ivf_topk, similarity.IVF_TOPK_SQL)

@@ -705,6 +705,22 @@ def test_lsh_index_stats_accounts_for_every_vector(spark, sf_dir):
         )
 
 
+def test_lsh_index_upsert_equals_full_rebuild(spark, sf_dir):
+    """Append-only index maintenance: the census over (staged base index
+    ∪ delta signatures computed in one narrow pass) must equal the
+    full-rebuild census bit-for-bit — per-vector signature independence
+    is the property that makes the 100 TB index maintainable by daily
+    delta jobs instead of rebuilds."""
+    full = [
+        tuple(r) for r in similarity.lsh_index_stats(spark, sf_dir).collect()
+    ]
+    upsert = [
+        tuple(r)
+        for r in similarity.lsh_index_upsert_stats(spark, sf_dir).collect()
+    ]
+    assert upsert == full and len(full) == similarity.N_LSH_TABLES
+
+
 def test_hll_monthly_users_error_bound(spark, sf_dir):
     """Daily HLL sketches union-merged to months must estimate monthly
     distinct users within HLL's expected error (lgConfigK=12 → ~1.6% rel
