@@ -428,23 +428,39 @@ ORDER BY vec_a, vec_b
 
 def _multitable_signatures(corpus: DataFrame) -> DataFrame:
     """(vec_id, tbl, bucket): the OR-amplification index — one 8-bit
-    sign-bucket per vector per LSH table, ids only. 32 strict-fold plane
-    dot products per vector; staged once via
-    ``_staged_multitable_signatures`` so serve calls never replay it."""
+    sign-bucket per vector per LSH table, ids only. N_LSH_TABLES×8
+    strict-fold plane dot products per vector, expressed as a broadcast
+    cross join against the 64-row planes table + ONE fold expression +
+    a (vec_id, tbl) bit-sum — the oracle's own shape. (The r16 first
+    cut inlined 64 separate HOF fold expressions instead; plan BUILD
+    alone cost multiple seconds of driver py4j per call, which the
+    delta path of lsh_index_upsert_stats pays on every run. Bucket
+    values are identical: same strict fold, same dyadic-rational plane
+    literals, and the bit-sum adds distinct powers of two, so order
+    cannot matter.) Staged once via ``_staged_multitable_signatures``
+    so serve calls never replay it."""
     planes = _hyperplanes(N_HYPERPLANES * N_LSH_TABLES)
-    sigs = []
-    for t in range(N_LSH_TABLES):
-        sig = F.lit(0).cast("long")
-        for j in range(N_HYPERPLANES):
-            pl = F.array(
-                *[F.lit(x) for x in planes[t * N_HYPERPLANES + j]]
+    planes_df = corpus.sparkSession.createDataFrame(
+        [(p, planes[p]) for p in range(len(planes))],
+        "p int, plane array<double>",
+    )
+    return (
+        corpus.select("vec_id", "v")
+        .crossJoin(broadcast(planes_df))
+        .select(
+            "vec_id",
+            F.expr(f"p DIV {N_HYPERPLANES}").alias("tbl"),
+            F.when(
+                _dot(F.col("v"), F.col("plane")) > 0,
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), p % {N_HYPERPLANES})"
+                ),
             )
-            sig = sig + F.when(
-                _dot(F.col("v"), pl) > 0, F.lit(1 << j)
-            ).otherwise(0)
-        sigs.append(sig)
-    return corpus.select(
-        "vec_id", F.posexplode(F.array(*sigs)).alias("tbl", "bucket")
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+        .groupBy("vec_id", "tbl")
+        .agg(F.sum("bit").cast("long").alias("bucket"))
     )
 
 
