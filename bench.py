@@ -365,7 +365,9 @@ _SUMMARY_KEYS = (
     "qa_r16_total",
     "cpu_calib_sec",
     "spark_calib_sec",
+    "spark_calib_med5_sec",
     "calib_normalized_total",
+    "calib_normalized_total_med5",
     "value_inproc",
     "calib_normalized_total_inproc",
     "calib_normalized_extended",
@@ -510,6 +512,17 @@ def main() -> None:
     t0 = time.perf_counter()
     qs["pricing_summary"](spark, "/root/testdata/sf0.001").count()
     spark_calib = round(time.perf_counter() - t0, 3)
+    # Robust twin (r16 verdict item 2): the single-shot calib above swung
+    # the legacy primary +24% in a round that was 30% faster raw. Median
+    # of 5 further repeats of the IDENTICAL operation — warm steady-state,
+    # so it is a new series (dual-recorded same-commit against the legacy
+    # single-shot, the same transition pattern as value_inproc in r14+).
+    med5_samples: list[float] = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        qs["pricing_summary"](spark, "/root/testdata/sf0.001").count()
+        med5_samples.append(time.perf_counter() - t0)
+    spark_calib_med5 = round(sorted(med5_samples)[2], 3)
 
     # Cross-process medians (r13 for the staging-I/O groups, widened to
     # headline/extended/training in r14 — see XPROC_GROUPS). Each group
@@ -633,18 +646,23 @@ def main() -> None:
         "qa_r16_total": round(sum(qa_r16.values()), 3),
         "cpu_calib_sec": cpu_calib,
         "spark_calib_sec": spark_calib,
-        # PRIMARY cross-round comparison metric (see README "Benchmark"):
-        # headline total / the PARENT session's spark_calib, unitless —
-        # the same denominator protocol as every round since r5, so the
-        # series stays continuous (child calibs run in a cooler JVM and
-        # measure ~2× the parent's steady-state number; pairing the series
-        # numerator with them would fake a 2× speedup). The r13 verdict's
-        # noise fix lands in the NUMERATOR (value = per-query medians
-        # across 3 fresh processes) and in the *_xproc twins below, which
-        # pair each child's total with THAT child's own calib sample — a
-        # new, fully cross-process series starting r14.
+        # median of 5 warm repeats of the identical calib op (r17+): the
+        # noise-robust denominator; see the dual-record comment at the
+        # measurement site.
+        "spark_calib_med5_sec": spark_calib_med5,
+        # LEGACY cross-round series (primary r5-r16, see README
+        # "Benchmark"): headline total / the PARENT session's single-shot
+        # spark_calib — kept with its exact historical definition so the
+        # r5+ series stays continuous, but DEMOTED from primary in r17:
+        # the single-shot denominator moved it +24% on calibration noise
+        # in a round that was 30% faster raw (r16 verdict item 2).
         "calib_normalized_total": round(total / spark_calib, 2)
         if spark_calib
+        else None,
+        # the r17+ parent-session series on the robust denominator
+        # (dual-recorded against the legacy series this commit).
+        "calib_normalized_total_med5": round(total / spark_calib_med5, 2)
+        if spark_calib_med5
         else None,
         # the r1-r13 methodology measured on THIS commit (see the dual-
         # record comment above): divide by calib_normalized_total for the
@@ -666,7 +684,22 @@ def main() -> None:
         # noise bound round-over-round comparisons should be read against.
         "value_spread_pct": _spread_pct("headline"),
         "extended_spread_pct": _spread_pct("extended"),
-        "primary_comparison_metric": "calib_normalized_total",
+        # PRIMARY since r17 (r16 verdict item 2): the fully cross-process
+        # metric — median over children of (child group total / that
+        # child's own calib sample) — recorded unchanged since r14, so the
+        # promoted series has three rounds of history (r14 10.55, r15
+        # 10.88, r16 10.95 — flat, vs the legacy series' 22.7 → 15.7 →
+        # 19.5 swing on the same three rounds, which tracked the parent's
+        # single-shot calib, not the code). One slow-host child moves one
+        # sample, not the
+        # recorded ratio; the parent single-shot series stays recorded
+        # above as the legacy join. In-process mode (BENCH_XPROC=0) has no
+        # per-child calibs, so it falls back to the legacy metric.
+        "primary_comparison_metric": (
+            "calib_normalized_total_xproc"
+            if _norm_median("headline") is not None
+            else "calib_normalized_total"
+        ),
         "per_query_stat": (
             f"median_of_{xproc_n}_processes_warm"
             if use_xproc

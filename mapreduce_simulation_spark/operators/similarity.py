@@ -51,6 +51,11 @@ TOP_K = 5
 COSINE_THRESHOLD = 0.4
 N_HYPERPLANES = 8
 N_LSH_TABLES = 8  # OR-amplified LSH: 8 independent 8-plane tables
+# Re-planing lever (r17): the WIDE config doubles the sign bits per table
+# (bucket space 256 -> 65536), the action lsh_index_replane takes when the
+# census's expected probe-candidate count crosses REPLANE_THRESHOLD.
+N_HYPERPLANES_WIDE = 16
+REPLANE_THRESHOLD = 4.0  # expected candidates per (table, probe)
 #                   (r15: 4 → recall@5 0.48; r16: 8 → measured 0.76 at
 #                   the same ~0.9 s warm serve — see the frontier table
 #                   below N_CENTROIDS)
@@ -426,9 +431,11 @@ ORDER BY vec_a, vec_b
 """
 
 
-def _multitable_signatures(corpus: DataFrame) -> DataFrame:
-    """(vec_id, tbl, bucket): the OR-amplification index — one 8-bit
-    sign-bucket per vector per LSH table, ids only. N_LSH_TABLES×8
+def _multitable_signatures(
+    corpus: DataFrame, n_planes: int = N_HYPERPLANES
+) -> DataFrame:
+    """(vec_id, tbl, bucket): the OR-amplification index — one n_planes-bit
+    sign-bucket per vector per LSH table, ids only. N_LSH_TABLES×n_planes
     strict-fold plane dot products per vector, expressed as a broadcast
     cross join against the 64-row planes table + ONE fold expression +
     a (vec_id, tbl) bit-sum — the oracle's own shape. (The r16 first
@@ -438,8 +445,10 @@ def _multitable_signatures(corpus: DataFrame) -> DataFrame:
     values are identical: same strict fold, same dyadic-rational plane
     literals, and the bit-sum adds distinct powers of two, so order
     cannot matter.) Staged once via ``_staged_multitable_signatures``
-    so serve calls never replay it."""
-    planes = _hyperplanes(N_HYPERPLANES * N_LSH_TABLES)
+    so serve calls never replay it. ``n_planes`` widens the per-table
+    signature (the lsh_index_replane lever): the plane chain is the same
+    LCG sequence, just consumed n_planes per table."""
+    planes = _hyperplanes(n_planes * N_LSH_TABLES)
     planes_df = corpus.sparkSession.createDataFrame(
         [(p, planes[p]) for p in range(len(planes))],
         "p int, plane array<double>",
@@ -449,11 +458,11 @@ def _multitable_signatures(corpus: DataFrame) -> DataFrame:
         .crossJoin(broadcast(planes_df))
         .select(
             "vec_id",
-            F.expr(f"p DIV {N_HYPERPLANES}").alias("tbl"),
+            F.expr(f"p DIV {n_planes}").alias("tbl"),
             F.when(
                 _dot(F.col("v"), F.col("plane")) > 0,
                 F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), p % {N_HYPERPLANES})"
+                    f"shiftleft(CAST(1 AS BIGINT), p % {n_planes})"
                 ),
             )
             .otherwise(F.lit(0).cast("long"))
@@ -469,6 +478,7 @@ def _staged_multitable_signatures(
     sf_dir: str,
     corpus: DataFrame,
     part: str = "full",
+    n_planes: int = N_HYPERPLANES,
 ) -> DataFrame:
     """The multi-table LSH index (vec_id, tbl, bucket), COMPUTED ONCE per
     (corpus, plane set) and served from parquet — the
@@ -484,12 +494,12 @@ def _staged_multitable_signatures(
 
     root, _ = keyed_staging_dir(
         "lsh_mt_sigs_",
-        f"{sf_dir}|mt{N_LSH_TABLES}x{N_HYPERPLANES}_{part}_v1",
+        f"{sf_dir}|mt{N_LSH_TABLES}x{n_planes}_{part}_v1",
     )
     final = os.path.join(root, "sigs")
     if not os.path.isdir(final):
         tmp = os.path.join(root, "_tmp_sigs")
-        _multitable_signatures(corpus).repartition(
+        _multitable_signatures(corpus, n_planes=n_planes).repartition(
             spark.sparkContext.defaultParallelism
         ).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
@@ -528,21 +538,29 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_serve(
-    spark: SparkSession, sf_dir: str, query_ids: list[int] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    n_planes: int = N_HYPERPLANES,
 ) -> DataFrame:
     """The staged-index LSH probe plan, parameterized on the query set:
     ``query_ids=None`` serves the full vec_id < N_QUERIES block (batch
     lsh_topk); a list serves exactly those ids (the per-micro-batch body
     of streaming_lsh_serve — per-query top-k is independent across
     queries, so a union over any partition of the ids equals the batch
-    result bit-for-bit)."""
+    result bit-for-bit). ``n_planes`` selects the staged index config
+    (8 = production narrow; N_HYPERPLANES_WIDE = the re-planed index
+    lsh_index_replane builds) — the probe set is the exact bucket plus
+    one flip per sign bit, so it widens with the signature."""
     is_query = (
         F.col("vec_id") < N_QUERIES
         if query_ids is None
         else F.col("vec_id").isin([int(i) for i in query_ids])
     )
     corpus = _corpus_with_norm(spark, sf_dir)
-    sigs = _staged_multitable_signatures(spark, sf_dir, corpus)
+    sigs = _staged_multitable_signatures(
+        spark, sf_dir, corpus, n_planes=n_planes
+    )
     probes = (
         sigs.where(is_query)
         .select(
@@ -561,7 +579,7 @@ def _lsh_serve(
                     F.lit(0).cast("long"),
                     *[
                         F.lit(1 << j).cast("long")
-                        for j in range(N_HYPERPLANES)
+                        for j in range(n_planes)
                     ],
                 )
             ).alias("flip"),
@@ -608,14 +626,19 @@ def _lsh_serve(
 # hyperplanes are dyadic rationals, sign bits from the same strict-fold
 # dot product, exact re-score on candidates), so "approximate" only
 # describes recall vs brute force — the OUTPUT is exactly reproducible.
-# Regenerates the 8 planes with a recursive CTE and replays bucket
-# assignment, the same-bucket probe, and the top-k rank.
-LSH_TOPK_SQL = f"""
+# Regenerates the planes with a recursive CTE and replays bucket
+# assignment, the same-bucket probe, and the top-k rank. Parameterized on
+# planes-per-table (r17) so the re-planed WIDE config shares the template.
+
+
+def _lsh_topk_sql(n_planes: int = N_HYPERPLANES) -> str:
+    flips = ", ".join(str(f) for f in [0] + [1 << j for j in range(n_planes)])
+    return f"""
 WITH RECURSIVE lcg(i, state) AS (
   SELECT 1, (CAST(1234567 AS BIGINT) * 1103515245 + 12345) % 2147483648
   UNION ALL
   SELECT i + 1, (state * 1103515245 + 12345) % 2147483648
-  FROM lcg WHERE i < {N_HYPERPLANES * N_LSH_TABLES * EMBED_DIM}
+  FROM lcg WHERE i < {n_planes * N_LSH_TABLES * EMBED_DIM}
 ),
 planes AS (
   SELECT (i - 1) // {EMBED_DIM} AS p,
@@ -634,12 +657,12 @@ n AS (
   FROM e
 ),
 sig AS (
-  SELECT n.vec_id, pl.p // {N_HYPERPLANES} AS tbl,
+  SELECT n.vec_id, pl.p // {n_planes} AS tbl,
          CAST(sum(CASE WHEN {_DOT_SQL_TMPL.format(a='n.v', b='pl.plane')} > 0
-                       THEN 1 << (pl.p % {N_HYPERPLANES}) ELSE 0 END)
+                       THEN 1 << (pl.p % {n_planes}) ELSE 0 END)
               AS BIGINT) AS bucket
   FROM n CROSS JOIN planes pl
-  GROUP BY n.vec_id, pl.p // {N_HYPERPLANES}
+  GROUP BY n.vec_id, pl.p // {n_planes}
 ),
 b AS (
   SELECT n.vec_id, n.v, n.nrm, s.tbl, s.bucket
@@ -648,7 +671,7 @@ b AS (
 probes AS (
   SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, q.tbl,
          xor(q.bucket, f.flip) AS pbucket
-  FROM b q CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f
+  FROM b q CROSS JOIN (SELECT unnest([{flips}]) AS flip) f
   WHERE q.vec_id < {N_QUERIES}
 ),
 scored AS (
@@ -665,6 +688,10 @@ FROM (
   FROM scored)
 WHERE rk <= {TOP_K}
 """
+
+
+LSH_TOPK_SQL = _lsh_topk_sql()
+LSH_TOPK_WIDE_SQL = _lsh_topk_sql(N_HYPERPLANES_WIDE)
 
 def streaming_lsh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online ANN serving: query vectors ARRIVE AS A STREAM and every
@@ -702,18 +729,30 @@ def streaming_lsh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < N_QUERIES
     )
-    stage, already = keyed_staging_dir("lsh_query_stream_", f"sf={sf_dir}")
-    if not already:
+    # isdir-guard + tmp + rename like every other staged artifact
+    # (_staged_multitable_signatures): if the write raises mid-way, no
+    # final dir exists, so a same-process retry re-stages instead of
+    # streaming a partial query set (ADVICE r16).
+    root, _ = keyed_staging_dir("lsh_query_stream_", f"sf={sf_dir}")
+    stage = os.path.join(root, "queries")
+    if not os.path.isdir(stage):
+        tmp = os.path.join(root, "_tmp_queries")
         queries.repartitionByRange(5, "vec_id").write.mode(
             "overwrite"
-        ).parquet(stage)
+        ).parquet(tmp)
+        os.rename(tmp, stage)
     out_root = staging_dir("lsh_serve_")
 
     def _serve_batch(batch: DataFrame, batch_id: int) -> None:
         ids = [r.vec_id for r in batch.select("vec_id").collect()]
         if not ids:
             return
-        _lsh_serve(batch.sparkSession, sf_dir, query_ids=ids).write.mode(
+        # serve through the OUTER session, not batch.sparkSession: the
+        # micro-batch clone would populate per-session DataFrame caches
+        # (tables._DF_CACHE / staging read cache) keyed on a session that
+        # is never individually stopped — one leaked cache dict per
+        # streaming run (ADVICE r16; the documented r15 leak shape).
+        _lsh_serve(spark, sf_dir, query_ids=ids).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_root, f"b{batch_id}"))
 
@@ -859,6 +898,146 @@ SELECT CAST(tbl AS INTEGER) AS tbl,
        CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
          AS expected_probe_candidates
 FROM occ GROUP BY tbl ORDER BY tbl
+"""
+
+
+def lsh_index_replane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index RE-PLANING — the action lsh_index_stats' census exists to
+    trigger (r16 verdict item 3). When the census's worst-table
+    ``expected_probe_candidates`` (the Σc²/N statistic that prices every
+    serve probe) crosses REPLANE_THRESHOLD, the production response is to
+    rebuild the index with a longer per-table signature: this query
+    builds the WIDE config — the same N_LSH_TABLES tables at
+    N_HYPERPLANES_WIDE (16) sign bits each, bucket space 256 → 65536 —
+    and emits BOTH configs' censuses side by side with the trigger
+    verdict, so one result table answers "should we re-plane, and what
+    does it buy": collision mass (the serve-join cost law) collapses
+    quadratically with bucket-space growth, while the recall price of
+    the longer signature is measured by ann_recall_audit's ``lsh`` vs
+    ``lsh_wide`` rows — cost here, recall there, both as queries.
+
+    The wide index reuses the SAME frozen LCG plane chain (consumed 16
+    planes per table instead of 8) and is staged exactly like the narrow
+    one (mt8x16 key), so after this query runs once the re-planed index
+    serves at staged-scan cost. The trigger is an 8-row aggregate
+    broadcast onto the output — no data-dependent plan branch, so the
+    result is deterministic and exactly oracle-replayable at any SF
+    (``triggered`` simply reads false below the threshold).
+
+    Scale: both censuses are the bucket-space-bounded two-exchange
+    aggregation of _index_census; the wide build is one extra pass over
+    the corpus at cluster parallelism, written once — the same
+    append-only artifact lifecycle as the narrow index, so a 100 TB
+    deployment re-planes by scheduling this query, not by taking the
+    serve path down.
+
+    Reference parity: no vector surface in the reference engine
+    (HaolingPu/MapReduce-Simulation) — LLM-pipeline extension tier, the
+    actuator paired with lsh_index_stats' sensor. Integer-exact
+    aggregations + one IEEE division per row → exact value-hash oracle.
+    """
+    corpus = _corpus_with_norm(spark, sf_dir)
+    narrow = _index_census(
+        _staged_multitable_signatures(spark, sf_dir, corpus)
+    ).withColumn("config", F.lit(f"mt{N_LSH_TABLES}x{N_HYPERPLANES}"))
+    wide = _index_census(
+        _staged_multitable_signatures(
+            spark, sf_dir, corpus, n_planes=N_HYPERPLANES_WIDE
+        )
+    ).withColumn("config", F.lit(f"mt{N_LSH_TABLES}x{N_HYPERPLANES_WIDE}"))
+    trig = narrow.agg(
+        (
+            F.max("expected_probe_candidates") > F.lit(REPLANE_THRESHOLD)
+        ).alias("triggered")
+    )
+    return (
+        narrow.unionByName(wide)
+        .crossJoin(broadcast(trig))
+        .select(
+            "config",
+            "tbl",
+            "n_vectors",
+            "n_buckets",
+            "max_bucket",
+            "collision_mass",
+            "expected_probe_candidates",
+            "triggered",
+        )
+        .orderBy("config", "tbl")
+    )
+
+
+# Exact oracle: ONE recursive-CTE plane chain long enough for the wide
+# config; the narrow census reads its 64-plane prefix (the LCG sequence is
+# prefix-stable, mirroring the Spark side's shared _hyperplanes chain).
+LSH_INDEX_REPLANE_SQL = f"""
+WITH RECURSIVE lcg(i, state) AS (
+  SELECT 1, (CAST(1234567 AS BIGINT) * 1103515245 + 12345) % 2147483648
+  UNION ALL
+  SELECT i + 1, (state * 1103515245 + 12345) % 2147483648
+  FROM lcg WHERE i < {N_HYPERPLANES_WIDE * N_LSH_TABLES * EMBED_DIM}
+),
+planes AS (
+  SELECT (i - 1) // {EMBED_DIM} AS p,
+         list(state / 2147483648.0 - 0.5 ORDER BY i) AS plane
+  FROM lcg GROUP BY 1
+),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sig_n AS (
+  SELECT e.vec_id, pl.p // {N_HYPERPLANES} AS tbl,
+         CAST(sum(CASE WHEN {_DOT_SQL_TMPL.format(a='e.v', b='pl.plane')} > 0
+                       THEN 1 << (pl.p % {N_HYPERPLANES}) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes pl
+  WHERE pl.p < {N_HYPERPLANES * N_LSH_TABLES}
+  GROUP BY e.vec_id, pl.p // {N_HYPERPLANES}
+),
+sig_w AS (
+  SELECT e.vec_id, pl.p // {N_HYPERPLANES_WIDE} AS tbl,
+         CAST(sum(CASE WHEN {_DOT_SQL_TMPL.format(a='e.v', b='pl.plane')} > 0
+                       THEN 1 << (pl.p % {N_HYPERPLANES_WIDE}) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.p // {N_HYPERPLANES_WIDE}
+),
+census_n AS (
+  SELECT CAST(tbl AS INTEGER) AS tbl,
+         CAST(sum(c) AS BIGINT) AS n_vectors,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(max(c) AS BIGINT) AS max_bucket,
+         CAST(sum(c * c) AS BIGINT) AS collision_mass,
+         CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+           AS expected_probe_candidates
+  FROM (SELECT tbl, bucket, count(*) AS c FROM sig_n GROUP BY tbl, bucket)
+  GROUP BY tbl
+),
+census_w AS (
+  SELECT CAST(tbl AS INTEGER) AS tbl,
+         CAST(sum(c) AS BIGINT) AS n_vectors,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(max(c) AS BIGINT) AS max_bucket,
+         CAST(sum(c * c) AS BIGINT) AS collision_mass,
+         CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+           AS expected_probe_candidates
+  FROM (SELECT tbl, bucket, count(*) AS c FROM sig_w GROUP BY tbl, bucket)
+  GROUP BY tbl
+),
+trig AS (
+  SELECT max(expected_probe_candidates) > {REPLANE_THRESHOLD} AS triggered
+  FROM census_n
+)
+SELECT u.config, u.tbl, u.n_vectors, u.n_buckets, u.max_bucket,
+       u.collision_mass, u.expected_probe_candidates, t.triggered
+FROM (
+  SELECT 'mt{N_LSH_TABLES}x{N_HYPERPLANES}' AS config, * FROM census_n
+  UNION ALL
+  SELECT 'mt{N_LSH_TABLES}x{N_HYPERPLANES_WIDE}' AS config, * FROM census_w
+) u CROSS JOIN trig t
+ORDER BY u.config, u.tbl
 """
 
 
@@ -1440,6 +1619,13 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_flat", ivf_topk),
         ("ivf_trained", ivf_trained_topk),
         ("lsh", lsh_topk),
+        # the re-planed WIDE index (r17): the audit is where
+        # lsh_index_replane's recall price is measured — cost movement
+        # lives in that query's census rows, recall movement here.
+        (
+            "lsh_wide",
+            lambda s, d: _lsh_serve(s, d, n_planes=N_HYPERPLANES_WIDE),
+        ),
         ("pq", pq_topk),
     ):
         a = audit(
@@ -2464,6 +2650,7 @@ WITH exact AS ({BRUTE_FORCE_TOPK_SQL}),
 flat AS ({IVF_TOPK_SQL}),
 trained AS ({TRAINED_IVF_TOPK_SQL}),
 lshv AS ({LSH_TOPK_SQL}),
+lshw AS ({LSH_TOPK_WIDE_SQL}),
 pqv AS ({PQ_TOPK_SQL}),
 approx AS (
   SELECT 'ivf_flat' AS index_variant, query_id, neighbor_id FROM flat
@@ -2471,6 +2658,8 @@ approx AS (
   SELECT 'ivf_trained', query_id, neighbor_id FROM trained
   UNION ALL
   SELECT 'lsh', query_id, neighbor_id FROM lshv
+  UNION ALL
+  SELECT 'lsh_wide', query_id, neighbor_id FROM lshw
   UNION ALL
   SELECT 'pq', query_id, neighbor_id FROM pqv
 ),
@@ -2483,7 +2672,8 @@ hits AS (
 perq AS (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id),
 variants AS (SELECT 'ivf_flat' AS index_variant UNION ALL
              SELECT 'ivf_trained' UNION ALL
-             SELECT 'lsh' UNION ALL SELECT 'pq')
+             SELECT 'lsh' UNION ALL SELECT 'lsh_wide' UNION ALL
+             SELECT 'pq')
 SELECT v.index_variant, p.query_id, CAST(p.k AS BIGINT) AS k,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(p.k AS DOUBLE)

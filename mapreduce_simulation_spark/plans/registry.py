@@ -52,6 +52,70 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # entries would downgrade their slot to the driver's weaker rows-only
 # check and get their stronger checks locally anyway.
 _PROMOTE = (
+    # ---- round-17 window: pure staleness rotation (the r16 window came
+    # back 50/50 driver-green, zero err — CORRECTNESS_r16.json), applied
+    # verbatim from the PLANS.md draft committed in r16. FIRST the THREE
+    # late-r16 registrations that have never had a driver row (registry
+    # 230 → 233: the ANN serve/ops tier — a green trio restores cumulative
+    # coverage to 233/233, every registry name driver-proven at least
+    # once). THEN the 30 remaining r12-stale greens, THEN the first 17
+    # r13-stale greens (alphabetical within a round;
+    # exact_global_percentiles, displaced by the third lead, queues for
+    # r18). ----
+    # never driver-checked (late-r16 additions)
+    "lsh_index_stats",               # collision-mass census of staged index
+    "streaming_lsh_serve",           # online ANN serving from staged index
+    "lsh_index_upsert_stats",        # append-only delta ingest == rebuild
+    # r12-stale greens (remaining 30, alphabetical back-fill)
+    "kvtext_source_stats",
+    "lang_id",
+    "lm_perplexity_score",
+    "media_features",
+    "minhash_jaccard_estimate",
+    "mmr_rerank",
+    "multiset_set_ops",
+    "not_in_customers",
+    "pagerank_order_chain",
+    "pandas_grouped_agg_median",
+    "partitioned_source_pruned",
+    "pipe_grep",
+    "pipe_word_count",
+    "polymorphic_udtf_props",
+    "pricing_summary",
+    "recursive_order_chain",
+    "revenue_by_nation",
+    "rfm_segmentation",
+    "rrf_hybrid_topk",
+    "runtime_filtered_join",
+    "schema_evolution_union",
+    "semantic_dedup",
+    "sessionize_events",
+    "similarity_topk",
+    "span_dedup",
+    "stratified_sample",
+    "streaming_hll_sketch_ingest",
+    "tfidf_top_terms",
+    "token_count_bpe",
+    "window_top_customers",
+    # r13-stale greens (alphabetical back-fill, first 17)
+    "bigram_lm_counts",
+    "bigram_perplexity",
+    "binary_file_source",
+    "bloom_membership_audit",
+    "chunk_for_training",
+    "co_purchase_pairs",
+    "cohort_retention",
+    "contrastive_triples",
+    "csv_bad_records",
+    "csv_source_revenue",
+    "cube_revenue",
+    "dedup_canonical",
+    "densify_daily_revenue",
+    "deterministic_sample",
+    "domain_cap_sample",
+    "embedding_argmax_arrow",
+    "ewma_daily_revenue",
+    # ---- history: round-16 window, 50/50 driver-green in r16 ----
     # ---- round-16 window: pure staleness rotation (the r15 window came
     # back 50/50 driver-green, zero err — CORRECTNESS_r15.json), applied
     # verbatim from the PLANS.md draft committed in r15. FIRST the FOUR
@@ -1334,6 +1398,18 @@ register(
     "lsh_index_upsert_stats",
     similarity.lsh_index_upsert_stats,
     similarity.LSH_INDEX_STATS_SQL,
+)
+# Late-r17 addition — never driver-checked; queued to lead the r18 window
+# per the rotation policy. Index RE-PLANING (r16 verdict item 3): the
+# actuator for lsh_index_stats' census — builds the wide (16-plane)
+# index when expected_probe_candidates crosses the threshold and emits
+# both configs' censuses side by side with the trigger verdict; the
+# recall side of the tradeoff is measured by ann_recall_audit's new
+# lsh_wide rows. Integer-exact aggregations → exact value-hash oracle.
+register(
+    "lsh_index_replane",
+    similarity.lsh_index_replane,
+    similarity.LSH_INDEX_REPLANE_SQL,
 )
 # IVF is approximate vs brute force but its *procedure* is deterministic,
 # so the oracle replicates the full algorithm (assign → probe → re-score).

@@ -37,11 +37,13 @@ def _worst_case_result() -> dict:
         "curation_r14_total": 99999.999,
         "cpu_calib_sec": 99.999,
         "spark_calib_sec": 99.999,
+        "spark_calib_med5_sec": 99.999,
         "calib_normalized_total": 9999.99,
+        "calib_normalized_total_med5": 9999.99,
         "calib_normalized_extended": 9999.99,
         "calib_normalized_total_xproc": 9999.99,
         "calib_normalized_extended_xproc": 9999.99,
-        "primary_comparison_metric": "calib_normalized_total",
+        "primary_comparison_metric": "calib_normalized_total_xproc",
         "per_query_stat": "median_of_3_processes_warm",
         "staging_group_stat": "median_of_3_processes",
         "value_spread_pct": 999.9,

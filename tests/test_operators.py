@@ -664,10 +664,9 @@ def test_pq_topk_recall_floor(spark, sf_dir):
     returned cosine is the EXACT score (refinement re-ranks with the true
     fold, so overlapping hits agree with brute force to the bit), and the
     recall floor holds — measured 0.98 (sf0.01) / 0.84 (sf0.1) at
-    PQ_REFINE=64 (r16) with
+    PQ_REFINE=64 (re-tuned r16 against ann_recall_audit) with
     8×16 staged codebooks (driver-side seeded k-means over a capped
-    sample, r9) and 16× refinement (raised from 8× after the sf0.001
-    per-group sweep caught a zero-hit query); deterministic per corpus.
+    sample, r9); deterministic per corpus.
     tools/verify_local.py checks the same contract against the exact
     DuckDB oracle per sweep (status recall_ok)."""
     bf = {
@@ -719,6 +718,66 @@ def test_lsh_index_upsert_equals_full_rebuild(spark, sf_dir):
         for r in similarity.lsh_index_upsert_stats(spark, sf_dir).collect()
     ]
     assert upsert == full and len(full) == similarity.N_LSH_TABLES
+
+
+def test_lsh_index_replane_censuses_and_trigger(spark, sf_dir):
+    """Re-planing emits both configs' complete censuses plus one
+    consistent trigger verdict. Structural invariants: 2×N_LSH_TABLES
+    rows; every table row accounts for the whole corpus; bucket counts
+    bounded by each config's bucket space; the trigger equals (narrow max
+    expected_probe_candidates > threshold) on the emitted rows. The
+    refinement invariant pins the cost law: wide table t (16 planes
+    16t..16t+16) is, for t < 4, the common refinement of narrow tables
+    2t and 2t+1 (planes are one shared LCG chain), and refining a
+    partition can only shrink Σc² — so its collision mass is bounded by
+    the smaller of the two."""
+    from mapreduce_simulation_spark.tables import load_table
+
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    rows = similarity.lsh_index_replane(spark, sf_dir).collect()
+    assert len(rows) == 2 * similarity.N_LSH_TABLES
+    narrow = {r.tbl: r for r in rows if r.config == "mt8x8"}
+    wide = {r.tbl: r for r in rows if r.config == "mt8x16"}
+    assert set(narrow) == set(wide) == set(range(similarity.N_LSH_TABLES))
+    for cfg, space in ((narrow, 2**8), (wide, 2**16)):
+        for r in cfg.values():
+            assert r.n_vectors == n_corpus
+            assert 1 <= r.n_buckets <= space
+            assert (
+                r.n_vectors <= r.collision_mass
+                <= r.n_vectors * r.max_bucket
+            )
+    want_trigger = (
+        max(r.expected_probe_candidates for r in narrow.values())
+        > similarity.REPLANE_THRESHOLD
+    )
+    assert all(r.triggered == want_trigger for r in rows)
+    for t in range(4):
+        assert wide[t].collision_mass <= min(
+            narrow[2 * t].collision_mass, narrow[2 * t + 1].collision_mass
+        )
+
+
+def test_ann_recall_audit_prices_the_replane_tradeoff(spark, sf_dir):
+    """The audit carries both LSH configs (full per-query row blocks),
+    and on this corpus the measured tradeoff points the documented way:
+    the wide (re-planed) index trades recall for the quadratic
+    collision-mass cut lsh_index_replane's census rows show — its mean
+    recall@5 must not exceed the narrow config's (buckets are ~100×
+    under-occupied at test SF; equality would need empty probe sets on
+    both sides)."""
+    rows = similarity.ann_recall_audit(spark, sf_dir).collect()
+    by_variant: dict[str, list] = {}
+    for r in rows:
+        by_variant.setdefault(r.index_variant, []).append(r)
+    assert set(by_variant) == {
+        "ivf_flat", "ivf_trained", "lsh", "lsh_wide", "pq",
+    }
+    assert all(
+        len(v) == similarity.N_QUERIES for v in by_variant.values()
+    )
+    mean = lambda v: sum(r.recall_at_k for r in v) / len(v)  # noqa: E731
+    assert mean(by_variant["lsh_wide"]) <= mean(by_variant["lsh"])
 
 
 def test_hll_monthly_users_error_bound(spark, sf_dir):

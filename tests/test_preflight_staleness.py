@@ -108,6 +108,40 @@ def test_real_repo_state_satisfies_the_rotation_budget():
     fail, note = pf._staleness_check(window, names)
     assert fail == [], note
 
+def test_committed_draft_covers_never_green_names(tmp_path):
+    """r16 verdict item 5: a never-driver-green name queued in the
+    committed next-round window DRAFT (PLANS.md) must not be reported as
+    unqueued — 'NOT in the upcoming window' only fires on rotation drift."""
+    pf = _load_preflight()
+    _write_rounds(tmp_path, {1: {"a": True}})
+    # without a draft: c is unqueued
+    fail, note = _check_in(pf, tmp_path, window={"b"}, names={"a", "b", "c"})
+    assert fail == []
+    assert "1 of them NOT in" in note and "c" in note
+    # with a committed draft naming c: 0 unqueued, note cites the draft
+    (tmp_path / "PLANS.md").write_text(
+        "## Round-9 window DRAFT (blah)\n\nprose\n\n```\n    c\n    b\n```\n"
+    )
+    fail, note = _check_in(pf, tmp_path, window={"b"}, names={"a", "b", "c"})
+    assert fail == []
+    assert "0 of them NOT in the upcoming window or the committed r9 draft" in note
+
+
+def test_newest_draft_wins_when_plans_has_history(tmp_path):
+    """PLANS.md keeps old drafts as history; only the highest-numbered one
+    is the committed queue."""
+    pf = _load_preflight()
+    _write_rounds(tmp_path, {1: {"a": True}})
+    (tmp_path / "PLANS.md").write_text(
+        "## Round-8 window DRAFT\n```\n    c\n```\n"
+        "## Round-9 window DRAFT\n```\n    d\n```\n"
+    )
+    fail, note = _check_in(pf, tmp_path, window={"b"}, names={"a", "b", "c"})
+    assert fail == []
+    # c is in the r8 draft only — the r9 draft is authoritative → unqueued
+    assert "1 of them NOT in the upcoming window or the committed r9 draft" in note
+
+
 def test_all_names_in_window_is_a_pass_not_a_crash(tmp_path):
     """Degenerate registry-fits-in-window case (ADVICE r14): with every
     name inside the window the oldest-out-of-window min() runs on an empty

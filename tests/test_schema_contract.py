@@ -113,57 +113,57 @@ def test_loaded_schema_matches_contract(spark, sf_dir, table):
 # registry._PROMOTE/_DEMOTE) must update this list deliberately.
 # ---------------------------------------------------------------------------
 
-DRIVER_WINDOW_R16 = [
-    "ann_recall_audit",
-    "containment_recall_audit",
-    "streaming_containment_dedup",
-    "tokenizer_fertility_stats",
-    "monthly_revenue",
-    "nation_top_customer_lists",
-    "ols_residuals_corpus",
-    "quality_score",
-    "quantiles_summary",
-    "repetition_stats",
-    "returned_item_revenue",
-    "rollup_revenue",
-    "running_order_totals",
-    "semi_join_customers",
-    "set_ops_segments",
-    "shard_export_manifest",
-    "shipping_priority",
-    "similarity_ivf_trained_topk",
-    "similarity_pq_topk",
-    "similarity_topk_pandas",
-    "small_quantity_revenue",
-    "streaming_dedup_keys",
-    "streaming_logreg_score",
-    "streaming_shard_ingest",
-    "stump_classify_corpus",
-    "text_dir_word_count",
-    "text_normalize",
-    "top_orders",
-    "udtf_word_count",
-    "union_sources",
-    "asof_join_purchases",
-    "banding_threshold_curve",
-    "bm25_topk",
-    "bpe_apply_merges",
-    "bpe_learn_merges",
-    "bucketed_join_revenue",
-    "ccnet_perplexity_buckets",
-    "cdc_chunking",
-    "centroid_classify",
-    "corpus_mix",
-    "curation_pipeline_v2",
-    "decontaminate",
-    "dedup_connected_components",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dsir_importance",
-    "embedding_near_dup_bucketed",
-    "gopher_quality_rules",
+DRIVER_WINDOW_R17 = [
+    "lsh_index_stats",
+    "streaming_lsh_serve",
+    "lsh_index_upsert_stats",
+    "kvtext_source_stats",
+    "lang_id",
+    "lm_perplexity_score",
+    "media_features",
+    "minhash_jaccard_estimate",
+    "mmr_rerank",
+    "multiset_set_ops",
+    "not_in_customers",
+    "pagerank_order_chain",
+    "pandas_grouped_agg_median",
+    "partitioned_source_pruned",
+    "pipe_grep",
+    "pipe_word_count",
+    "polymorphic_udtf_props",
+    "pricing_summary",
+    "recursive_order_chain",
+    "revenue_by_nation",
+    "rfm_segmentation",
+    "rrf_hybrid_topk",
+    "runtime_filtered_join",
+    "schema_evolution_union",
+    "semantic_dedup",
+    "sessionize_events",
+    "similarity_topk",
+    "span_dedup",
+    "stratified_sample",
+    "streaming_hll_sketch_ingest",
+    "tfidf_top_terms",
+    "token_count_bpe",
+    "window_top_customers",
+    "bigram_lm_counts",
+    "bigram_perplexity",
+    "binary_file_source",
+    "bloom_membership_audit",
+    "chunk_for_training",
+    "co_purchase_pairs",
+    "cohort_retention",
+    "contrastive_triples",
+    "csv_bad_records",
+    "csv_source_revenue",
+    "cube_revenue",
+    "dedup_canonical",
+    "densify_daily_revenue",
+    "deterministic_sample",
+    "domain_cap_sample",
+    "embedding_argmax_arrow",
+    "ewma_daily_revenue",
 ]
 
 
@@ -171,11 +171,11 @@ def test_driver_hash_window_is_frozen():
     from mapreduce_simulation_spark.plans import registry
 
     got = list(registry.queries())[:50]
-    assert got == DRIVER_WINDOW_R16, (
+    assert got == DRIVER_WINDOW_R17, (
         "the driver's first-50 hash window shifted — if this is an intended "
-        "promotion/demotion, update DRIVER_WINDOW_R16; otherwise find the "
+        "promotion/demotion, update DRIVER_WINDOW_R17; otherwise find the "
         "import/registration reorder that moved it.\n"
-        f"got:  {got}\nwant: {DRIVER_WINDOW_R16}"
+        f"got:  {got}\nwant: {DRIVER_WINDOW_R17}"
     )
 
 
@@ -183,7 +183,7 @@ def test_driver_window_queries_all_have_oracles():
     from mapreduce_simulation_spark.plans import registry
 
     oracles = registry.oracle_sql()
-    missing = [n for n in DRIVER_WINDOW_R16 if n not in oracles]
+    missing = [n for n in DRIVER_WINDOW_R17 if n not in oracles]
     assert missing == [], (
         f"driver-window queries without an exact oracle: {missing} — the "
         "gate would fall back to the weaker rows-only check"

@@ -26,6 +26,34 @@ SMOKE_SF = "/root/testdata/sf0.001"
 MAX_STALE_ROUNDS = 5  # 224 names / 50 slots → full refresh every ≤5 windows
 
 
+def _next_window_draft(root: str) -> tuple[set[str], str | None]:
+    """Parse the newest ``Round-N window DRAFT`` fenced block from PLANS.md.
+
+    Late-round registrations are queued for the NEXT round's window via a
+    committed draft (rotation policy, registry.py); a never-driver-green
+    name is only genuinely unqueued — real rotation drift — if neither the
+    current window nor that draft will refresh it (r16 verdict item 5).
+    Returns (names, "rN" tag) or (set(), None) when no draft exists.
+    """
+    import re
+
+    try:
+        text = open(os.path.join(root, "PLANS.md")).read()
+    except OSError:
+        return set(), None
+    best: tuple[int, set[str]] | None = None
+    for m in re.finditer(
+        r"^## Round-(\d+) window DRAFT.*?```\n(.*?)```", text, re.M | re.S
+    ):
+        rnum = int(m.group(1))
+        block = {ln.strip() for ln in m.group(2).splitlines() if ln.strip()}
+        if best is None or rnum > best[0]:
+            best = (rnum, block)
+    if best is None:
+        return set(), None
+    return best[1], f"r{best[0]}"
+
+
 def _staleness_check(
     window: set[str], names: set[str]
 ) -> tuple[list[str], str]:
@@ -58,11 +86,17 @@ def _staleness_check(
     upcoming = max(rounds) + 1  # the round the current window targets
     never = sorted(n for n in names if n not in latest)
     if never:
-        unqueued = sorted(n for n in never if n not in window)
+        draft, draft_tag = _next_window_draft(root)
+        unqueued = sorted(
+            n for n in never if n not in window and n not in draft
+        )
+        scope = "the upcoming window" + (
+            f" or the committed {draft_tag} draft" if draft_tag else ""
+        )
         note = (
             f"staleness: coverage {len(names) - len(never)}/{len(names)} — "
             f"{len(never)} never driver-green ({len(unqueued)} of them NOT "
-            f"in the upcoming window{': ' + ', '.join(unqueued[:8]) if unqueued else ''})"
+            f"in {scope}{': ' + ', '.join(unqueued[:8]) if unqueued else ''})"
         )
         return [], note
     stale = sorted(
