@@ -169,6 +169,13 @@ QA_R16 = [
     "lsh_index_upsert_stats",
 ]
 
+# Round-17 addition, same own-group rule: the re-planing actuator (its
+# cold number absorbs the WIDE staged index build; warm is the two
+# bucket-space-bounded censuses + the trigger broadcast).
+QA_R17 = [
+    "lsh_index_replane",
+]
+
 # Round-10 additions, same own-group rule: the gate→batch dedup pipeline
 # and the batch/streaming shard-export manifests.
 PIPELINE = [
@@ -363,6 +370,7 @@ _SUMMARY_KEYS = (
     "curation_r14_total",
     "qa_r15_total",
     "qa_r16_total",
+    "qa_r17_total",
     "cpu_calib_sec",
     "spark_calib_sec",
     "spark_calib_med5_sec",
@@ -571,6 +579,7 @@ def main() -> None:
     curation_r14 = run(CURATION_R14, repeats=3)
     qa_r15 = run(QA_R15, repeats=3)
     qa_r16 = run(QA_R16, repeats=3)
+    qa_r17 = run(QA_R17, repeats=3)
 
     def _norm_median(group: str) -> float | None:
         """Median over children of (child group total / child calib) —
@@ -644,6 +653,9 @@ def main() -> None:
         # separate group (r16+): the staged-LSH-index ops audit
         "qa_r16": qa_r16,
         "qa_r16_total": round(sum(qa_r16.values()), 3),
+        # separate group (r17+): the index re-planing actuator
+        "qa_r17": qa_r17,
+        "qa_r17_total": round(sum(qa_r17.values()), 3),
         "cpu_calib_sec": cpu_calib,
         "spark_calib_sec": spark_calib,
         # median of 5 warm repeats of the identical calib op (r17+): the

@@ -1100,6 +1100,65 @@ def test_streaming_lsh_serve_equals_batch_topk(spark, sf_dir):
     assert stream == batch and len(batch) > 0
 
 
+def test_streaming_lsh_serve_survives_index_restaging(
+    spark, sf_dir, monkeypatch
+):
+    """Serve under re-staging (r16 verdict item 6): an index REBUILD
+    landing between micro-batches must be invisible to the drain.
+    read_staged guards its per-session DataFrame cache with the staged
+    dir's entry signature (each part's mtime_ns + size), and rebuilds
+    land via write-to-tmp + os.rename — so a serve that starts after the
+    swap re-reads the new files and, the rebuild being value-identical,
+    keeps producing the batch answer. This test makes that argument
+    evidence: mid-drain (3rd micro-batch of 5) it replays the rebuild
+    protocol on the staged narrow index — same rows, different file
+    layout (coalesced to 1 part), rmtree + rename swap — and asserts the
+    drained union still equals batch lsh_topk exactly."""
+    import os
+    import shutil
+
+    from mapreduce_simulation_spark.operators import similarity as sim
+    from mapreduce_simulation_spark.staging import keyed_staging_dir
+
+    # first-touch the staged index so the swap targets the real artifact
+    corpus = sim._corpus_with_norm(spark, sf_dir)
+    sim._staged_multitable_signatures(spark, sf_dir, corpus)
+    root, already = keyed_staging_dir(
+        "lsh_mt_sigs_",
+        f"{sf_dir}|mt{sim.N_LSH_TABLES}x{sim.N_HYPERPLANES}_full_v1",
+    )
+    final = os.path.join(root, "sigs")
+    assert already and os.path.isdir(final)
+
+    batch = {
+        (r.query_id, r.rk): (r.neighbor_id, r.cosine)
+        for r in sim.lsh_topk(spark, sf_dir).collect()
+    }
+
+    real_serve = sim._lsh_serve
+    calls = {"n": 0}
+
+    def serve_with_midway_rebuild(sp, sd, query_ids=None, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            # the rebuild protocol: write the same index to a tmp dir in
+            # a different layout, then swap it in
+            rebuilt = sp.read.parquet(final).coalesce(1)
+            tmp = os.path.join(root, "_tmp_rebuild")
+            rebuilt.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(final)
+            os.rename(tmp, final)
+        return real_serve(sp, sd, query_ids=query_ids, **kw)
+
+    monkeypatch.setattr(sim, "_lsh_serve", serve_with_midway_rebuild)
+    stream = {
+        (r.query_id, r.rk): (r.neighbor_id, r.cosine)
+        for r in sim.streaming_lsh_serve(spark, sf_dir).collect()
+    }
+    assert calls["n"] >= 3, "drain did not cross the rebuild point"
+    assert stream == batch and len(batch) > 0
+
+
 def test_shard_ingest_replayed_batch_is_exactly_once(spark, sf_dir, tmp_path):
     """Crash-replay the shard export: drain with an explicit checkpoint,
     delete the last engine commit (sink committed, commit lost — the

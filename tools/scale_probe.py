@@ -152,7 +152,18 @@ def main() -> None:
         # corpus-linear by design; its warm serve should scale with the
         # candidate count (bucket occupancy ∝ corpus at fixed bucket
         # bits). similarity_topk is the brute-force contrast (scan-linear).
-        probes = ["similarity_topk", "similarity_lsh_topk"]
+        # streaming_lsh_serve (r17, r16 verdict item 4) prices the ONLINE
+        # drain at scale: per-batch work is the batch probe plan on the
+        # arriving ids against the big staged index. lsh_index_replane
+        # measures what the probe exists to show — at ×100 the narrow
+        # census's expected_probe_candidates reaches the occupancy the
+        # wide config is sized for, and the trigger fires.
+        probes = [
+            "similarity_topk",
+            "similarity_lsh_topk",
+            "streaming_lsh_serve",
+            "lsh_index_replane",
+        ]
     elif unique:
         # containment_dedup added r15: its anchor/cap/verify path is the
         # newest banded discipline — the clique-free rewrite preserves
