@@ -805,6 +805,13 @@ def _index_census(sigs: DataFrame) -> DataFrame:
     """The per-table occupancy census over a (vec_id, tbl, bucket) index:
     two partial-agg exchanges, both bounded by the 8-bit bucket space."""
     occ = sigs.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return _census_from_occ(occ)
+
+
+def _census_from_occ(occ: DataFrame) -> DataFrame:
+    """Census tail over a (tbl, bucket, c) occupancy table — split out
+    (r17) so the streaming monitor can feed MERGED occupancies (summed
+    per-batch deltas) through the identical aggregation."""
     return (
         occ.groupBy("tbl")
         .agg(
@@ -899,6 +906,82 @@ SELECT CAST(tbl AS INTEGER) AS tbl,
          AS expected_probe_candidates
 FROM occ GROUP BY tbl ORDER BY tbl
 """
+
+
+def streaming_lsh_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous index MONITORING — the online face of lsh_index_stats,
+    completing the index-ops set: sensor (lsh_index_stats), actuator
+    (lsh_index_replane), maintenance (lsh_index_upsert_stats), serve
+    (streaming_lsh_serve), and now the monitor that keeps the sensor's
+    number current as the corpus streams in. Corpus vectors ARRIVE AS A
+    STREAM (5 range-split files, maxFilesPerTrigger=1); each micro-batch
+    computes its own signature rows (row-local plane dots — nothing
+    shuffles) and appends a (tbl, bucket, c) OCCUPANCY DELTA under
+    deltas/batch=<id>/ (overwrite — a replayed batch rewrites identical
+    bytes, the shard-ingest idempotence recipe). The census is then
+    rolled up from the delta log alone: occupancy merge is sum
+    (associative + commutative), so merged deltas equal the one-shot
+    occupancy table EXACTLY and the drained census is bit-identical to
+    batch lsh_index_stats — it shares LSH_INDEX_STATS_SQL verbatim as an
+    exact value-hash oracle.
+
+    Scale: the per-batch delta is bounded by the BUCKET SPACE
+    (≤ N_LSH_TABLES×256 rows regardless of batch size), so the monitor's
+    state and merge cost are corpus-independent — at 100 TB the census
+    that decides re-planing is a metadata-scale rollup over register-
+    table-sized files, never a scan of the index. The per-batch
+    signature pass is the same corpus-linear map the batch build pays,
+    amortized over ingest.
+
+    Reference parity: no vector or streaming surface in the reference
+    engine (HaolingPu/MapReduce-Simulation) — LLM-pipeline extension
+    tier, the streaming-ingest twin pattern of
+    streaming_hll_sketch_ingest applied to the ANN index census.
+    """
+    import os
+
+    from ..staging import keyed_staging_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root, _ = keyed_staging_dir("lsh_ingest_stream_", f"sf={sf_dir}")
+    stage = os.path.join(root, "vectors")
+    if not os.path.isdir(stage):
+        tmp = os.path.join(root, "_tmp_vectors")
+        emb.repartitionByRange(5, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(tmp, stage)
+    # keyed (not fresh-per-call) so tests can locate the delta log and
+    # assert multi-batch accumulation; re-drains rewrite identical bytes
+    out_root, _ = keyed_staging_dir("lsh_census_ingest_", f"sf={sf_dir}")
+    delta_dir = os.path.join(out_root, "deltas")
+
+    def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        v = _as_double("embedding")
+        sigs = _multitable_signatures(
+            batch_df.select("vec_id", v.alias("v"))
+        )
+        delta = sigs.groupBy("tbl", "bucket").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        delta.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(delta_dir, f"batch={batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(_ingest_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    deltas = spark.read.option("basePath", delta_dir).parquet(
+        os.path.join(delta_dir, "batch=*")
+    )
+    occ = deltas.groupBy("tbl", "bucket").agg(F.sum("c").alias("c"))
+    return _census_from_occ(occ)
 
 
 def lsh_index_replane(spark: SparkSession, sf_dir: str) -> DataFrame:

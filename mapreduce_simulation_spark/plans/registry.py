@@ -1411,6 +1411,18 @@ register(
     similarity.lsh_index_replane,
     similarity.LSH_INDEX_REPLANE_SQL,
 )
+# Late-r17 addition — never driver-checked; queued to lead the r18 window
+# per the rotation policy. Continuous index monitoring: streamed corpus
+# vectors append bucket-space-bounded occupancy deltas per micro-batch;
+# the census rolled up from the delta log alone equals batch
+# lsh_index_stats bit-for-bit (occupancy merge is sum), so the oracle is
+# LSH_INDEX_STATS_SQL verbatim — the monitor that keeps the re-planing
+# sensor current at ingest time.
+register(
+    "streaming_lsh_index_ingest",
+    similarity.streaming_lsh_index_ingest,
+    similarity.LSH_INDEX_STATS_SQL,
+)
 # IVF is approximate vs brute force but its *procedure* is deterministic,
 # so the oracle replicates the full algorithm (assign → probe → re-score).
 register("similarity_ivf_topk", similarity.ivf_topk, similarity.IVF_TOPK_SQL)

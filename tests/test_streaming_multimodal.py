@@ -1594,6 +1594,51 @@ def test_band_index_base_visible_to_fresh_query_batch_zero(spark, tmp_path):
     assert len(dups) == 8 and all(d == 1 for d in dups)
 
 
+def test_streaming_lsh_index_ingest_equals_batch_census(spark, sf_dir):
+    """Online ≡ offline for the index monitor: the census rolled up from
+    the per-batch occupancy deltas must be ROW-IDENTICAL to batch
+    lsh_index_stats (occupancy merge is sum — associative/commutative),
+    asserting the drain produced multiple delta batches (5 range-split
+    files × maxFilesPerTrigger=1) and that every delta is bounded by the
+    bucket space — the property that makes the monitor's state
+    corpus-independent. A re-drain must rewrite identical deltas
+    (idempotent replay, the shard-ingest recipe)."""
+    import os
+
+    from mapreduce_simulation_spark.operators.similarity import (
+        N_LSH_TABLES,
+        lsh_index_stats,
+        streaming_lsh_index_ingest,
+    )
+    from mapreduce_simulation_spark.staging import keyed_staging_dir
+
+    online = [
+        tuple(r)
+        for r in streaming_lsh_index_ingest(spark, sf_dir).collect()
+    ]
+    offline = [tuple(r) for r in lsh_index_stats(spark, sf_dir).collect()]
+    assert online == offline and len(online) == N_LSH_TABLES
+
+    out_root, already = keyed_staging_dir(
+        "lsh_census_ingest_", f"sf={sf_dir}"
+    )
+    assert already  # the query call above created it
+    delta_dir = os.path.join(out_root, "deltas")
+    batches = [d for d in os.listdir(delta_dir) if d.startswith("batch=")]
+    assert len(batches) > 1, f"expected multi-batch drain, got {batches}"
+    for b in batches:
+        n = spark.read.parquet(os.path.join(delta_dir, b)).count()
+        assert n <= N_LSH_TABLES * 256, (b, n)
+
+    # idempotent replay: a second drain overwrites identical deltas and
+    # yields the same census
+    again = [
+        tuple(r)
+        for r in streaming_lsh_index_ingest(spark, sf_dir).collect()
+    ]
+    assert again == online
+
+
 def test_streaming_hll_ingest_equals_batch_sketch(spark):
     """Online ≡ offline for the sketch family: the multi-batch delta-log
     rollup must be ROW-IDENTICAL (including the float estimates) to the

@@ -127,6 +127,13 @@ def main() -> None:
         ("lsh_multitable_signatures", "lsh_mt_sigs_",
          lambda s, d: similarity._staged_multitable_signatures(
              s, d, similarity._corpus_with_norm(s, d)).count()),
+        # r17: the re-planed WIDE index (8 tables × 16 planes) — built
+        # by lsh_index_replane when the census trigger fires; same
+        # prefix, own keyed dir, so this row is its incremental build
+        ("lsh_multitable_signatures_wide", "lsh_mt_sigs_",
+         lambda s, d: similarity._staged_multitable_signatures(
+             s, d, similarity._corpus_with_norm(s, d),
+             n_planes=similarity.N_HYPERPLANES_WIDE).count()),
         ("ivf_fixed_assign", "ivf_idx_", ivf_fixed),
         ("ivf_trained_codebook+assign", "ivf_cb_", ivf_trained),
         ("pq_codebooks+codes", "pq_idx_",
