@@ -644,7 +644,7 @@ def test_ann_recall_audit_semantics(spark, sf_dir):
     from mapreduce_simulation_spark.operators import similarity as S
 
     rows = S.ann_recall_audit(spark, sf_dir).collect()
-    variants = {"ivf_flat", "ivf_trained", "lsh", "pq"}
+    variants = {"ivf_flat", "ivf_trained", "lsh", "lsh_wide", "pq"}
     assert {r.index_variant for r in rows} == variants
     for v in variants:
         assert sum(1 for r in rows if r.index_variant == v) == S.N_QUERIES
