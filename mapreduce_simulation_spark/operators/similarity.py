@@ -537,6 +537,24 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_serve(spark, sf_dir)
 
 
+# Prepared-plan memo for _lsh_serve (r17): session → {(sf_dir, n_planes):
+# (embeddings_df, sigs_df, prepared_full_block_plan)}. Plan CONSTRUCTION
+# (pure driver-side py4j) measured 0.9-1.1 s per call at sf0.1 — paid per
+# micro-batch by streaming_lsh_serve and per call by lsh_topk /
+# ann_recall_audit. DataFrames are immutable logical plans, so reuse is
+# safe (the tables._DF_CACHE / staging.read_staged precedent); staleness
+# is guarded by OBJECT IDENTITY of the two signature-guarded upstream
+# caches — an index re-stage or fixture overwrite moves their dataset
+# signatures, those caches return NEW DataFrame objects, and the memo
+# rebuilds (pinned by test_streaming_lsh_serve_survives_index_restaging).
+# Plans only, never results: every execution still reads the parquet.
+import weakref as _weakref
+
+_SERVE_PLAN_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
 def _lsh_serve(
     spark: SparkSession,
     sf_dir: str,
@@ -551,16 +569,43 @@ def _lsh_serve(
     result bit-for-bit). ``n_planes`` selects the staged index config
     (8 = production narrow; N_HYPERPLANES_WIDE = the re-planed index
     lsh_index_replane builds) — the probe set is the exact bucket plus
-    one flip per sign bit, so it widens with the signature."""
-    is_query = (
-        F.col("vec_id") < N_QUERIES
-        if query_ids is None
-        else F.col("vec_id").isin([int(i) for i in query_ids])
-    )
+    one flip per sign bit, so it widens with the signature.
+
+    The full-block plan is built once per (session, sf_dir, n_planes,
+    staged-index generation) and memoized (_SERVE_PLAN_CACHE); an id list
+    is served by filtering the prepared plan. Catalyst pushes the
+    query_id IN-list through the probe joins to both probe-side scans
+    (PushedFilters carries In(vec_id, ...) — see
+    plans/r17/streaming_lsh_serve_after.txt), so per-batch work stays
+    bounded by the arriving ids like the bespoke per-id plan it replaces,
+    without re-paying plan construction per micro-batch. Ids outside the
+    query block are never produced by the query stream (it is staged AS
+    the block), so block∧ids ≡ ids here."""
+    emb = load_table(spark, sf_dir, "embeddings")
     corpus = _corpus_with_norm(spark, sf_dir)
     sigs = _staged_multitable_signatures(
         spark, sf_dir, corpus, n_planes=n_planes
     )
+    per_session = _SERVE_PLAN_CACHE.setdefault(spark, {})
+    hit = per_session.get((sf_dir, n_planes))
+    if hit is not None and hit[0] is emb and hit[1] is sigs:
+        prepared = hit[2]
+    else:
+        prepared = _lsh_serve_plan(corpus, sigs, n_planes)
+        per_session[(sf_dir, n_planes)] = (emb, sigs, prepared)
+    if query_ids is None:
+        return prepared
+    return prepared.where(
+        F.col("query_id").isin([int(i) for i in query_ids])
+    )
+
+
+def _lsh_serve_plan(
+    corpus: DataFrame, sigs: DataFrame, n_planes: int
+) -> DataFrame:
+    """Build the full-block probe → pair-dedup → exact re-score → top-k
+    plan (the body _lsh_serve memoizes)."""
+    is_query = F.col("vec_id") < N_QUERIES
     probes = (
         sigs.where(is_query)
         .select(
@@ -595,7 +640,16 @@ def _lsh_serve(
         )
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         # a pair can collide in several tables/probes; dedup on ids
-        # BEFORE fetching vectors so the verify join is candidate-sized
+        # BEFORE fetching vectors so the verify join is candidate-sized.
+        # One exchange for dedup + rank (r17): partitioning by query_id
+        # alone satisfies the (query_id, neighbor_id) dedup clustering AND
+        # the rank window's, so the dedup aggregate and the window both
+        # ride this single exchange instead of one each (plan 10 → 8
+        # Exchange nodes; serve 0.9 → 0.5 s warm at sf0.1, identical
+        # rows). Worst-case skew is unchanged — the window already
+        # clustered by query_id, and candidates per query are
+        # occupancy-bounded (lsh_index_stats prices them).
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     qvecs = corpus.where(is_query).select(
@@ -752,6 +806,9 @@ def streaming_lsh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (tables._DF_CACHE / staging read cache) keyed on a session that
         # is never individually stopped — one leaked cache dict per
         # streaming run (ADVICE r16; the documented r15 leak shape).
+        # Per-batch plan cost is one .where() on the memoized prepared
+        # plan (_SERVE_PLAN_CACHE) — the 0.9-1.1 s/batch py4j plan
+        # rebuild this loop used to pay is gone (r17).
         _lsh_serve(spark, sf_dir, query_ids=ids).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_root, f"b{batch_id}"))
