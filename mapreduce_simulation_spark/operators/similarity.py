@@ -128,7 +128,21 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical shape: broadcast(queries) ⋈ corpus — a map-side nested loop,
     no shuffle except the final per-query top-k (rank window on 10 keys).
     """
-    corpus = _corpus_with_norm(spark, sf_dir)
+    from .planmemo import plan_memo
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # plan memo (r17): ~0.2 s of py4j per build, re-paid by every audit /
+    # rerank caller; invalidated by fixture-scan identity (planmemo.py).
+    return plan_memo(
+        spark,
+        ("brute_force_topk", sf_dir),
+        (emb,),
+        lambda: _brute_force_topk_plan(_corpus_with_norm(spark, sf_dir)),
+    )
+
+
+def _brute_force_topk_plan(corpus: DataFrame) -> DataFrame:
+    """Build the broadcast-queries exact top-k plan (memoized above)."""
     queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -1199,6 +1213,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         parquet at query time (index build vs. query serve), like every
         artifact in the staged tier.
     """
+    from .planmemo import plan_memo
+
+    emb = load_table(spark, sf_dir, "embeddings")
     corpus = _corpus_with_norm(spark, sf_dir)
     cents = corpus.where(
         (F.col("vec_id") >= N_QUERIES)
@@ -1209,7 +1226,15 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cn"),
     )
     assign = _staged_ivf_assign(spark, sf_dir, corpus, cents)
-    return _ivf_search(corpus, cents, assign=assign)
+    # plan memo (r17): the probe/re-score plan is ~0.3 s of py4j to build;
+    # serve it prepared, invalidated by identity of the fixture scan and
+    # the staged assignment (see operators/planmemo.py).
+    return plan_memo(
+        spark,
+        ("ivf_topk", sf_dir),
+        (emb, assign),
+        lambda: _ivf_search(corpus, cents, assign=assign),
+    )
 
 
 def _staged_ivf_assign(
@@ -1377,8 +1402,16 @@ def _staged_trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid bigint, cv array<double>",
         ).repartition(1).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-    return read_staged(spark, final).select(
-        "cid", "cv", _norm(F.col("cv")).alias("cn")
+    from .planmemo import plan_memo
+
+    raw = read_staged(spark, final)
+    # plan-memo the norm projection so callers get an identity-stable
+    # codebook frame (the staleness signal downstream memos key on).
+    return plan_memo(
+        spark,
+        ("trained_cents", final),
+        (raw,),
+        lambda: raw.select("cid", "cv", _norm(F.col("cv")).alias("cn")),
     )
 
 
@@ -1402,6 +1435,9 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact value-hash check; the recall floor vs brute force is asserted
     in tests too.
     """
+    from .planmemo import plan_memo
+
+    emb = load_table(spark, sf_dir, "embeddings")
     corpus = _corpus_with_norm(spark, sf_dir)
     cents = _staged_trained_centroids(spark, sf_dir)
     # TRAIN_CAP folded into the variant so the assignment can never pair
@@ -1410,8 +1446,16 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = _staged_ivf_assign(
         spark, sf_dir, corpus, cents, variant=TRAINED_ASSIGN_VARIANT
     )
-    return _ivf_search(
-        corpus, cents, assign=assign, n_probe=N_PROBE_TRAINED
+    # plan memo (r17): see ivf_topk — deps are the fixture scan, the
+    # staged codebook (identity-stable via _staged_trained_centroids'
+    # own memo), and the staged assignment.
+    return plan_memo(
+        spark,
+        ("ivf_trained_topk", sf_dir),
+        (emb, cents, assign),
+        lambda: _ivf_search(
+            corpus, cents, assign=assign, n_probe=N_PROBE_TRAINED
+        ),
     )
 
 
@@ -1732,7 +1776,37 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling of similarity_ivf_topk. Exact value-hash oracle (both
     engines produce identical top-k sets, so counts divide identically).
     """
-    exact = brute_force_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    from .planmemo import plan_memo
+
+    # Each sub-search plan is memoized by its own entry point, so the
+    # tuple below is identity-stable while fixtures and staged indexes
+    # are unchanged — memoize the audit's union plan on exactly those
+    # identities. Build cost measured r17: 1.8-2.1 s of driver py4j per
+    # call (5.6k gateway commands), re-paid on every bench repeat.
+    searches = (
+        ("ivf_flat", ivf_topk(spark, sf_dir)),
+        ("ivf_trained", ivf_trained_topk(spark, sf_dir)),
+        ("lsh", lsh_topk(spark, sf_dir)),
+        # the re-planed WIDE index (r17): the audit is where
+        # lsh_index_replane's recall price is measured — cost movement
+        # lives in that query's census rows, recall movement here.
+        ("lsh_wide", _lsh_serve(spark, sf_dir, n_planes=N_HYPERPLANES_WIDE)),
+        ("pq", pq_topk(spark, sf_dir)),
+    )
+    exact_full = brute_force_topk(spark, sf_dir)
+    return plan_memo(
+        spark,
+        ("ann_recall_audit", sf_dir),
+        (exact_full,) + tuple(df for _, df in searches),
+        lambda: _ann_recall_audit_plan(exact_full, searches),
+    )
+
+
+def _ann_recall_audit_plan(
+    exact_full: DataFrame, searches: tuple
+) -> DataFrame:
+    """Build the per-(variant, query) recall table (memoized above)."""
+    exact = exact_full.select("query_id", "neighbor_id")
     perq = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
 
     def audit(approx: DataFrame, variant: str) -> DataFrame:
@@ -1755,21 +1829,9 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = None
-    for variant, fn in (
-        ("ivf_flat", ivf_topk),
-        ("ivf_trained", ivf_trained_topk),
-        ("lsh", lsh_topk),
-        # the re-planed WIDE index (r17): the audit is where
-        # lsh_index_replane's recall price is measured — cost movement
-        # lives in that query's census rows, recall movement here.
-        (
-            "lsh_wide",
-            lambda s, d: _lsh_serve(s, d, n_planes=N_HYPERPLANES_WIDE),
-        ),
-        ("pq", pq_topk),
-    ):
+    for variant, approx_full in searches:
         a = audit(
-            fn(spark, sf_dir).select("query_id", "neighbor_id"), variant
+            approx_full.select("query_id", "neighbor_id"), variant
         )
         out = a if out is None else out.unionByName(a)
     return out
@@ -2145,9 +2207,27 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PQ result exactly; the recall floor vs brute force
     (PQ_TOPK_ORACLE_SQL ground truth) is asserted in tests as well.
     """
+    from .planmemo import plan_memo
+
+    emb = load_table(spark, sf_dir, "embeddings")
     corpus = _corpus_with_norm(spark, sf_dir)
     cents, codes = _staged_pq_index(spark, sf_dir)
+    # plan memo (r17): the LUT/ADC/refine plan is ~0.4 s of py4j to
+    # build; serve it prepared, invalidated by identity of the fixture
+    # scan and the two staged PQ artifacts (see operators/planmemo.py).
+    return plan_memo(
+        spark,
+        ("pq_topk", sf_dir),
+        (emb, cents, codes),
+        lambda: _pq_topk_plan(corpus, cents, codes),
+    )
 
+
+def _pq_topk_plan(
+    corpus: DataFrame, cents: DataFrame, codes: DataFrame
+) -> DataFrame:
+    """Build the PQ LUT → ADC → exact-refine plan (the body pq_topk
+    memoizes)."""
     # 3. per-query LUT: dot(query subvector, centroid) for all 8×16 cells,
     # flattened to a 128-slot array indexed by m*16+cid
     queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
