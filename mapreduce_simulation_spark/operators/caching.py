@@ -89,6 +89,11 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     ONLY when this module created a cache entry under the same plan key —
     a caller's own intentional persist stays untracked, so a release here
     never drops a cache it did not create."""
+    # Tracked persists are released per query, so any plan built around
+    # one must never be memoized (see planmemo module note).
+    from .planmemo import taint
+
+    taint()
     key = _plan_key(df)
     if df.is_cached:
         if key not in _PLAN_REFS:

@@ -40,6 +40,7 @@ from ..tables import load_table
 from ..staging import read_staged
 from .dedup import _SHINGLES_SQL, _shingles
 from .text import bigram_pairs, staged_tokenized_docs, tokens
+from .planmemo import memoized_plan
 
 # Held-out "benchmark" slice: a fixed residue class stands in for the eval
 # set a real pipeline would load as its own table.
@@ -103,6 +104,7 @@ HAVING count(*) >= {CONTAM_MIN_SHINGLES}
 # reference era)
 # ---------------------------------------------------------------------------
 
+@memoized_plan
 def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram NOVELTY against the reference corpus era: for
     each current-era document (odd doc_id — the incremental_dedup /
@@ -809,6 +811,7 @@ WINDOW_TOKENS = 32
 WINDOW_STRIDE = 24  # 8-token overlap between consecutive chunks
 
 
+@memoized_plan
 def chunk_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split every document into WINDOW_TOKENS-token training windows with
     an 8-token overlap (stride WINDOW_STRIDE) — the tokenize-and-split step
@@ -880,6 +883,7 @@ FROM ch
 PACK_CAPACITY = 512
 
 
+@memoized_plan
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents (in doc_id order) into fixed-capacity training
     sequences by cumulative token count: doc d goes to sequence
@@ -1041,6 +1045,7 @@ def write_training_shards(
 ENCODE_MAX_POS = 32
 
 
+@memoized_plan
 def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary construction + token-id encoding — the tokenize-to-ids
     step that turns curated text into model input: build the corpus
@@ -1508,6 +1513,7 @@ ORDER BY doc_id
 N_TRAIN_SHARDS = 8
 
 
+@memoized_plan
 def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every document a position in a deterministic pseudo-random
     global order plus a round-robin shard label — the "shuffle the corpus
@@ -1634,6 +1640,7 @@ def _staged_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_staged(spark, final)
 
 
+@memoized_plan
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document log importance weight for data selection, in the spirit
     of DSIR (Xie et al. 2023, arXiv:2302.03169): hash every bigram into
@@ -1746,6 +1753,7 @@ SUBSTR_K = 16
 SPAN_COMBINE = 131  # polynomial base combining token hashes into grams
 
 
+@memoized_plan
 def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal duplicated-substring spans at EVERY token offset — the
     stride-1 exact-substring dedup of Lee et al. 2021 ("Deduplicating
@@ -2006,6 +2014,7 @@ ORDER BY r.doc_id
 PPL_BUCKETS = 3  # CCNet's head / middle / tail
 
 
+@memoized_plan
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's quality banding (Wenzek et al. 2020): score every document
     with a language model trained ON ITS OWN LANGUAGE's slice of the
@@ -2300,6 +2309,51 @@ ORDER BY doc_id
 # BPE merge application: the learned subword vocabulary over the corpus
 # ---------------------------------------------------------------------------
 
+def _staged_bpe_rules(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple]:
+    """The learned BPE merge rules as a STAGED per-corpus MODEL artifact
+    (the _staged_logreg_weights contract): the driver-side learner runs
+    once per corpus over the capped type table, the (rank, lhs, rhs)
+    rule list is written to parquet, and every later apply call reads the
+    BPE_N_MERGES-row table back — a tokenizer trains once and ships its
+    merges file; re-learning inside every apply call (the pre-r17 shape)
+    re-paid the type-table collect + driver fit per invocation. Strings
+    roundtrip parquet exactly, so the staged rules are bit-identical to
+    a fresh fit and results are unchanged."""
+    import os
+
+    from ..staging import keyed_staging_dir, read_staged
+    from ..tables import load_table
+
+    root, _ = keyed_staging_dir(
+        "bpe_rules_", f"{sf_dir}|n{BPE_N_MERGES}cap{BPE_TYPE_TABLE_CAP}_v1"
+    )
+    final = os.path.join(root, "rules")
+    if not os.path.isdir(final):
+        docs = load_table(spark, sf_dir, "documents")
+        type_rows = (
+            docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(BPE_TYPE_TABLE_CAP)
+            .collect()
+        )
+        rules = _bpe_learn_driver(
+            [(r["word"], int(r["cnt"])) for r in type_rows], BPE_N_MERGES
+        )
+        tmp = os.path.join(root, "_tmp_rules")
+        spark.createDataFrame(
+            [(rank, lhs, rhs) for rank, lhs, rhs, _m, _n in rules],
+            "rank int, lhs string, rhs string",
+        ).repartition(1).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+    rows = read_staged(spark, final).collect()
+    return sorted((int(r.rank), r.lhs, r.rhs) for r in rows)
+
+
+@memoized_plan
 def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the BPE_N_MERGES learned merge rules to the corpus and report
     the resulting subword vocabulary — token, weighted occurrence count
@@ -2324,22 +2378,20 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     text instead.
     """
     docs = load_table(spark, sf_dir, "documents")
-    type_tbl = persist_tracked(
+    # Serve path (r17): rules come from the staged per-corpus merges file
+    # (_staged_bpe_rules — trained once, the tokenizer-ships-its-merges
+    # contract), so the apply plan needs the type table exactly ONCE and
+    # no tracked persist — which also makes the whole build pure and
+    # memoizable (@memoized_plan; the 8 nested fold expressions are
+    # ~0.9 s of py4j to construct).
+    type_tbl = (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    rules = _bpe_learn_driver(
-        [
-            (r["word"], int(r["cnt"]))
-            for r in type_tbl.orderBy(F.desc("cnt"), F.asc("word"))
-            .limit(BPE_TYPE_TABLE_CAP)
-            .collect()
-        ],
-        BPE_N_MERGES,
-    )
+    rules = _staged_bpe_rules(spark, sf_dir)
     arr = F.filter(F.split("word", ""), lambda c: c != "")
-    for _rank, lhs, rhs, _merged, _n in rules:
+    for _rank, lhs, rhs in rules:
         arr = _bpe_fold_rule(arr, lhs, rhs)
     sub = type_tbl.select("word", "cnt", F.explode(arr).alias("token"))
     return (
@@ -2429,6 +2481,7 @@ ORDER BY token
 CDC_DIVISOR = 8  # boundary when token-hash % 8 == 0 → ~8-token chunks
 
 
+@memoized_plan
 def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking over token streams (the rsync/FastCDC
     boundary idea applied to corpus dedup): a token whose polynomial

@@ -41,6 +41,7 @@ from ..tables import load_table
 from ..staging import read_staged
 from .caching import persist_tracked
 from .text import tokens
+from .planmemo import memoized_plan
 
 JACCARD_THRESHOLD = 0.5
 CONTAIN_MIN = 0.8  # containment: emit pairs where either direction >= this
@@ -144,6 +145,7 @@ def staged_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+@memoized_plan
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document canonical assignment by exact content: every doc maps to
     the smallest doc_id sharing its text fingerprint, with group size."""
@@ -234,6 +236,7 @@ def _pair_jaccard(
 SHINGLE_DF_CAP = 32
 
 
+@memoized_plan
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All near-dup pairs with 3-gram jaccard ≥ 0.5 via inverted-index
     candidate join with a hot-shingle cap, then exact verification.
@@ -899,6 +902,7 @@ def _staged_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_staged(spark, final)
 
 
+@memoized_plan
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MinHash banding: signature → 8 band keys per doc →
     bucket self-join → exact-jaccard verification at ≥ 0.5.
@@ -1029,6 +1033,7 @@ ORDER BY doc_a, doc_b
 DEDUP_MINHASH_SQL = _minhash_oracle_sql()
 
 
+@memoized_plan
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality measurement: for every LSH candidate pair, the
     MinHash-ESTIMATED jaccard (matching signature components / 16 — the
@@ -1219,6 +1224,7 @@ def _staged_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_staged(spark, final)
 
 
+@memoized_plan
 def banding_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The banding-calibration summary a pipeline owner reads before
     picking a dedup threshold: for each candidate-pair jaccard threshold
@@ -1500,6 +1506,7 @@ GATED_PIPELINE_SQL = _gated_pipeline_oracle_sql()
 # the streaming gate oracle, defined earlier in the file, needs them)
 
 
+@memoized_plan
 def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-duplicate pairs by SET CONTAINMENT,
     |A∩B| / min-side: the doc-contains-doc cases (a short document quoted
@@ -1688,6 +1695,7 @@ AUDIT_BUCKET_DOCS = 4  # docs kept per chosen bucket (smallest doc_ids)
 AUDIT_ORDER_PERM = 11  # rehash for deterministic bucket choice
 
 
+@memoized_plan
 def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall audit for the containment candidate stage — the
     production QA pass that turns containment_dedup's PAPER envelope
@@ -2001,6 +2009,7 @@ def _simhash_from_counts(tok_cnt: DataFrame) -> DataFrame:
     )
 
 
+@memoized_plan
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ 3, via 4-band join
     (8+8+8+6 bits). Pigeonhole makes the banded join complete for ≤ 3 bit

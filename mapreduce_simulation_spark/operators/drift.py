@@ -39,11 +39,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from .planmemo import memoized_plan
 
 DRIFT_SPLIT = "1996-01-01"  # reference era: orders strictly before
 DRIFT_BUCKET = 4096  # dollars per histogram bucket (~122 over TPC-H domain)
 
 
+@memoized_plan
 def feature_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row drift report for o_totalprice between the pre-1996
     reference era and the 1996+ current era (see module docstring for

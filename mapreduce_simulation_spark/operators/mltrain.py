@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from ..staging import read_staged
+from .planmemo import memoized_plan
 
 SCALE = 1_000_000
 LOGREG_ITERS = 5
@@ -304,6 +305,7 @@ def _staged_logreg_weights(spark: SparkSession, sf_dir: str) -> list[int]:
     return out
 
 
+@memoized_plan
 def logreg_score_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train → serve in one query: fit the exact GD model (staged per
     corpus — _staged_logreg_weights; repeat calls serve the stored
@@ -539,6 +541,7 @@ def _staged_kmeans_centroids(
     return cents
 
 
+@memoized_plan
 def kmeans_assign_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train → serve for the unsupervised member: fit the exact Lloyd's
     model (staged per corpus — repeat calls serve the stored centroid
@@ -787,6 +790,7 @@ SELECT * FROM (
 DECISION_STUMP_SQL = _stump_oracle_sql()
 
 
+@memoized_plan
 def stump_classify_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train → serve for the tree member: find the optimal stump split,
     derive each side's majority label (ties to the positive class —
@@ -996,6 +1000,7 @@ SELECT * FROM (
 EXACT_OLS_SQL = _ols_oracle_sql()
 
 
+@memoized_plan
 def ols_residuals_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train → serve for the closed-form member: solve the normal
     equations exactly (one sufficient-statistics aggregate), then emit

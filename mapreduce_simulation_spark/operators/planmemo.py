@@ -11,21 +11,35 @@ repeat runs, the audit's per-variant sub-plans) the same shape.
 DataFrames are immutable logical plans, so reuse is safe — the
 ``tables._DF_CACHE`` / ``staging.read_staged`` precedent (r14), one level
 up. Staleness is guarded by OBJECT IDENTITY of the signature-guarded
-upstream caches: ``deps`` must list every ``load_table`` /``read_staged``
-DataFrame the plan was built from; a fixture overwrite or staged-artifact
-rebuild moves the dataset signature, those caches return NEW DataFrame
-objects, the identity check fails, and the plan is rebuilt (pinned by
-test_streaming_lsh_serve_survives_index_restaging for the serve path).
+loader caches: while a fixture or staged artifact is unchanged its loader
+returns the SAME DataFrame object; an overwrite or re-stage moves the
+dataset signature, the loader returns a NEW object, and the memoized plan
+is rebuilt (pinned by test_streaming_lsh_serve_survives_index_restaging
+for the serve path and test_planmemo_invalidation for the mechanism).
+
+Dependencies are RECORDED, not declared: during a memoized build,
+``tables.load_table`` and ``staging.read_staged`` report every DataFrame
+they hand out (``note_dep``), so the dep list can never drift from what
+the plan actually reads. A memo hit revalidates by re-invoking the same
+loaders (cheap os.stat signature checks) and replays its deps into any
+enclosing recording, so nested memoized builders compose. A build that
+touches ``caching.persist_tracked`` is TAINTED and never memoized: tracked
+persists are released after each query, and a plan embedding literals
+derived from a released range-partitioned persist (the distributed-rank
+offsets) must be rebuilt per call.
 
 Plans only, never results: every execution still scans the parquet inputs
 — nothing here persists rows, so the bench's no-result-caching contract is
-untouched.
+untouched. Functions whose CONSTRUCTION is the measured computation
+(training loops, streaming drains) must not be memoized; this module is
+for pure serve-plan builders.
 """
 
 from __future__ import annotations
 
+import functools
 import weakref
-from typing import Callable, Iterable
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,30 +48,107 @@ _CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
-def plan_memo(
-    spark: SparkSession,
-    key: tuple,
-    deps: Iterable[DataFrame],
-    build: Callable[[], DataFrame],
-) -> DataFrame:
-    """Return the memoized plan for ``key`` when every dep is the SAME
-    object as at build time; otherwise run ``build`` and re-memoize.
+class _Frame:
+    __slots__ = ("deps", "tainted")
 
-    ``deps`` must enumerate every signature-guarded upstream DataFrame
-    (``load_table`` fixtures, ``read_staged`` artifacts) the built plan
-    reads — identity of those objects is the staleness signal."""
+    def __init__(self) -> None:
+        self.deps: dict[tuple, object] = {}
+        self.tainted = False
+
+
+# Active recordings (innermost last). Single-threaded driver assumed —
+# the same model as staging.keyed_staging_dir.
+_STACK: list[_Frame] = []
+
+
+def note_dep(spec: tuple, obj: object) -> None:
+    """Record a loader output into every active recording. ``spec`` must
+    be enough to re-invoke the loader: ("table", sf_dir, name) or
+    ("staged", path). No-op when no memoized build is in progress."""
+    for frame in _STACK:
+        frame.deps[spec] = obj
+
+
+def taint() -> None:
+    """Mark every active recording as non-memoizable (see module note on
+    tracked persists). No-op outside a memoized build."""
+    for frame in _STACK:
+        frame.tainted = True
+
+
+def _refetch(spark: SparkSession, spec: tuple) -> object:
+    """Re-invoke the loader behind ``spec`` — returns the loader's current
+    (signature-revalidated) DataFrame object."""
+    if spec[0] == "table":
+        from ..tables import load_table
+
+        return load_table(spark, spec[1], spec[2])
+    if spec[0] == "staged":
+        from ..staging import read_staged
+
+        return read_staged(spark, spec[1])
+    raise KeyError(f"unknown dep spec {spec!r}")
+
+
+def memo(
+    spark: SparkSession, key: tuple, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return the memoized plan for ``key`` when every recorded dep's
+    loader still returns the same object; otherwise run ``build`` under a
+    fresh recording and memoize (unless the build was tainted)."""
     from ..tables import _evict_stopped_sessions
 
     _evict_stopped_sessions(_CACHE)
     per_session = _CACHE.setdefault(spark, {})
-    deps = tuple(deps)
     hit = per_session.get(key)
-    if (
-        hit is not None
-        and len(hit[0]) == len(deps)
-        and all(a is b for a, b in zip(hit[0], deps))
-    ):
-        return hit[1]
-    df = build()
-    per_session[key] = (deps, df)
+    if hit is not None:
+        specs, df = hit
+        try:
+            fresh = all(
+                _refetch(spark, spec) is obj for spec, obj in specs.items()
+            )
+        except Exception:  # loader raised (artifact gone) — rebuild
+            fresh = False
+        if fresh:
+            # replay into any enclosing recording so nesting composes
+            for spec, obj in specs.items():
+                note_dep(spec, obj)
+            return df
+        del per_session[key]
+    frame = _Frame()
+    _STACK.append(frame)
+    try:
+        df = build()
+    finally:
+        _STACK.pop()
+    if not frame.tainted:
+        per_session[key] = (frame.deps, df)
     return df
+
+
+def forget_session(spark: SparkSession) -> int:
+    """Drop every memoized plan for ``spark``; returns how many were
+    dropped. For callers that must see a FROM-SCRATCH, unexecuted plan
+    (the plan-shape tests: an already-executed memoized DataFrame prints
+    its AQE final plan, whose materialized query stages inflate naive
+    Exchange counts) — results are unaffected either way."""
+    dropped = _CACHE.pop(spark, None)
+    return len(dropped) if dropped else 0
+
+
+def memoized_plan(fn: Callable) -> Callable:
+    """Decorator form of :func:`memo` for ``(spark, sf_dir)`` query
+    builders whose construction is pure serve-plan work (possibly
+    including bounded, loader-guarded model collects — the staged-model
+    pattern). Do NOT apply to training queries or streaming drains: their
+    construction IS the measured computation."""
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return memo(
+            spark,
+            (fn.__module__, fn.__qualname__, sf_dir),
+            lambda: fn(spark, sf_dir),
+        )
+
+    return wrapper

@@ -47,6 +47,7 @@ from ..tables import load_table
 from ..staging import read_staged
 from .similarity import _as_double, _dot, _norm
 from .text import tokens
+from .planmemo import memoized_plan
 
 K1 = 1.2
 B = 0.75
@@ -229,6 +230,7 @@ def _bm25_scores_sql() -> str:
     )
 
 
+@memoized_plan
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents per keyword query under Okapi BM25
     (k1=1.2, b=0.75).
@@ -264,6 +266,7 @@ ORDER BY query_id, rk
 )
 
 
+@memoized_plan
 def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents per query under reciprocal-rank fusion of the
     BM25 ranking and the dense cosine ranking:

@@ -43,6 +43,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from .caching import persist_tracked
+from .planmemo import memoized_plan
 
 from ..tables import load_table
 
@@ -128,15 +129,13 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical shape: broadcast(queries) ⋈ corpus — a map-side nested loop,
     no shuffle except the final per-query top-k (rank window on 10 keys).
     """
-    from .planmemo import plan_memo
+    from .planmemo import memo
 
-    emb = load_table(spark, sf_dir, "embeddings")
     # plan memo (r17): ~0.2 s of py4j per build, re-paid by every audit /
-    # rerank caller; invalidated by fixture-scan identity (planmemo.py).
-    return plan_memo(
+    # rerank caller; deps auto-recorded (see operators/planmemo.py).
+    return memo(
         spark,
         ("brute_force_topk", sf_dir),
-        (emb,),
         lambda: _brute_force_topk_plan(_corpus_with_norm(spark, sf_dir)),
     )
 
@@ -196,6 +195,7 @@ WHERE rk <= {TOP_K}
 """
 
 
+@memoized_plan
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine ≥ 0.4 — exhaustive self-join
     (the exact small-scale twin of lsh_topk's bucketed search).
@@ -333,6 +333,7 @@ def _staged_band_signatures(
     return read_staged(spark, final)
 
 
+@memoized_plan
 def near_dup_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine ≥ 0.4 via banded hyperplane LSH —
     the 100 TB sibling of the exhaustive `near_dup_pairs` twin.
@@ -551,24 +552,6 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_serve(spark, sf_dir)
 
 
-# Prepared-plan memo for _lsh_serve (r17): session → {(sf_dir, n_planes):
-# (embeddings_df, sigs_df, prepared_full_block_plan)}. Plan CONSTRUCTION
-# (pure driver-side py4j) measured 0.9-1.1 s per call at sf0.1 — paid per
-# micro-batch by streaming_lsh_serve and per call by lsh_topk /
-# ann_recall_audit. DataFrames are immutable logical plans, so reuse is
-# safe (the tables._DF_CACHE / staging.read_staged precedent); staleness
-# is guarded by OBJECT IDENTITY of the two signature-guarded upstream
-# caches — an index re-stage or fixture overwrite moves their dataset
-# signatures, those caches return NEW DataFrame objects, and the memo
-# rebuilds (pinned by test_streaming_lsh_serve_survives_index_restaging).
-# Plans only, never results: every execution still reads the parquet.
-import weakref as _weakref
-
-_SERVE_PLAN_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    _weakref.WeakKeyDictionary()
-)
-
-
 def _lsh_serve(
     spark: SparkSession,
     sf_dir: str,
@@ -586,27 +569,29 @@ def _lsh_serve(
     one flip per sign bit, so it widens with the signature.
 
     The full-block plan is built once per (session, sf_dir, n_planes,
-    staged-index generation) and memoized (_SERVE_PLAN_CACHE); an id list
-    is served by filtering the prepared plan. Catalyst pushes the
-    query_id IN-list through the probe joins to both probe-side scans
-    (PushedFilters carries In(vec_id, ...) — see
+    staged-index generation) and memoized (operators/planmemo.py, plan
+    CONSTRUCTION measured 0.9-1.1 s of py4j per call at sf0.1 — paid per
+    micro-batch by streaming_lsh_serve before r17); an id list is served
+    by filtering the prepared plan. Catalyst pushes the query_id IN-list
+    through the probe joins to both probe-side scans (PushedFilters
+    carries In(vec_id, ...) — see
     plans/r17/streaming_lsh_serve_after.txt), so per-batch work stays
     bounded by the arriving ids like the bespoke per-id plan it replaces,
-    without re-paying plan construction per micro-batch. Ids outside the
-    query block are never produced by the query stream (it is staged AS
-    the block), so block∧ids ≡ ids here."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = _corpus_with_norm(spark, sf_dir)
-    sigs = _staged_multitable_signatures(
-        spark, sf_dir, corpus, n_planes=n_planes
-    )
-    per_session = _SERVE_PLAN_CACHE.setdefault(spark, {})
-    hit = per_session.get((sf_dir, n_planes))
-    if hit is not None and hit[0] is emb and hit[1] is sigs:
-        prepared = hit[2]
-    else:
-        prepared = _lsh_serve_plan(corpus, sigs, n_planes)
-        per_session[(sf_dir, n_planes)] = (emb, sigs, prepared)
+    without re-paying plan construction per micro-batch. A staged-index
+    rebuild mid-drain moves the artifact signature and the memo re-plans
+    (pinned by test_streaming_lsh_serve_survives_index_restaging). Ids
+    outside the query block are never produced by the query stream (it
+    is staged AS the block), so block∧ids ≡ ids here."""
+    from .planmemo import memo
+
+    def build() -> DataFrame:
+        corpus = _corpus_with_norm(spark, sf_dir)
+        sigs = _staged_multitable_signatures(
+            spark, sf_dir, corpus, n_planes=n_planes
+        )
+        return _lsh_serve_plan(corpus, sigs, n_planes)
+
+    prepared = memo(spark, ("lsh_serve", sf_dir, n_planes), build)
     if query_ids is None:
         return prepared
     return prepared.where(
@@ -843,6 +828,7 @@ def streaming_lsh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@memoized_plan
 def lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operational skew audit of the staged multi-table LSH index — per
     table: vector count, distinct-bucket count, the largest bucket, the
@@ -902,6 +888,7 @@ def _census_from_occ(occ: DataFrame) -> DataFrame:
     )
 
 
+@memoized_plan
 def lsh_index_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index MAINTENANCE without rebuild: every row of the staged LSH
     index is a pure function of its OWN vector (sign bits of fixed
@@ -1055,6 +1042,7 @@ def streaming_lsh_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _census_from_occ(occ)
 
 
+@memoized_plan
 def lsh_index_replane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index RE-PLANING — the action lsh_index_stats' census exists to
     trigger (r16 verdict item 3). When the census's worst-table
@@ -1213,28 +1201,25 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         parquet at query time (index build vs. query serve), like every
         artifact in the staged tier.
     """
-    from .planmemo import plan_memo
+    from .planmemo import memo
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = _corpus_with_norm(spark, sf_dir)
-    cents = corpus.where(
-        (F.col("vec_id") >= N_QUERIES)
-        & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
-    ).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    assign = _staged_ivf_assign(spark, sf_dir, corpus, cents)
+    def build() -> DataFrame:
+        corpus = _corpus_with_norm(spark, sf_dir)
+        cents = corpus.where(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+        ).select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        assign = _staged_ivf_assign(spark, sf_dir, corpus, cents)
+        return _ivf_search(corpus, cents, assign=assign)
+
     # plan memo (r17): the probe/re-score plan is ~0.3 s of py4j to build;
-    # serve it prepared, invalidated by identity of the fixture scan and
-    # the staged assignment (see operators/planmemo.py).
-    return plan_memo(
-        spark,
-        ("ivf_topk", sf_dir),
-        (emb, assign),
-        lambda: _ivf_search(corpus, cents, assign=assign),
-    )
+    # serve it prepared, deps (fixture scan + staged assignment)
+    # auto-recorded — see operators/planmemo.py.
+    return memo(spark, ("ivf_topk", sf_dir), build)
 
 
 def _staged_ivf_assign(
@@ -1402,16 +1387,16 @@ def _staged_trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid bigint, cv array<double>",
         ).repartition(1).write.mode("overwrite").parquet(tmp)
         os.rename(tmp, final)
-    from .planmemo import plan_memo
+    from .planmemo import memo
 
-    raw = read_staged(spark, final)
     # plan-memo the norm projection so callers get an identity-stable
-    # codebook frame (the staleness signal downstream memos key on).
-    return plan_memo(
+    # codebook frame (three HOF builds saved per call).
+    return memo(
         spark,
         ("trained_cents", final),
-        (raw,),
-        lambda: raw.select("cid", "cv", _norm(F.col("cv")).alias("cn")),
+        lambda: read_staged(spark, final).select(
+            "cid", "cv", _norm(F.col("cv")).alias("cn")
+        ),
     )
 
 
@@ -1435,28 +1420,24 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact value-hash check; the recall floor vs brute force is asserted
     in tests too.
     """
-    from .planmemo import plan_memo
+    from .planmemo import memo
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = _corpus_with_norm(spark, sf_dir)
-    cents = _staged_trained_centroids(spark, sf_dir)
-    # TRAIN_CAP folded into the variant so the assignment can never pair
-    # with a codebook trained under a different cap if staging ever
-    # outlives the process (the codebook key includes it too).
-    assign = _staged_ivf_assign(
-        spark, sf_dir, corpus, cents, variant=TRAINED_ASSIGN_VARIANT
-    )
-    # plan memo (r17): see ivf_topk — deps are the fixture scan, the
-    # staged codebook (identity-stable via _staged_trained_centroids'
-    # own memo), and the staged assignment.
-    return plan_memo(
-        spark,
-        ("ivf_trained_topk", sf_dir),
-        (emb, cents, assign),
-        lambda: _ivf_search(
+    def build() -> DataFrame:
+        corpus = _corpus_with_norm(spark, sf_dir)
+        cents = _staged_trained_centroids(spark, sf_dir)
+        # TRAIN_CAP folded into the variant so the assignment can never
+        # pair with a codebook trained under a different cap if staging
+        # ever outlives the process (the codebook key includes it too).
+        assign = _staged_ivf_assign(
+            spark, sf_dir, corpus, cents, variant=TRAINED_ASSIGN_VARIANT
+        )
+        return _ivf_search(
             corpus, cents, assign=assign, n_probe=N_PROBE_TRAINED
-        ),
-    )
+        )
+
+    # plan memo (r17): see ivf_topk — deps (fixture scan, staged codebook,
+    # staged assignment) auto-recorded.
+    return memo(spark, ("ivf_trained_topk", sf_dir), build)
 
 
 def _ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
@@ -1776,30 +1757,31 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling of similarity_ivf_topk. Exact value-hash oracle (both
     engines produce identical top-k sets, so counts divide identically).
     """
-    from .planmemo import plan_memo
+    from .planmemo import memo
 
-    # Each sub-search plan is memoized by its own entry point, so the
-    # tuple below is identity-stable while fixtures and staged indexes
-    # are unchanged — memoize the audit's union plan on exactly those
-    # identities. Build cost measured r17: 1.8-2.1 s of driver py4j per
-    # call (5.6k gateway commands), re-paid on every bench repeat.
-    searches = (
-        ("ivf_flat", ivf_topk(spark, sf_dir)),
-        ("ivf_trained", ivf_trained_topk(spark, sf_dir)),
-        ("lsh", lsh_topk(spark, sf_dir)),
-        # the re-planed WIDE index (r17): the audit is where
-        # lsh_index_replane's recall price is measured — cost movement
-        # lives in that query's census rows, recall movement here.
-        ("lsh_wide", _lsh_serve(spark, sf_dir, n_planes=N_HYPERPLANES_WIDE)),
-        ("pq", pq_topk(spark, sf_dir)),
-    )
-    exact_full = brute_force_topk(spark, sf_dir)
-    return plan_memo(
-        spark,
-        ("ann_recall_audit", sf_dir),
-        (exact_full,) + tuple(df for _, df in searches),
-        lambda: _ann_recall_audit_plan(exact_full, searches),
-    )
+    def build() -> DataFrame:
+        searches = (
+            ("ivf_flat", ivf_topk(spark, sf_dir)),
+            ("ivf_trained", ivf_trained_topk(spark, sf_dir)),
+            ("lsh", lsh_topk(spark, sf_dir)),
+            # the re-planed WIDE index (r17): the audit is where
+            # lsh_index_replane's recall price is measured — cost movement
+            # lives in that query's census rows, recall movement here.
+            (
+                "lsh_wide",
+                _lsh_serve(spark, sf_dir, n_planes=N_HYPERPLANES_WIDE),
+            ),
+            ("pq", pq_topk(spark, sf_dir)),
+        )
+        return _ann_recall_audit_plan(
+            brute_force_topk(spark, sf_dir), searches
+        )
+
+    # plan memo (r17): the union plan cost 1.8-2.1 s of driver py4j per
+    # build (5.6k gateway commands profiled), re-paid on every bench
+    # repeat. The sub-searches' own memos replay their deps into this
+    # recording, so the audit invalidates whenever any of them would.
+    return memo(spark, ("ann_recall_audit", sf_dir), build)
 
 
 def _ann_recall_audit_plan(
@@ -1851,6 +1833,7 @@ def _ann_recall_audit_plan(
 PANDAS_PRESELECT = 32
 
 
+@memoized_plan
 def brute_force_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized twin of brute_force_topk: the query block (10×64,
     a model-parameter-sized constant) ships to every worker, and each
@@ -2207,20 +2190,17 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PQ result exactly; the recall floor vs brute force
     (PQ_TOPK_ORACLE_SQL ground truth) is asserted in tests as well.
     """
-    from .planmemo import plan_memo
+    from .planmemo import memo
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = _corpus_with_norm(spark, sf_dir)
-    cents, codes = _staged_pq_index(spark, sf_dir)
+    def build() -> DataFrame:
+        corpus = _corpus_with_norm(spark, sf_dir)
+        cents, codes = _staged_pq_index(spark, sf_dir)
+        return _pq_topk_plan(corpus, cents, codes)
+
     # plan memo (r17): the LUT/ADC/refine plan is ~0.4 s of py4j to
-    # build; serve it prepared, invalidated by identity of the fixture
-    # scan and the two staged PQ artifacts (see operators/planmemo.py).
-    return plan_memo(
-        spark,
-        ("pq_topk", sf_dir),
-        (emb, cents, codes),
-        lambda: _pq_topk_plan(corpus, cents, codes),
-    )
+    # build; serve it prepared, deps (fixture scan + the two staged PQ
+    # artifacts) auto-recorded — see operators/planmemo.py.
+    return memo(spark, ("pq_topk", sf_dir), build)
 
 
 def _pq_topk_plan(
@@ -2442,6 +2422,7 @@ SEM_SEED = 7654321  # distinct LCG stream from the pair-LSH planes
 SEM_TAU = COSINE_THRESHOLD
 
 
+@memoized_plan
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level semantic dedup in the spirit of SemDeDup (Abbas et
     al. 2023, arXiv:2303.09540): bucket vectors into coarse cells, then

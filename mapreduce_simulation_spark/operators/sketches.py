@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..tables import load_table
+from .planmemo import memoized_plan
 
 # ---------------------------------------------------------------------------
 # Quantile sketch: fixed-width dyadic histogram, sum-mergeable.
@@ -38,6 +39,7 @@ QSK_WIDTH = 128  # bucket width in whole dollars: ≤ ~3.9k buckets over TPC-H
 QSK_QUANTILES = ((1, 2, "p50_est"), (9, 10, "p90_est"), (99, 100, "p99_est"))
 
 
+@memoized_plan
 def quantile_sketch_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly order-value percentiles served from a mergeable histogram
     sketch — the percentile-dashboard-as-sketch-table pattern.
@@ -173,6 +175,7 @@ def _bloom_positions_sql(fp: str, m: str) -> list[str]:
     ]
 
 
+@memoized_plan
 def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership prefilter with its exactness audit — the
     runtime_filtered_join pattern made explicit and cross-engine (Spark's
@@ -316,6 +319,7 @@ def _kmv_hash_sql(expr: str) -> str:
 _KMV_NUM = (KMV_K - 1) * H.P
 
 
+@memoized_plan
 def kmv_month_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month distinct-buyer overlap served from KMV
     (k-minimum-values) sketches — the capability max-merge registers

@@ -20,6 +20,7 @@ from .caching import persist_tracked
 from ..functions.hashing import char_hash
 from ..tables import load_table
 from ..staging import read_staged
+from .planmemo import memoized_plan
 
 # Tiny multilingual stopword marker sets for the language-ID heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -105,6 +106,7 @@ def staged_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_staged(spark, final)
 
 
+@memoized_plan
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document statistics: token/char counts, average token length,
     stopword ratio, unique-token ratio. The building blocks of corpus
@@ -271,6 +273,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 TFIDF_TOP_K = 3
 
 
+@memoized_plan
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 most characteristic terms by tf-idf with a linear
     idf (score = tf · N / df): ln-free so the score is a ratio of small
@@ -348,6 +351,7 @@ SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= {TFIDF_TOP_K}
 FUZZY_MAX_DIST = 2
 
 
+@memoized_plan
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All distinct part-name pairs within Levenshtein distance
     FUZZY_MAX_DIST — entity resolution's core primitive, built scale-first:
@@ -776,6 +780,7 @@ GOPHER_MAX_TOP_SHARE = 0.10  # Gopher-style repetition cap (top word share)
 GOPHER_MIN_ALPHA_FRAC = 0.8  # Gopher: 80% of words contain an alphabetic char
 
 
+@memoized_plan
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher quality-rule flags plus the conjunction `keep` —
     the rule-based pre-filter every pretraining pipeline runs before the

@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from ..tables import load_table
 from ..staging import read_staged
+from ..operators.planmemo import memoized_plan
 
 
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,6 +293,7 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@memoized_plan
 def salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-robust revenue per supplier nation: lineitem ⋈ supplier through
     an explicit salted join (operators/skew.py) instead of a plain shuffle
@@ -349,6 +351,7 @@ def pandas_scalar_digit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@memoized_plan
 def events_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale variant of events_daily: approximate distinct users per
     (day, type) via the engine's deterministic HLL (functions/hll.py).
@@ -418,6 +421,7 @@ ORDER BY day, event_type
 EVENTS_DAILY_APPROX_SQL = _events_daily_approx_sql()
 
 
+@memoized_plan
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape over the star schema's part dimension: share of
     revenue from PROMO-type parts, by ship month. The part table broadcasts
@@ -1817,6 +1821,7 @@ ORDER BY e.event_id
 """
 
 
+@memoized_plan
 def hll_monthly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: per-DAY HLL register states of
     active users, union-merged up to months with NO access to the raw

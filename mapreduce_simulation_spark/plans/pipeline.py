@@ -24,6 +24,7 @@ from ..functions import hashing as H
 from ..operators import text as T
 from ..operators.dedup import JACCARD_THRESHOLD, _pair_jaccard, _shingles
 from ..tables import load_table
+from ..operators.planmemo import memoized_plan
 
 MIN_QUALITY = 0.5
 
@@ -157,6 +158,7 @@ GROUP BY source ORDER BY source
 """
 
 
+@memoized_plan
 def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-5 curation recipe as ONE plan: Gopher rule filter →
     per-language perplexity banding (drop the tail tercile) → exact dedup

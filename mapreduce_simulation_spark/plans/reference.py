@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from ..operators.planmemo import memoized_plan
 
 # Case-insensitive substring, mirroring grep_map.py:14-29's default query
 # ("product" in the reference corpus; our corpus vocabulary differs).
@@ -38,6 +39,7 @@ def _tokens(text_col):
     return F.explode(F.split(F.lower(text_col), r"\s+")).alias("word")
 
 
+@memoized_plan
 def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word count over documents.text (reference Q1+Q2).
 

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..tables import load_table
+from ..operators.planmemo import memoized_plan
 
 
 def _dec_sum(col, alias: str):
@@ -85,6 +86,7 @@ def exact_money_sums(df, keys, sums, counts=()):
     return part.groupBy(*keys).agg(*finals)
 
 
+@memoized_plan
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy multi-aggregate with a date predicate.
 
@@ -123,6 +125,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@memoized_plan
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: fact ⋈ fact ⋈ dims with grouped revenue.
 
@@ -155,6 +158,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@memoized_plan
 def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k (ABSENT in reference → orderBy().limit(k)).
 
@@ -193,6 +197,7 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@memoized_plan
 def left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER join + grouped count, keeping order-less customers with 0.
 
@@ -217,6 +222,7 @@ def left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@memoized_plan
 def window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions (ABSENT in reference): top-3 customers by account
     balance per nation via dense_rank. One shuffle on the partition key;
@@ -305,6 +311,7 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@memoized_plan
 def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch windowed event aggregation: per-day, per-type counts and value
     sums (the Structured Streaming twin lives in streaming/events.py)."""
@@ -322,6 +329,7 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@memoized_plan
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via gap detection (30-min inactivity): lag + running
     sum of session-start flags per user. Two stacked windows, one shuffle

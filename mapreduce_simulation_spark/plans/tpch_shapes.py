@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..tables import load_table
+from ..operators.planmemo import memoized_plan
 
 
 def _dec_sum(expr, alias: str, prec: str = "decimal(22,4)"):
@@ -42,6 +43,7 @@ def _dec_sum(expr, alias: str, prec: str = "decimal(22,4)"):
 # Q2 shape: correlated scalar subquery → per-group min, decorrelated
 # ---------------------------------------------------------------------------
 
+@memoized_plan
 def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each part, the supplier(s) whose unit price
     equals the part's minimum unit price (correlated scalar subquery).
@@ -269,6 +271,7 @@ LIMIT 100
 # Q21 shape: correlated EXISTS + NOT EXISTS pair → ONE grouped profile
 # ---------------------------------------------------------------------------
 
+@memoized_plan
 def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the ONLY supplier with a
     returned line on a multi-supplier order, ranked by how often.

@@ -89,15 +89,19 @@ def read_staged(spark, path: str):
         _READ_CACHE = weakref.WeakKeyDictionary()
     from .tables import _evict_stopped_sessions, _file_sig
 
+    from .operators.planmemo import note_dep
+
     _evict_stopped_sessions(_READ_CACHE)
     sig = _file_sig(path)
     v1list = spark.conf.get("spark.sql.sources.useV1SourceList", "")
     per_session = _READ_CACHE.setdefault(spark, {})
     cached = per_session.get((path, v1list))
     if cached is not None and sig is not None and cached[0] == sig:
+        note_dep(("staged", path), cached[1])
         return cached[1]
     df = spark.read.parquet(path)
     per_session[(path, v1list)] = (sig, df)
+    note_dep(("staged", path), df)
     return df
 
 

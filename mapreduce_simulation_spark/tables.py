@@ -127,6 +127,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     v1list = spark.conf.get("spark.sql.sources.useV1SourceList", "")
     _evict_stopped_sessions(_DF_CACHE)
     per_session = _DF_CACHE.setdefault(spark, {})
+    from .operators.planmemo import note_dep
+
     cached = per_session.get((path, v1list))
     if cached is not None and cached[0] == sig and sig is not None:
         if name == "events":
@@ -135,6 +137,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # changed the session zone between queries)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+        note_dep(("table", sf_dir, name), cached[1])
         return cached[1]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -157,9 +160,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # session tz is UTC so the cast is value-preserving vs the oracle.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         per_session[(path, v1list)] = (sig, df)
+        note_dep(("table", sf_dir, name), df)
         return df
     df = spark.read.parquet(path)
     per_session[(path, v1list)] = (sig, df)
+    note_dep(("table", sf_dir, name), df)
     return df
 
 

@@ -19,9 +19,16 @@ def _plan(spark, sf_dir, name: str) -> str:
     # INNER plan text inflates the exchange counts (seen with the shared
     # shingle table after _near_dup_pairs gained tracked persists).
     from mapreduce_simulation_spark.operators.caching import release_tracked
+    from mapreduce_simulation_spark.operators.planmemo import forget_session
 
     release_tracked()
     spark.catalog.clearCache()
+    # Plan memos return the SAME DataFrame object across calls; once an
+    # earlier test has executed it, its QueryExecution prints the AQE
+    # FINAL plan whose materialized query stages inflate naive Exchange
+    # counts. Shape assertions are about the from-scratch plan — drop the
+    # session's memos so the builder re-plans.
+    forget_session(spark)
     df = registry.queries()[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
