@@ -2557,6 +2557,7 @@ ORDER BY c.vec_id
 # Nearest-centroid classification (exact, oracle-checked ML inference)
 # ---------------------------------------------------------------------------
 
+@memoized_plan
 def centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classify every embedding by its nearest per-label centroid — the
     prototype (Rocchio / nearest-class-mean) classifier, the simplest
@@ -2588,7 +2589,14 @@ def centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     v6 = F.transform(
         _as_double("embedding"), lambda x: F.round(x, 6)
     )
-    base = persist_tracked(emb.select("vec_id", "label", v6.alias("v")))
+    # base feeds the centroid build and the scoring crossJoin; it is a
+    # narrow projection over the fixture scan, so re-deriving it twice is
+    # two columnar scans. A/B r17: dropping the tracked persist is wall-
+    # neutral at sf0.1 (warm ~1.1 s both ways, identical rows) but makes
+    # the build pure so the plan memo can serve it (saves the ~0.2 s
+    # py4j rebuild per call) — and removes a cache bigger than the two
+    # scans it saved.
+    base = emb.select("vec_id", "label", v6.alias("v"))
 
     comp = base.select(
         "label",
