@@ -393,45 +393,35 @@ def _quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distributed_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed Lloyd's: KMEANS_ITERS iterations over the
     quantized corpus, seeded deterministically with the first KMEANS_K
-    vectors by vec_id (no RNG → reproducible everywhere). Per iteration:
+    vectors by vec_id (no RNG → reproducible everywhere). Each iteration
+    is ONE fused Arrow pass over the corpus (guide §2.3/§4.2, r18): every
+    batch assigns its vectors to the nearest driver-held centroid with an
+    exact-integer BLAS argmin (see _kmeans_em_partials) and emits k×dim
+    per-batch partial sums; one tiny (cid, dim) aggregation + driver
+    floor division closes the M-step. Nothing corpus-sized is ever
+    shuffled — the exchanged volume is k×dim rows PER ARROW BATCH,
+    versus k rows per VECTOR in the r9-r17 exploded-join shape (at
+    100 TB: thousands of rows per task vs 4×|corpus|). Empty clusters
+    keep their centroid.
 
-      E-step: vectors are exploded to (vec_id, dim, val) and joined to
-        the BROADCAST (cid, dim, cval) centroid table; per-(vec, cid)
-        squared distances and the per-vec argmin are partial-aggregable
-        max(struct) group-bys — the fixed-IVF assignment shape, entirely
-        inside whole-stage codegen. (A zero-shuffle array-expression
-        formulation — zip_with/aggregate folds under a transform —
-        was measured 6 s/step at sf0.1: higher-order-function lambdas
-        are interpreted, not codegen'd. The exploded shape shuffles
-        k rows per vector after map-side combine and runs ~5× faster;
-        at 100 TB the exchanged volume is k×|corpus| tiny rows, the
-        documented trade.)
-      M-step: one (cid, dim) aggregation over the same exploded frame;
-        new component = FLOOR(sum / count) in driver Python (exact),
-        empty clusters keep their centroid.
+    (History: a zero-shuffle array-expression formulation — zip_with/
+    aggregate folds under a transform — was measured 6 s/step at sf0.1:
+    higher-order-function lambdas are interpreted, not codegen'd. The
+    exploded join shape replaced it in r9 and is in turn replaced by the
+    fused Arrow pass, measured per-step in OPTIMIZATION_r18.md.)
 
-    Distances are exact long arithmetic (≤ 64·(2e6)² ≈ 2.6e14 per pair),
-    ties to the smaller cid. Output: (cid, dim, value6, value) — k×dim
-    rows, bit-identical to the DuckDB oracle's unrolled-CTE replay at
-    every SF."""
-    from pyspark.sql.functions import broadcast
-
-    from .caching import persist_tracked, release_tracked
-
+    All arithmetic is exact (see _kmeans_em_partials for the < 2^53
+    audit), ties to the smaller cid. Output: (cid, dim, value6, value) —
+    k×dim rows, bit-identical to the DuckDB oracle's unrolled-CTE replay
+    at every SF."""
     qe = _quantized_embeddings(spark, sf_dir)
-    dims = persist_tracked(
-        qe.select("vec_id", F.posexplode("v").alias("dim", "val"))
-    )
-    try:
-        cents = _train_kmeans_centroids(spark, qe, dims)
-        dim = len(cents[0])
-        rows = [
-            (cid, d, cents[cid][d], cents[cid][d] / SCALE)
-            for cid in range(KMEANS_K)
-            for d in range(dim)
-        ]
-    finally:
-        release_tracked()
+    cents = _train_kmeans_centroids(spark, qe)
+    dim = len(cents[0])
+    rows = [
+        (cid, d, cents[cid][d], cents[cid][d] / SCALE)
+        for cid in range(KMEANS_K)
+        for d in range(dim)
+    ]
     return spark.createDataFrame(
         rows, "cid int, dim int, value6 bigint, value double"
     ).orderBy("cid", "dim")
@@ -448,37 +438,112 @@ def _centroid_frame(spark: SparkSession, cents: list[list[int]]):
     )
 
 
-def _assign_with_dist(dims: DataFrame, cdf: DataFrame) -> DataFrame:
-    """(vec_id, cid, d): exact-integer argmin assignment against the
-    broadcast centroid table — the fixed-IVF shape, fully codegen'd."""
-    from pyspark.sql.functions import broadcast
+def _kmeans_argmin(V, C):
+    """Exact-integer argmin of ||v - c||² over centroid rows, and the
+    exact distances, computed through float64 BLAS (numpy). Exactness
+    audit: quantized components are |x| ≤ ~2e6, so every product is
+    ≤ 4e12 and every partial/total sum over dim ≤ 64 stays ≤ 2.6e14 —
+    integers below 2^53 ≈ 9.0e15, where float64 arithmetic is EXACT
+    regardless of accumulation order. argmin ties resolve to the first
+    (= smallest) cid, matching the oracle's (distance, cid) ordering.
+    Returns (cid int64 [n], dist float64-integral [n])."""
+    import numpy as np
 
-    diff = F.col("val") - F.col("cval")
-    return (
-        dims.join(broadcast(cdf), "dim")
-        .groupBy("vec_id", "cid")
-        .agg(F.sum(diff * diff).alias("d"))
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    (-F.col("d")).alias("nd"),
-                    (-F.col("cid")).alias("nc"),
-                )
-            ).alias("best")
-        )
-        .select(
-            "vec_id",
-            (-F.col("best.nc")).cast("int").alias("cid"),
-            (-F.col("best.nd")).alias("d"),
-        )
+    # d(v,c) = Σv² + Σc² − 2Σvc; Σv² is constant per vector, so argmin
+    # needs only Σc² − 2Σvc (guide §2.3 — the r17-verdict algebra), but
+    # the full distance is recovered exactly for callers that declare it.
+    cross = V @ C.T  # [n, k], exact (each |Σvc| ≤ 6.4e13)
+    half = (C * C).sum(axis=1)[None, :] - 2.0 * cross  # exact
+    cid = np.argmin(half, axis=1)  # first min = smallest cid
+    n = np.arange(len(V))
+    dist = (V * V).sum(axis=1) + half[n, cid]  # exact, integral
+    return cid, dist
+
+
+def _kmeans_em_partials(qe: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """One fused E+M pass: per Arrow batch, assign every vector to its
+    nearest centroid (exact BLAS argmin — _kmeans_argmin) and emit the
+    batch's PARTIAL M-step sums as k×dim (cid, dim, s, n) rows. Integer
+    sums are associative, so Σ over batch partials ≡ Σ over vectors —
+    bit-identical to the exploded-join M-step this replaces. Per-batch
+    |s| ≤ 10⁴ rows · 2e6 < 2^53 (exact in float64 before the int64
+    cast); the downstream total runs in Spark's int64 like before."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+    k, dim = C.shape
+    dims_tiled = np.tile(np.arange(dim, dtype=np.int32), k)
+    cids_rep = np.repeat(np.arange(k, dtype=np.int32), dim)
+
+    def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            cid, _ = _kmeans_argmin(V, C)
+            s = np.zeros((k, dim), dtype=np.float64)
+            n = np.zeros(k, dtype=np.int64)
+            for c in range(k):
+                mask = cid == c
+                if mask.any():
+                    s[c] = V[mask].sum(axis=0)
+                    n[c] = int(mask.sum())
+            keep = n > 0  # empty clusters emit nothing (keep centroid)
+            km = np.repeat(keep, dim)
+            yield pd.DataFrame(
+                {
+                    "cid": cids_rep[km],
+                    "dim": dims_tiled[km],
+                    "s": s.reshape(-1).astype(np.int64)[km],
+                    "n": np.repeat(n, dim)[km],
+                }
+            )
+
+    return qe.select("v").mapInPandas(
+        part, schema="cid int, dim int, s long, n long"
+    )
+
+
+def _assign_with_dist(qe: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, cid, d): exact-integer argmin assignment against the
+    driver-held centroid list — one Arrow pass, no shuffle (r18; the
+    r9-r17 exploded broadcast-join shape shuffled k rows per vector).
+    d is the exact squared distance (see _kmeans_argmin's < 2^53 audit),
+    bit-identical to the old long-arithmetic aggregation."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            cid, dist = _kmeans_argmin(V, C)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cid": cid.astype(np.int32),
+                    "d": dist.astype(np.int64),
+                }
+            )
+
+    return qe.select("vec_id", "v").mapInPandas(
+        assign, schema="vec_id long, cid int, d long"
     )
 
 
 def _train_kmeans_centroids(
-    spark: SparkSession, qe: DataFrame, dims: DataFrame
+    spark: SparkSession, qe: DataFrame
 ) -> list[list[int]]:
-    """The Lloyd's loop (E-step assignment, M-step floor-mean), weights
+    """The Lloyd's loop: one fused E+M Arrow pass per iteration
+    (_kmeans_em_partials) + a k×dim-bounded aggregate collect; centroids
     driver-held between iterations — shared by the training query and the
     train→serve assignment query."""
     seed_rows = (
@@ -486,13 +551,10 @@ def _train_kmeans_centroids(
     )
     cents: list[list[int]] = [list(r.v) for r in seed_rows]
     for _ in range(KMEANS_ITERS):
-        assign = _assign_with_dist(
-            dims, _centroid_frame(spark, cents)
-        ).select("vec_id", "cid")
         stats = (
-            dims.join(assign, "vec_id")
+            _kmeans_em_partials(qe, cents)
             .groupBy("cid", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new = [list(c) for c in cents]  # empty clusters keep centroid
@@ -513,7 +575,6 @@ def _staged_kmeans_centroids(
     import os
 
     from ..staging import keyed_staging_dir
-    from .caching import persist_tracked, release_tracked
 
     root, _ = keyed_staging_dir(
         "kmeans_c_", f"{sf_dir}|k{KMEANS_K}i{KMEANS_ITERS}"
@@ -521,13 +582,7 @@ def _staged_kmeans_centroids(
     final = os.path.join(root, "c")
     if not os.path.isdir(final):
         qe = _quantized_embeddings(spark, sf_dir)
-        dims = persist_tracked(
-            qe.select("vec_id", F.posexplode("v").alias("dim", "val"))
-        )
-        try:
-            cents = _train_kmeans_centroids(spark, qe, dims)
-        finally:
-            release_tracked()
+        cents = _train_kmeans_centroids(spark, qe)
         tmp = os.path.join(root, "_tmp_c")
         _centroid_frame(spark, cents).repartition(1).write.mode(
             "overwrite"
@@ -549,13 +604,14 @@ def kmeans_assign_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     and emit the exact squared distance — the corpus-labeling pass a
     clustering-based curation step (e.g. cluster-balanced sampling or
     SemDeDup-style pruning) runs after fitting. Output (vec_id, cid,
-    dist6): all long arithmetic, ties to the smaller cid, bit-identical
-    to the oracle's unrolled replay + final row_number argmin."""
+    dist6): exact integer arithmetic throughout (one Arrow assignment
+    pass, _assign_with_dist — no shuffle; see _kmeans_argmin's < 2^53
+    audit), ties to the smaller cid, bit-identical to the oracle's
+    unrolled replay + final row_number argmin."""
     cents = _staged_kmeans_centroids(spark, sf_dir)
     qe = _quantized_embeddings(spark, sf_dir)
-    dims = qe.select("vec_id", F.posexplode("v").alias("dim", "val"))
     return (
-        _assign_with_dist(dims, _centroid_frame(spark, cents))
+        _assign_with_dist(qe, cents)
         .select("vec_id", "cid", F.col("d").alias("dist6"))
         .orderBy("vec_id")
     )

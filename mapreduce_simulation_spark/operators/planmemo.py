@@ -38,6 +38,7 @@ for pure serve-plan builders.
 from __future__ import annotations
 
 import functools
+import threading
 import weakref
 from typing import Callable
 
@@ -56,23 +57,35 @@ class _Frame:
         self.tainted = False
 
 
-# Active recordings (innermost last). Single-threaded driver assumed —
-# the same model as staging.keyed_staging_dir.
-_STACK: list[_Frame] = []
+# Active recordings (innermost last), PER DRIVER THREAD: memoized builds
+# can run on a structured-streaming foreachBatch thread (the _lsh_serve
+# prepared plan) concurrently with main-thread builds, and a shared stack
+# would cross-record deps/taint between unrelated frames (extra rebuilds
+# or skipped memoization — never wrong results, but why risk it; ADVICE
+# r17). thread-local makes the isolation mechanical.
+_TLS = threading.local()
+
+
+def _stack() -> list[_Frame]:
+    frames = getattr(_TLS, "frames", None)
+    if frames is None:
+        frames = _TLS.frames = []
+    return frames
 
 
 def note_dep(spec: tuple, obj: object) -> None:
-    """Record a loader output into every active recording. ``spec`` must
-    be enough to re-invoke the loader: ("table", sf_dir, name) or
-    ("staged", path). No-op when no memoized build is in progress."""
-    for frame in _STACK:
+    """Record a loader output into every active recording on THIS thread.
+    ``spec`` must be enough to re-invoke the loader: ("table", sf_dir,
+    name) or ("staged", path). No-op when no memoized build is in
+    progress."""
+    for frame in _stack():
         frame.deps[spec] = obj
 
 
 def taint() -> None:
-    """Mark every active recording as non-memoizable (see module note on
-    tracked persists). No-op outside a memoized build."""
-    for frame in _STACK:
+    """Mark every active recording on this thread as non-memoizable (see
+    module note on tracked persists). No-op outside a memoized build."""
+    for frame in _stack():
         frame.tainted = True
 
 
@@ -116,11 +129,12 @@ def memo(
             return df
         del per_session[key]
     frame = _Frame()
-    _STACK.append(frame)
+    frames = _stack()
+    frames.append(frame)
     try:
         df = build()
     finally:
-        _STACK.pop()
+        frames.pop()
     if not frame.tainted:
         per_session[key] = (frame.deps, df)
     return df
@@ -141,7 +155,17 @@ def memoized_plan(fn: Callable) -> Callable:
     builders whose construction is pure serve-plan work (possibly
     including bounded, loader-guarded model collects — the staged-model
     pattern). Do NOT apply to training queries or streaming drains: their
-    construction IS the measured computation."""
+    construction IS the measured computation.
+
+    Memo keys are (module, qualname, sf_dir) only: module-level tunables a
+    builder bakes into its plan (TOP_K, band widths, thresholds, ...) are
+    assumed PROCESS-IMMUTABLE, which they are for the bench/verify/driver
+    lifecycle (constants change between commits, i.e. between processes).
+    A builder that is genuinely parameterized at runtime must fold the
+    parameter into its own memo key via :func:`memo` — the pattern
+    ``_lsh_serve`` uses with ``n_planes`` — or a runtime change (e.g. a
+    test monkeypatching a constant) would be served a stale plan built
+    with the old value (ADVICE r17)."""
 
     @functools.wraps(fn)
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:

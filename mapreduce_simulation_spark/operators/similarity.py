@@ -594,9 +594,19 @@ def _lsh_serve(
     prepared = memo(spark, ("lsh_serve", sf_dir, n_planes), build)
     if query_ids is None:
         return prepared
-    return prepared.where(
-        F.col("query_id").isin([int(i) for i in query_ids])
-    )
+    # Narrowed contract (ADVICE r17): the prepared plan only covers the
+    # vec_id < N_QUERIES block, so an out-of-block id would be silently
+    # filtered to zero rows where the old per-id plan served any vec_id.
+    # No current caller can pass one (the query stream is staged AS the
+    # block) — fail loudly if a future caller does.
+    ids = [int(i) for i in query_ids]
+    out_of_block = [i for i in ids if not 0 <= i < N_QUERIES]
+    if out_of_block:
+        raise ValueError(
+            f"_lsh_serve(query_ids=...) only serves the prepared "
+            f"vec_id < {N_QUERIES} block; out-of-block ids {out_of_block}"
+        )
+    return prepared.where(F.col("query_id").isin(ids))
 
 
 def _lsh_serve_plan(

@@ -52,6 +52,69 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # entries would downgrade their slot to the driver's weaker rows-only
 # check and get their stronger checks locally anyway.
 _PROMOTE = (
+    # ---- round-18 window: pure staleness rotation (the r17 window came
+    # back 50/50 driver-green, zero err — CORRECTNESS_r17.json), applied
+    # verbatim from the PLANS.md draft committed in r17. FIRST the two
+    # late-r17 registrations that have never had a driver row (registry
+    # 233 → 235: the re-planing actuator + the online index ingest — a
+    # green pair restores cumulative coverage to 235/235, every registry
+    # name driver-proven at least once). THEN the 33 remaining r13-stale
+    # greens, THEN the first 15 r14-stale greens (alphabetical within a
+    # round). ----
+    # never driver-checked (late-r17 additions)
+    "lsh_index_replane",
+    "streaming_lsh_index_ingest",
+    # r13-stale greens (remaining 33, alphabetical back-fill)
+    "exact_global_percentiles",
+    "funnel_conversion",
+    "incremental_dedup",
+    "json_source_segments",
+    "lateral_top_suppliers",
+    "media_ahash_near_dup",
+    "media_decode",
+    "media_dedup",
+    "merge_upsert_orders",
+    "metadata_agg_pushdown",
+    "orc_source_parts",
+    "pandas_api_priority_stats",
+    "pandas_group_rank",
+    "pandas_scalar_digit_stats",
+    "pipe_syntax_revenue",
+    "quantile_sketch_monthly",
+    "sequence_packing",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "sole_blame_suppliers",
+    "sql_table_function_word_count",
+    "sql_udf_pricing",
+    "streaming_custom_source_rollup",
+    "streaming_events_hourly",
+    "streaming_kvtext_sink_roundtrip",
+    "streaming_quantile_sketch_ingest",
+    "streaming_upsert_profiles",
+    "substring_dedup_spans",
+    "text_stats",
+    "training_data_pipeline",
+    "training_shuffle",
+    "word_count",
+    "xml_source_customers",
+    # r14-stale greens (alphabetical back-fill, first 15)
+    "above_avg_orders",
+    "association_rules",
+    "balance_distribution",
+    "cms_word_freq",
+    "customer_balance_ntiles",
+    "distributed_kmeans_train",
+    "distributed_logreg_train",
+    "dynamic_partition_pruning",
+    "embedding_label_stats",
+    "event_peak_concurrency",
+    "exact_ols_train",
+    "exists_returned_orders",
+    "feature_drift_stats",
+    "fuzzy_name_pairs",
+    "heavy_change_terms",
+    # ---- history: round-17 window, 50/50 driver-green in r17 ----
     # ---- round-17 window: pure staleness rotation (the r16 window came
     # back 50/50 driver-green, zero err — CORRECTNESS_r16.json), applied
     # verbatim from the PLANS.md draft committed in r16. FIRST the THREE

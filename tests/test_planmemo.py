@@ -137,3 +137,10 @@ def test_every_memoized_query_records_deps(spark, sf_dir):
         entry = per_session.get(key)
         if entry is not None:  # memoized — must carry deps
             assert entry[0], f"{name}: memoized with zero recorded deps"
+    # the decorator check above only sees @memoized_plan queries; inline
+    # planmemo.memo() users (brute_force_topk, ivf/pq serves, _lsh_serve,
+    # ann_recall_audit, ...) land in the same per-session cache while the
+    # registry runs — sweep EVERY entry so a zero-dep inline memo (which
+    # could never invalidate) fails here too (ADVICE r17)
+    for key, (deps, _df) in planmemo._CACHE.get(spark, {}).items():
+        assert deps, f"memo entry {key}: zero recorded deps"

@@ -113,57 +113,57 @@ def test_loaded_schema_matches_contract(spark, sf_dir, table):
 # registry._PROMOTE/_DEMOTE) must update this list deliberately.
 # ---------------------------------------------------------------------------
 
-DRIVER_WINDOW_R17 = [
-    "lsh_index_stats",
-    "streaming_lsh_serve",
-    "lsh_index_upsert_stats",
-    "kvtext_source_stats",
-    "lang_id",
-    "lm_perplexity_score",
-    "media_features",
-    "minhash_jaccard_estimate",
-    "mmr_rerank",
-    "multiset_set_ops",
-    "not_in_customers",
-    "pagerank_order_chain",
-    "pandas_grouped_agg_median",
-    "partitioned_source_pruned",
-    "pipe_grep",
-    "pipe_word_count",
-    "polymorphic_udtf_props",
-    "pricing_summary",
-    "recursive_order_chain",
-    "revenue_by_nation",
-    "rfm_segmentation",
-    "rrf_hybrid_topk",
-    "runtime_filtered_join",
-    "schema_evolution_union",
-    "semantic_dedup",
-    "sessionize_events",
-    "similarity_topk",
-    "span_dedup",
-    "stratified_sample",
-    "streaming_hll_sketch_ingest",
-    "tfidf_top_terms",
-    "token_count_bpe",
-    "window_top_customers",
-    "bigram_lm_counts",
-    "bigram_perplexity",
-    "binary_file_source",
-    "bloom_membership_audit",
-    "chunk_for_training",
-    "co_purchase_pairs",
-    "cohort_retention",
-    "contrastive_triples",
-    "csv_bad_records",
-    "csv_source_revenue",
-    "cube_revenue",
-    "dedup_canonical",
-    "densify_daily_revenue",
-    "deterministic_sample",
-    "domain_cap_sample",
-    "embedding_argmax_arrow",
-    "ewma_daily_revenue",
+DRIVER_WINDOW_R18 = [
+    "lsh_index_replane",
+    "streaming_lsh_index_ingest",
+    "exact_global_percentiles",
+    "funnel_conversion",
+    "incremental_dedup",
+    "json_source_segments",
+    "lateral_top_suppliers",
+    "media_ahash_near_dup",
+    "media_decode",
+    "media_dedup",
+    "merge_upsert_orders",
+    "metadata_agg_pushdown",
+    "orc_source_parts",
+    "pandas_api_priority_stats",
+    "pandas_group_rank",
+    "pandas_scalar_digit_stats",
+    "pipe_syntax_revenue",
+    "quantile_sketch_monthly",
+    "sequence_packing",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "sole_blame_suppliers",
+    "sql_table_function_word_count",
+    "sql_udf_pricing",
+    "streaming_custom_source_rollup",
+    "streaming_events_hourly",
+    "streaming_kvtext_sink_roundtrip",
+    "streaming_quantile_sketch_ingest",
+    "streaming_upsert_profiles",
+    "substring_dedup_spans",
+    "text_stats",
+    "training_data_pipeline",
+    "training_shuffle",
+    "word_count",
+    "xml_source_customers",
+    "above_avg_orders",
+    "association_rules",
+    "balance_distribution",
+    "cms_word_freq",
+    "customer_balance_ntiles",
+    "distributed_kmeans_train",
+    "distributed_logreg_train",
+    "dynamic_partition_pruning",
+    "embedding_label_stats",
+    "event_peak_concurrency",
+    "exact_ols_train",
+    "exists_returned_orders",
+    "feature_drift_stats",
+    "fuzzy_name_pairs",
+    "heavy_change_terms",
 ]
 
 
@@ -171,11 +171,11 @@ def test_driver_hash_window_is_frozen():
     from mapreduce_simulation_spark.plans import registry
 
     got = list(registry.queries())[:50]
-    assert got == DRIVER_WINDOW_R17, (
+    assert got == DRIVER_WINDOW_R18, (
         "the driver's first-50 hash window shifted — if this is an intended "
-        "promotion/demotion, update DRIVER_WINDOW_R17; otherwise find the "
+        "promotion/demotion, update DRIVER_WINDOW_R18; otherwise find the "
         "import/registration reorder that moved it.\n"
-        f"got:  {got}\nwant: {DRIVER_WINDOW_R17}"
+        f"got:  {got}\nwant: {DRIVER_WINDOW_R18}"
     )
 
 
@@ -183,7 +183,7 @@ def test_driver_window_queries_all_have_oracles():
     from mapreduce_simulation_spark.plans import registry
 
     oracles = registry.oracle_sql()
-    missing = [n for n in DRIVER_WINDOW_R17 if n not in oracles]
+    missing = [n for n in DRIVER_WINDOW_R18 if n not in oracles]
     assert missing == [], (
         f"driver-window queries without an exact oracle: {missing} — the "
         "gate would fall back to the weaker rows-only check"

@@ -91,6 +91,121 @@ PROBES = [
 ]
 
 
+def _headline_probe(spark, qs, n_copies: int, only) -> None:
+    """--headline (r18, r17 verdict item 1): the sf0.1 bench can no longer
+    resolve data-path wins (the r17 8-core control ran headline at ≈ the
+    32-core time — fixed per-task/micro-batch costs dominate at ~600 k
+    lineitem rows), so this tier replicates every FACT table N× and times
+    the 16 headline queries at both scales. Warm ratios ≫ 1 mean the
+    query's wall is data-bound (the probe can see improvements to it);
+    ratios ≈ 1 mean it is overhead-bound at base scale and only the ×N
+    column can price a change.
+
+    Replication (dims symlinked — customer/supplier/part/nation/region
+    stay fixed, the honest "business grew" shape):
+      lineitem: l_orderkey shifted per copy (joins follow orders);
+      orders:   o_orderkey shifted, o_custkey KEPT → N× orders/customer;
+      events:   event_id + user_id shifted (the --events shape);
+      documents: marker-copy near-dup variant (the default mode's shape);
+      embeddings: vec_id shifted for copies k≥1, copy 0 keeps original
+      ids so the vec_id < N_QUERIES query block is unchanged (--ann).
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from bench import HEADLINE
+    from mapreduce_simulation_spark.operators.caching import release_tracked
+    from mapreduce_simulation_spark.staging import staging_dir
+    from mapreduce_simulation_spark.tables import load_table
+
+    big_dir = staging_dir("scaleprobe_head_")
+    os.makedirs(f"{big_dir}/d", exist_ok=True)
+
+    def replicate(name: str, shift_cols: dict, marker_text: bool = False,
+                  keep_copy0: bool = False, nparts: int = 32) -> None:
+        df = load_table(spark, BASE, name)
+        mx = {
+            c: df.agg(F.max(c)).collect()[0][0] + 1 for c in shift_cols
+        }
+        parts = []
+        for k in range(n_copies):
+            p = df
+            if k > 0 or not keep_copy0:
+                for c in shift_cols:
+                    p = p.withColumn(c, F.col(c) + F.lit(k * mx[c]))
+            if marker_text:
+                p = p.withColumn(
+                    "text", F.concat(F.lit(f"copy{k} "), F.col("text"))
+                ).withColumn(
+                    "n_chars", F.col("n_chars") + F.lit(len(f"copy{k} "))
+                )
+            parts.append(p)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.repartition(nparts).write.mode("overwrite").parquet(
+            f"{big_dir}/d/{name}.parquet"
+        )
+
+    t0 = _time.perf_counter()
+    replicate("lineitem", {"l_orderkey": None})
+    replicate("orders", {"o_orderkey": None})
+    replicate("events", {"event_id": None, "user_id": None})
+    replicate("documents", {"doc_id": None}, marker_text=True)
+    replicate("embeddings", {"vec_id": None}, keep_copy0=True, nparts=8)
+    for t in "region nation customer supplier part".split():
+        os.symlink(f"{BASE}/{t}.parquet", f"{big_dir}/d/{t}.parquet")
+    big_sf = f"{big_dir}/d"
+    print(f"replication took {_time.perf_counter() - t0:.1f}s")
+
+    probes = list(HEADLINE)
+    if only is not None:
+        probes = [n for n in probes if n in only]
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    force(qs["word_count"](spark, BASE))  # warm
+    results = []
+    for name in probes:
+        row = {"query": name}
+        for label, sf in (("base", BASE), ("big", big_sf)):
+            try:
+                t0 = _time.perf_counter()
+                force(qs[name](spark, sf))
+                row[label] = round(_time.perf_counter() - t0, 2)
+                release_tracked()
+                t0 = _time.perf_counter()
+                force(qs[name](spark, sf))
+                row[f"{label}_warm"] = round(_time.perf_counter() - t0, 2)
+            except Exception as ex:  # noqa: BLE001
+                if label in row:
+                    row[f"{label}_warm"] = None
+                    row[f"{label}_warm_error"] = str(ex)[:120]
+                else:
+                    row[label] = None
+                    row["error"] = str(ex)[:120]
+            finally:
+                release_tracked()
+        if row.get("base") and row.get("big"):
+            row["ratio"] = round(row["big"] / row["base"], 1)
+        if row.get("base_warm") and row.get("big_warm"):
+            row["warm_ratio"] = round(row["big_warm"] / row["base_warm"], 1)
+        results.append(row)
+        print(
+            f"{name:28s} base {row.get('base')}s  "
+            f"x{n_copies} {row.get('big')}s  ratio {row.get('ratio')}"
+            f"  warm {row.get('base_warm')}s/{row.get('big_warm')}s"
+            f" = {row.get('warm_ratio')}"
+        )
+    print(
+        json.dumps(
+            {"n_copies": n_copies, "headline": True, "probes": results}
+        )
+    )
+
+
 def main() -> None:
     import __spark_entry__ as e
     from mapreduce_simulation_spark.operators.caching import release_tracked
@@ -107,7 +222,8 @@ def main() -> None:
             # whole family at two decades up
             only = a.split("=", 1)[1].split(",")
         elif a not in (
-            "--unique", "--events", "--pipeline", "--sketch", "--ann"
+            "--unique", "--events", "--pipeline", "--sketch", "--ann",
+            "--headline",
         ):
             args.append(a)
     unique = "--unique" in sys.argv[1:]
@@ -115,9 +231,14 @@ def main() -> None:
     pipeline_mode = "--pipeline" in sys.argv[1:]
     sketch_mode = "--sketch" in sys.argv[1:]
     ann_mode = "--ann" in sys.argv[1:]
+    headline_mode = "--headline" in sys.argv[1:]
     n_copies = int(args[0]) if args else 10
     spark = build_session("scale-probe")
     qs = e.queries()
+    if headline_mode:
+        _headline_probe(spark, qs, n_copies, only)
+        spark.stop()
+        return
     if sketch_mode:
         probes = [
             "events_daily_approx",
